@@ -1,0 +1,65 @@
+"""Scalar functions F1-F9 (SURVEY.md §2.6), expressed as JVM-side built-in
+expressions — whole-stage-codegen friendly, no Python in the hot path.
+
+The reference performs all of these row-at-a-time in plain Python
+(main.py:84-172, voting.py:68-74); here each is a Column expression that
+vectorizes across 100 TB without serialization overhead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def full_name(first: Column | str, last: Column | str) -> Column:
+    """F1 — ``f"{first} {last}"`` (main.py:103,155)."""
+    return F.concat_ws(" ", first, last)
+
+
+def iso_date(ts: Column | str) -> Column:
+    """F2 — ``dob.split('T')[0]`` → DATE (main.py:156)."""
+    return F.to_date(ts)
+
+
+def now_formatted() -> Column:
+    """F3 — ``utcnow().strftime('%Y-%m-%d %H:%M:%S')`` (voting.py:72).
+    Session TZ is pinned UTC, so current_timestamp matches utcnow."""
+    return F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss")
+
+
+def party_for(n: Column | str, total_parties: int = 3) -> Column:
+    """F4 — ``"Party {n % total + 1}"`` (main.py:104)."""
+    col = F.col(n) if isinstance(n, str) else n
+    return F.concat(F.lit("Party "), (F.pmod(col, F.lit(total_parties)) + 1))
+
+
+def json_encode(*cols: Column | str) -> Column:
+    """F5/F7 — ``json.dumps(record)`` / Postgres ``row_to_json``
+    (main.py:225, voting.py:41-44,88)."""
+    return F.to_json(F.struct(*cols))
+
+
+def json_decode(col: Column | str, schema: StructType | str) -> Column:
+    """F6 — ``json.loads`` against a declared schema (voting.py:67,
+    spark_stream.py:51). Fields absent from the schema are dropped,
+    declared-but-missing fields parse as NULL — the documented semantics
+    of the reference's 22-field schema drift (SURVEY.md §1)."""
+    return F.from_json(col, schema)
+
+
+def uniform_pick(key: Column | str, n: int, seed: int = 21) -> Column:
+    """F9 — seeded uniform choice (voting.py:68, main.py:26), made
+    deterministic-per-key instead of per-arrival-order."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(n)).cast("int")
+
+
+def dec(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Exact-decimal cast used before SUM/AVG in oracle-checked queries so
+    Spark and the DuckDB oracle aggregate identical exact values —
+    floating-point summation order is engine-dependent; decimal math is
+    not. Final outputs cast back to DOUBLE on both sides."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")

@@ -1,0 +1,182 @@
+"""Relational core: aggregation, top-k, share-of-total, compaction,
+pagination, enrichment joins.
+
+Each function maps a reference behavior (cited file:line) onto the
+declarative DataFrame API so Catalyst owns the physical strategy —
+partial+final hash aggregation, broadcast joins for dims, AQE-coalesced
+shuffles. No operator collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column | str,
+    alias: str = "total_votes",
+) -> DataFrame:
+    """Grouped running SUM — reference A1 (spark_stream.py:58-59):
+    ``groupBy(candidate...).agg(sum(vote) AS total_votes)``.
+
+    Catalyst plans map-side partial aggregation before the shuffle, so at
+    100 TB the exchange carries one row per (partition, key), not per
+    input row.
+    """
+    col = F.col(value) if isinstance(value, str) else value
+    return df.groupBy(*keys).agg(F.sum(col).alias(alias))
+
+
+def grouped_count(
+    df: DataFrame, keys: Sequence[str], alias: str = "total_voters"
+) -> DataFrame:
+    """Grouped COUNT — reference A2 (spark_stream.py:62-64), including the
+    ``count -> total_voters`` rename (spark_stream.py:64)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def top_k(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    k: int = 1,
+) -> DataFrame:
+    """Top-k by ordering — reference A4/T1 (streamlit-app.py:96): leading
+    candidate = argmax(total_votes).
+
+    ``orderBy().limit(k)`` lets Spark run a per-partition TakeOrdered and
+    merge only k rows per partition on the driver-side collect of the
+    *final* stage — no full sort at scale. Callers must pass a total
+    order (include a unique tiebreaker) for deterministic output.
+    """
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_alias: str = "rn",
+) -> DataFrame:
+    """Top-k within each group via ``row_number`` window — the compacted
+    form of the dashboard's per-key argmax (streamlit-app.py:96) and the
+    latest-per-key fix the reference lacked (SURVEY.md W5)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_alias, F.row_number().over(w))
+        .filter(F.col(rank_alias) <= k)
+        .drop(rank_alias)
+    )
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreakers: Sequence[Column] = (),
+) -> DataFrame:
+    """Latest-per-key compaction — the operator the reference *needed* but
+    didn't have (SURVEY.md W5: the dashboard re-reads the whole update log
+    and argmaxes over inflated duplicates, streamlit-app.py:14,91-96).
+
+    One shuffle on ``keys``; state per key is a single row.
+    """
+    order = [F.col(ts_col).desc(), *tiebreakers]
+    return top_k_per_group(df, keys, order, k=1)
+
+
+def share_of_total(
+    df: DataFrame,
+    value: str,
+    share_alias: str = "share_pct",
+    scale: int = 4,
+) -> DataFrame:
+    """Share-of-total percentage — reference A5 (streamlit-app.py:61,
+    matplotlib ``autopct``): each group's fraction of the global sum.
+
+    Implemented as an unpartitioned window SUM. Input is expected to be
+    *already aggregated* (a few rows per group key), so the single-
+    partition exchange is over group cardinality, not raw data — the same
+    reason the reference could afford matplotlib to do it.
+    """
+    w = Window.partitionBy()
+    return df.withColumn(
+        share_alias,
+        F.round(F.col(value) * 100.0 / F.sum(value).over(w), scale),
+    )
+
+
+def paginate(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    page: int,
+    page_size: int,
+) -> DataFrame:
+    """Arbitrary-column sort + page slice — reference T2/T3
+    (streamlit-app.py:70-77): ``sort_values`` then
+    ``iloc[(page-1)*size : page*size]``.
+
+    Uses native ``offset`` + ``limit`` (Spark >= 3.4) over a total sort.
+    Callers pass a deterministic total order (unique key last).
+    """
+    return df.orderBy(*order_by).offset((page - 1) * page_size).limit(page_size)
+
+
+def scalar_counts(named_dfs: dict[str, DataFrame]) -> DataFrame:
+    """Global scalar COUNTs as one row — reference A3
+    (streamlit-app.py:27-31): ``SELECT count(*) FROM voters`` etc. for the
+    dashboard header metrics.
+
+    Each count is a partial-aggregated single-row DataFrame; the cross
+    join of 1-row frames is free (broadcast).
+    """
+    out: DataFrame | None = None
+    for alias, df in named_dfs.items():
+        cnt = df.agg(F.count(F.lit(1)).alias(alias))
+        out = cnt if out is None else out.crossJoin(cnt)
+    assert out is not None, "need at least one input"
+    return out
+
+
+def enrich_broadcast(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream/fact-static enrichment join with an explicit broadcast hint —
+    reference J1 (voting.py:41-45,68-74) pairs each voter with a candidate
+    from a 3-row dim; the Spark-native form is a broadcast hash join (no
+    shuffle of the 100 TB fact side).
+    """
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def deterministic_assignment(
+    df: DataFrame,
+    key: str,
+    n_buckets: int,
+    alias: str = "assigned_bucket",
+    seed: int = 21,
+) -> DataFrame:
+    """Deterministic-per-key uniform assignment — the shuffle/retry-stable
+    replacement for the reference's arrival-order-dependent
+    ``random.choice(candidates)`` under ``random.seed(21)``
+    (voting.py:68, main.py:26; semantics decision in SURVEY.md §7).
+
+    ``xxhash64(key, seed) mod n`` preserves the uniform distribution and
+    is reproducible across retries, partitionings, and engines that share
+    the hash. For oracle-checked queries use ``pmod(key, n)`` (portable
+    to ANSI SQL); xxhash64 is the production default for string keys.
+    """
+    col = F.col(key)
+    if dict(df.dtypes)[key] in ("bigint", "int", "smallint", "tinyint"):
+        bucket = F.pmod(col, F.lit(n_buckets))
+    else:
+        bucket = F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(n_buckets))
+    return df.withColumn(alias, bucket.cast("int"))

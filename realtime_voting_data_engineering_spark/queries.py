@@ -1,0 +1,562 @@
+"""Query registry: every operator from SURVEY.md §2 as a named query over
+the driver corpus, each paired with an ANSI-SQL oracle for DuckDB.
+
+Determinism contract (how Spark and DuckDB produce hash-identical values):
+
+- **Sums of doubles**: floating-point summation order is engine- and
+  partitioning-dependent, so we compute row-level arithmetic in DOUBLE
+  (bit-identical IEEE ops in both engines), cast each row's value to an
+  exact DECIMAL, SUM the decimals (exact, order-independent), and cast
+  the final result back to DOUBLE. No decimal fraction has an exact
+  binary midpoint, so double→decimal rounding agrees across engines.
+- **Averages**: exact decimal sum cast to double, divided by the bigint
+  count — a single deterministic IEEE division.
+- **Top-k / limit**: always ordered by a total order (unique tiebreaker).
+- **Timestamps**: Spark session TZ pinned UTC == DuckDB's naive UTC.
+
+Each query callable takes (spark, sf_dir) and returns a DataFrame; column
+names/aliases match the oracle exactly (the driver sorts columns by name
+before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_voting_data_engineering_spark.functions.scalar import dec
+from realtime_voting_data_engineering_spark.operators import relational as R
+from realtime_voting_data_engineering_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    """One engine capability: Spark implementation + DuckDB oracle."""
+
+    fn: QueryFn
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+    headline: bool = False  # included in bench.py
+    tags: tuple[str, ...] = field(default=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    headline: bool = False,
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, headline=headline, tags=tags)
+        return fn
+
+    return deco
+
+
+def _sum_dec_double(col, alias: str, precision: int = 18, scale: int = 2):
+    """SUM(CAST(x AS DECIMAL)) cast back to DOUBLE — see module docstring."""
+    return F.sum(dec(col, precision, scale)).cast("double").alias(alias)
+
+
+_REVENUE_SQL = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _revenue_expr():
+    return (
+        F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 6))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Voting-pipeline analogs (reference A1-A6, T1-T3, J1, W5/W6 — SURVEY.md §2)
+# over the corpus: events ↔ vote stream, customer ↔ voters, nation ↔
+# candidate dim (FIXTURES.md §6 role mapping).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "votes_per_candidate",
+    """
+    SELECT event_type,
+           count(*) AS total_votes,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    headline=True,
+    tags=("agg", "A1"),
+)
+def votes_per_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (spark_stream.py:58-59): running grouped SUM per candidate —
+    here per event_type, with both the COUNT and SUM measures. Partial
+    aggregation before the shuffle; group cardinality is tiny (5)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total_votes"),
+        _sum_dec_double("value", "total_value", 18, 6),
+    )
+
+
+@register(
+    "turnout_per_location",
+    """
+    SELECT n_name AS location, count(*) AS total_voters
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("agg", "join", "A2"),
+)
+def turnout_per_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (spark_stream.py:62-64): voter count per location, including the
+    count→total_voters rename (spark_stream.py:64). The location dim
+    (nation, 25 rows) is broadcast — no shuffle of the voter side."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = R.enrich_broadcast(
+        customer, nation, customer.c_nationkey == nation.n_nationkey
+    )
+    return R.grouped_count(
+        joined.select(F.col("n_name").alias("location")), ["location"], "total_voters"
+    )
+
+
+@register(
+    "leading_candidate",
+    """
+    SELECT event_type, count(*) AS total_votes
+    FROM events
+    GROUP BY event_type
+    ORDER BY total_votes DESC, event_type
+    LIMIT 1
+    """,
+    tags=("topk", "A4", "T1"),
+)
+def leading_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/T1 (streamlit-app.py:96): leading candidate = argmax of
+    total_votes. orderBy+limit compiles to TakeOrderedAndProject — only
+    k rows cross partition boundaries. Tiebreak on the group key makes
+    the top-1 deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    totals = R.grouped_count(events, ["event_type"], "total_votes")
+    return R.top_k(totals, [F.col("total_votes").desc(), F.col("event_type")], k=1)
+
+
+@register(
+    "vote_share",
+    """
+    SELECT event_type,
+           count(*) AS total_votes,
+           round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS share_pct
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("window", "A5"),
+)
+def vote_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (streamlit-app.py:61): share-of-total percentage per candidate,
+    via an unpartitioned window over the *aggregated* (5-row) frame."""
+    events = load_table(spark, sf_dir, "events")
+    totals = R.grouped_count(events, ["event_type"], "total_votes")
+    return R.share_of_total(totals, "total_votes", "share_pct", scale=4)
+
+
+@register(
+    "latest_vote_per_user",
+    """
+    SELECT user_id, event_id, event_type, ts, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    tags=("window", "W5"),
+)
+def latest_vote_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — latest-per-key compaction, the fix the reference dashboard
+    needed (streamlit-app.py:14,91-96 re-reads the whole update log).
+    One shuffle on the key; row_number window with event_id tiebreak."""
+    events = load_table(spark, sf_dir, "events")
+    return R.latest_per_key(
+        events.select("user_id", "event_id", "event_type", "ts", "value"),
+        ["user_id"],
+        "ts",
+        tiebreakers=[F.col("event_id").desc()],
+    )
+
+
+@register(
+    "dedup_votes_exact",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("dedup", "W6"),
+)
+def dedup_votes_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — the composite-PK duplicate-vote guard (main.py:77) as an
+    engine operator: exact dedup = hash-partitioned dropDuplicates on the
+    key columns. Map-side partial dedup keeps the shuffle small."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select("user_id", "event_type").dropDuplicates()
+
+
+@register(
+    "assigned_candidate_counts",
+    """
+    SELECT n_name AS candidate, count(*) AS total_votes
+    FROM events JOIN nation ON user_id % 25 = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("join", "J1"),
+)
+def assigned_candidate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (voting.py:68): uniform random candidate assignment, made
+    deterministic-per-voter (SURVEY.md §7 semantics decision) — bucket by
+    key mod |dim|, then broadcast-join the dim. The oracle-portable
+    ``pmod(user_id, n)`` stands in for production ``xxhash64``."""
+    events = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    assigned = R.deterministic_assignment(events, "user_id", 25, "bucket")
+    joined = R.enrich_broadcast(assigned, nation, assigned.bucket == nation.n_nationkey)
+    return R.grouped_count(
+        joined.select(F.col("n_name").alias("candidate")), ["candidate"], "total_votes"
+    )
+
+
+@register(
+    "voters_by_segment",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_voters,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "A6"),
+)
+def voters_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (streamlit-app.py:57-58): grouped count+mean by a demographic
+    key (gender in the reference; market segment here)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_voters"),
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_acctbal"
+        ),
+    )
+
+
+@register(
+    "voter_pagination",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 25 OFFSET 50
+    """,
+    tags=("sort", "T2", "T3"),
+)
+def voter_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3 (streamlit-app.py:70-77): arbitrary-column sort + page slice
+    (page 3, size 25), deterministic via the unique-key tiebreak."""
+    customer = load_table(spark, sf_dir, "customer")
+    return R.paginate(
+        customer,
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        page=3,
+        page_size=25,
+    )
+
+
+@register(
+    "scalar_counts",
+    """
+    SELECT (SELECT count(*) FROM customer) AS total_voters,
+           (SELECT count(*) FROM nation)   AS total_candidates,
+           (SELECT count(*) FROM events)   AS total_votes
+    """,
+    tags=("agg", "A3"),
+)
+def scalar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (streamlit-app.py:27-31): dashboard header scalar counts, one
+    row of global aggregates (cross join of 1-row partial counts)."""
+    return R.scalar_counts(
+        {
+            "total_voters": load_table(spark, sf_dir, "customer"),
+            "total_candidates": load_table(spark, sf_dir, "nation"),
+            "total_votes": load_table(spark, sf_dir, "events"),
+        }
+    )
+
+
+@register(
+    "hourly_vote_counts",
+    """
+    SELECT date_trunc('hour', ts) AS hour,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "window-time"),
+)
+def hourly_vote_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate — the windowed variant of A1/A2 that
+    SURVEY.md §2.7 recommends so watermarks can actually bound state; in
+    batch form a date_trunc group-by (streaming form in streaming/)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _sum_dec_double("value", "total_value", 18, 6),
+    )
+
+
+@register(
+    "parse_vote_payload",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(json_extract_string(props, '$.k')) AS n_parsed
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "P2", "F6"),
+)
+def parse_vote_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/F6 (spark_stream.py:50-52): JSON payload parse against a
+    declared schema, then aggregate a parsed field. from_json projects
+    only declared fields — the reference's schema-drift semantics."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn("payload", F.from_json(F.col("props"), "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("payload.k")).alias("sum_k"),
+        F.count(F.col("payload.k")).alias("n_parsed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational core beyond the reference's own queries — the TPC-H-shaped
+# capabilities the corpus exercises (SURVEY.md §5 test strategy).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           {_REVENUE_SQL} AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+               AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+               AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    tags=("agg", "tpch"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with 8 measures. The filter
+    and the 7-column projection push into the parquet scan; everything
+    else is one partial+final hash aggregate over 4 groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sum_dec_double("l_quantity", "sum_qty"),
+            _sum_dec_double("l_extendedprice", "sum_base_price"),
+            F.sum(dec(disc_price, 18, 6)).cast("double").alias("sum_disc_price"),
+            F.sum(dec(charge, 18, 6)).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(dec("l_discount", 18, 4)).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {_REVENUE_SQL} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+    tags=("join", "topk", "tpch"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective fact-fact-dim join + grouped revenue +
+    top-10. Filters push to all three scans before the joins; the final
+    top-10 is TakeOrdered, not a full sort."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    joined = customer.join(
+        orders, customer.c_custkey == orders.o_custkey
+    ).join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+    grouped = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        _revenue_expr()
+    )
+    return R.top_k(
+        grouped.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        [F.col("revenue").desc(), F.col("l_orderkey")],
+        k=10,
+    )
+
+
+@register(
+    "q5_revenue_by_nation",
+    f"""
+    SELECT n_name, {_REVENUE_SQL} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    headline=True,
+    tags=("join", "tpch"),
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: five-way join with a region filter. nation⋈region
+    prunes to the 5 target nations and broadcasts into supplier, so the
+    only big shuffles are the fact-side equi-joins (AQE handles skew)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    sup = supplier.join(
+        F.broadcast(nr), supplier.s_nationkey == nr.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    joined = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(_revenue_expr())
+
+
+@register(
+    "revenue_by_brand",
+    f"""
+    SELECT p_brand,
+           {_REVENUE_SQL} AS revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    tags=("join", "agg"),
+)
+def revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim rollup by brand. part is dim-sized relative to lineitem
+    (1:30); at 100 TB it exceeds the broadcast threshold so we leave the
+    strategy to Catalyst/AQE rather than forcing a hint."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+    return joined.groupBy("p_brand").agg(
+        _revenue_expr(),
+        _sum_dec_double("l_quantity", "total_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "top_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey) <= 5
+    """,
+    tags=("window", "topk"),
+)
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — the per-key generalization of the dashboard's
+    argmax (streamlit-app.py:96). row_number window, k rows retained per
+    group; o_totalprice is a raw double (passthrough, engine-exact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return R.top_k_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=5,
+    )
+
+
+def spark_query(name: str) -> QueryFn:
+    return REGISTRY[name].fn
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
+
+
+def headline_queries() -> dict[str, QueryFn]:
+    return {n: s.fn for n, s in REGISTRY.items() if s.headline}

@@ -1,0 +1,67 @@
+"""SparkSession bootstrap tuned for the engine.
+
+The reference builds its session at spark_stream.py:8-12 with a misspelled
+AQE key (``spark.sql.adaptive.enable``) that silently leaves AQE at its
+default. We configure deliberately:
+
+- AQE on (coalesce shuffle partitions, skew-join handling at scale).
+- Arrow on (vectorized pandas boundary for the few pandas-UDF kernels).
+- Session timezone pinned to UTC so timestamp semantics match a
+  UTC-naive oracle (DuckDB) and are cluster-location independent.
+- ``spark.sql.shuffle.partitions`` sized from the env, not the 200
+  default — right for local[N]; on a real cluster this is overridden per
+  deployment (AQE coalescing makes the initial number less critical).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "realtime-voting-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Scale note: in local mode the driver is the only JVM so
+    ``spark.driver.memory`` must be set before JVM launch (spark-submit /
+    env); on a cluster these configs ride along unchanged and AQE adapts
+    shuffle partitioning at runtime.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Corpus `events.ts` is parquet TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp type — read as long, convert at the source
+        # (sources/tables.py) by truncating to micros like DuckDB does.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif os.environ.get("SPARK_GRAFT_MASTER"):
+        builder = builder.master(os.environ["SPARK_GRAFT_MASTER"])
+    else:
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

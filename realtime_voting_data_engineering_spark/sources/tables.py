@@ -1,0 +1,69 @@
+"""Batch table source: partitioned parquet, schema-on-read.
+
+Replaces the reference's Postgres DDL + fetch-all scans
+(main.py:33-79, main.py:256-257, voting.py:41-45) with columnar parquet
+scans that Catalyst can push filters and projections into. At 100 TB the
+same call reads a partitioned/table-format dataset; nothing here collects
+to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Driver-generated corpus tables (TESTDATA.md).
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long
+#: (``spark.sql.legacy.parquet.nanosAsLong``); we truncate to micros,
+#: matching DuckDB's nanos→micros truncation, so both engines see the
+#: same timestamp values.
+NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Defensively set the runtime-settable confs this engine's semantics
+    depend on. The driver harness supplies its *own* SparkSession — a
+    vanilla one rejects TIMESTAMP(NANOS) parquet and may carry a
+    non-UTC session timezone, so we pin both here rather than relying on
+    our session builder having been used."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table. Plain parquet scan — predicate pushdown and
+    column pruning happen automatically when callers filter/select."""
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in NANO_TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view for the SQL API."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

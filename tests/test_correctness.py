@@ -1,0 +1,32 @@
+"""Every registered query vs its DuckDB oracle — the local replica of the
+driver's t2 gate (BASELINE.md)."""
+
+from __future__ import annotations
+
+import pytest
+
+from realtime_voting_data_engineering_spark import queries as Q
+from tests.oracle_harness import compare_query
+
+_ORACLE_CASES = sorted(n for n, s in Q.REGISTRY.items() if s.oracle is not None)
+
+
+@pytest.mark.parametrize("name", _ORACLE_CASES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = Q.REGISTRY[name]
+    compare_query(spark, name, spec.fn, spec.oracle, sf_dir)
+
+
+def test_all_queries_return_rows(spark, sf_smoke):
+    for name, spec in Q.REGISTRY.items():
+        df = spec.fn(spark, sf_smoke)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"event_type", "total_votes", "total_value"}
