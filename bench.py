@@ -1,0 +1,55 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing excludes session/JVM startup (measured per query, result fully
+materialized via collect — outputs are small aggregates by design).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from realtime_voting_data_engineering_spark import queries as Q
+from realtime_voting_data_engineering_spark.session import get_spark
+
+
+def parse_sf(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="rtv-bench")
+
+    # One tiny action to finish JVM/executor warmup before timing.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in Q.headline_queries().items():
+        start = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": parse_sf(sf_dir),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
