@@ -1,0 +1,275 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+
+- **Exact** — hash-groupBy on a content fingerprint; one shuffle keyed by
+  the fingerprint, map-side partial dedup. The 100 TB default.
+- **N-gram Jaccard (all-pairs)** — exact similarity join via shingle
+  inverted index (explode → equi-join on shingle → count). Correct but
+  O(sum of posting-list²); only for bounded corpora / verification.
+- **MinHash+LSH** — the scale path: constant-size signature per doc
+  (shingle → K min-hashes), banded into B buckets; only docs sharing a
+  band bucket become candidate pairs, then exact Jaccard verifies.
+  Shuffle volume drops from all-pairs to per-bucket.
+- **SimHash** — 64-bit weighted-majority fingerprint; near-dups differ
+  in few bits. Banded by 16-bit chunks for candidate generation.
+
+Hashing is md5-based where an oracle must replay it (md5 is bit-identical
+across engines); xxhash64 (faster, JVM-native) where it needn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from realtime_voting_data_engineering_spark.operators.text import (
+    fingerprint,
+    tokens,
+)
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Exact dedup on explicit key columns — dropDuplicates, i.e. a
+    hash-partitioned first-row-per-key (reference analog: the votes
+    composite PK, main.py:77)."""
+    return df.dropDuplicates(key_cols)
+
+
+def fingerprint_dup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-content duplicate clusters: group by md5(normalized text),
+    keep cluster size and canonical (min) id. One shuffle on the 16-byte
+    fingerprint regardless of document size."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Built-in array ops only:
+    ``transform(sequence(...))`` over the token array (0-indexed)."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # Shingle sets, not bags: near-dup semantics are set-Jaccard.
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array())
+    )
+
+
+def shingle_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Inverted index: one row per (doc, distinct shingle)."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via the inverted index: docs sharing a
+    shingle are joined (co-located by the shuffle on ``shingle``),
+    intersection counted per pair, then |A∪B| from per-doc set sizes.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    idx = shingle_index(df, text_col, id_col, n)
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = idx.select(F.col(id_col).alias("id_a"), "shingle")
+    b = idx.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: h_i = min over shingles of
+    md5('<i>|' + shingle). Any uniform hash family works; md5 keeps the
+    signature replayable in any engine (oracle parity). One aggregation
+    over the exploded shingle index → constant-size signature row."""
+    idx = shingle_index(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return idx.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; band key = md5 of the concatenated band.
+    Docs sharing any band key are candidates. The band-key shuffle is the
+    only data movement — no all-pairs blowup."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_cols)
+    # Unpivot to (doc, band_idx, key) — one equi-join finds all collisions.
+    stack_expr = ", ".join(f"'{b}', band{b}" for b in range(bands))
+    long = banded.selectExpr(
+        id_col, f"stack({bands}, {stack_expr}) AS (band_idx, band_key)"
+    )
+    a = long.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: signatures → banded
+    candidates → exact Jaccard verification ≥ threshold. The verification
+    join touches only candidate pairs, so the expensive exact measure
+    runs on a vanishing fraction of the corpus."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    return (
+        cands.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+) -> DataFrame:
+    """SimHash fingerprints: per-token xxhash64, per-bit ±1 majority vote,
+    packed into one long per document.
+
+    Implemented as explode → one grouped aggregation with ``n_bits`` SUM
+    measures → bit-pack projection. All JVM built-ins (xxhash64 is
+    JVM-native and fast; SimHash needs no cross-engine replay — candidates
+    get verified with portable measures downstream). The per-doc shuffle
+    carries 64 ints, independent of document length.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(n_bits)
+        ]
+    )
+    sig: Column = F.lit(0).cast("bigint")
+    for i in range(n_bits):
+        bit_val = (1 << i) if i < n_bits - 1 else -(1 << i)  # sign bit
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(bit_val).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return votes.select(F.col(id_col), sig.alias("sh"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into 4 16-bit
+    chunks (pigeonhole: ≤3 differing bits guarantees one identical chunk;
+    wider radii trade recall), join on (chunk_idx, chunk), verify true
+    Hamming distance ≤ max_hamming."""
+    sh = simhash_table(df, text_col, id_col)
+    chunks = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("sh", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "sh", "c.chunk_idx", "c.chunk")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "chunk_idx", "chunk"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "chunk_idx", "chunk"
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

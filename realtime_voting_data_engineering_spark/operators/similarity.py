@@ -1,0 +1,283 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, as a production vector pipeline would have:
+
+- **Brute-force cosine top-k** — exact baseline. Expression-only dot
+  product (``zip_with`` + ``aggregate`` fold, double precision) so the
+  result is bit-replayable in SQL engines; O(|Q|·|C|) pairs, fine for
+  bounded query sets and the verification tier.
+- **Random-hyperplane LSH (SRP)** — the scale path: sign-projection
+  signature buckets candidates; exact cosine re-ranks within buckets.
+  Hyperplane components are derived deterministically from md5(plane,
+  dim), so signatures are reproducible across runs/executors with no
+  driver-side randomness or broadcast state.
+- **mapInPandas kernel** — Arrow-batched numpy matmul variant of the
+  brute-force scorer: the shape a GPU/BLAS-backed scorer takes at 100 TB
+  (per-partition batch × broadcast query matrix).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from realtime_voting_data_engineering_spark.operators.relational import top_k_per_group
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product as a sequential fold — deterministic
+    and identical to an ordered-list SQL replay."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_brute_force(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. The (small) query set
+    is broadcast against the corpus — the corpus is scanned once, never
+    shuffled; per-query top-k is a windowed row_number over |Q|·k rows.
+
+    Output: (query_id, neighbor_id, cos) — self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos").desc(), F.col("neighbor_id")],
+        k=k,
+    )
+
+
+def near_dup_embeddings(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
+    All-pairs form — the verification tier; at scale run
+    ``srp_candidate_pairs`` first and verify only candidates."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+    ).filter(F.col("cos") >= threshold)
+
+
+def _hyperplane(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    md5(plane:dim) first 8 hex chars as a uniform 32-bit fraction. No RNG
+    state, no broadcast variable — every executor derives the same
+    plane."""
+    h = F.conv(F.substring(F.md5(F.lit(f"{plane}:{dim}")), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(float(2**32)) - 0.5
+
+
+def srp_signature(vec: Column, dims: int, planes: int = 16) -> Column:
+    """Sign-random-projection signature: bit p = sign(v · h_p) packed into
+    a long. Expression-only; constant-folded hyperplane literals."""
+    bits = []
+    for p in range(planes):
+        proj = None
+        for d in range(dims):
+            term = F.element_at(vec, d + 1).cast("double") * _hyperplane(p, d)
+            proj = term if proj is None else proj + term
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def srp_candidate_pairs(
+    corpus: DataFrame,
+    dims: int,
+    planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN candidate generation: band the SRP signature (pigeonhole over
+    sign bits); vectors sharing a band bucket are candidates. Shuffle is
+    on (band_idx, chunk) — corpus-linear, never quadratic."""
+    bits_per_band = planes // bands
+    mask = (1 << bits_per_band) - 1
+    sigs = corpus.select(
+        F.col(id_col), srp_signature(F.col(vec_col), dims, planes).alias("sig")
+    )
+    chunks = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("sig", i * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "c.band_idx", "c.chunk")
+    a = chunks.select(F.col(id_col).alias("id_a"), "band_idx", "chunk")
+    b = chunks.select(F.col(id_col).alias("id_b"), "band_idx", "chunk")
+    return (
+        a.join(b, ["band_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def knn_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dims: int,
+    k: int = 5,
+    planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: SRP-bucket the union of queries and corpus,
+    score only bucket-mates exactly, take per-query top-k. Recall < 1 by
+    construction; tests measure it against ``knn_brute_force``."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        srp_signature(F.col(vec_col), dims, planes).alias("sig"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        srp_signature(F.col(vec_col), dims, planes).alias("sig"),
+    )
+    bits_per_band = planes // bands
+    mask = (1 << bits_per_band) - 1
+
+    def banded(df: DataFrame, sig: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.shiftright(sig, i * bits_per_band)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("chunk"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bc"),
+        ).select("*", "bc.band_idx", "bc.chunk").drop("bc")
+
+    qb = banded(q, "sig").drop("sig")
+    cb = banded(c, "sig").drop("sig")
+    cands = (
+        qb.join(cb, ["band_idx", "chunk"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos")
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos").desc(), F.col("neighbor_id")], k=k
+    )
+
+
+def knn_brute_force_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched numpy variant of the brute-force scorer: queries are
+    collected once into a (|Q|, d) matrix (small by contract) and matmul'd
+    against each Arrow batch of the corpus — per-partition vectorized
+    compute, corpus never shuffled. This is where a BLAS/GPU kernel slots
+    in at 100 TB."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()  # |Q| small by contract
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(c_mat) == 0:
+                continue
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            n_c, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n_c),
+                    "neighbor_id": np.tile(pdf[id_col].to_numpy(), n_q),
+                    "cos": sims.T.reshape(-1),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos double"
+    )
+    return top_k_per_group(
+        scored.filter(F.col("query_id") != F.col("neighbor_id")),
+        ["query_id"],
+        [F.col("cos").desc(), F.col("neighbor_id")],
+        k=k,
+    )

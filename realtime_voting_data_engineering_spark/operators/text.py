@@ -1,0 +1,136 @@
+"""Text-analysis operators over document tables — the large-scale
+training-data-pipeline surface (BASELINE.json north star): token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All hot-path logic is built-in JVM expressions (codegen'd, no Python);
+every formula is restricted to +,-,*,/ and string/regex builtins with
+identical semantics in ANSI SQL so a DuckDB oracle can replay it exactly
+(no libm transcendentals whose bits differ across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny multilingual marker-word lists for the language-ID heuristic.
+#: Real deployments plug in a proper n-gram model; the operator shape
+#: (tokenize → per-language evidence count → argmax) is what scales.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+    "es": ("el", "la", "los", "y", "es", "una", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和"),
+}
+
+#: English stopwords for the quality-score stopword ratio.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "of", "and", "or", "is", "are", "to", "in",
+    "on", "for", "with", "at", "by", "from", "as", "that", "this", "it",
+)
+
+_PUNCT_PATTERN = r"[.,;:!?]"
+_BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization: split trimmed text on runs of whitespace.
+    Matches ``regexp_split_to_array(trim(x), '\\s+')`` in ANSI SQL."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: alpha runs count 1, digits count 1 each,
+    other symbols 1 each — a cheap stand-in for BPE token budgeting with
+    a portable regex (``regexp_count`` / ``len(regexp_extract_all)``)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(col, F.lit(_BPE_ISH_PATTERN))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    n_punct = F.regexp_count(col, F.lit(_PUNCT_PATTERN))
+    return n_punct / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def avg_token_len(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    toks = tokens(col)
+    total = F.length(col) - (F.size(toks) - 1)  # chars minus separators
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1]: rewards stopword
+    presence and mid-length tokens, penalizes punctuation soup and very
+    short docs. Linear+clamp only (no exp/log) → bit-portable to SQL."""
+    col = F.col(text) if isinstance(text, str) else text
+    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    punct_term = F.greatest(F.lit(1.0) - punct_ratio(col) * 10.0, F.lit(0.0))
+    return F.round((length_term + stop_term + punct_term) / 3.0, 6)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts over lowercase tokens."""
+    toks = F.transform(tokens(text), F.lower)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax language with deterministic tiebreak (language-code order),
+    'und' when no marker hits at all."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # Build reverse-order CASE so earlier language codes win ties.
+    for lang in sorted(scores, reverse=True):
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best == 0, F.lit("und")).otherwise(result)
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for exact-dup fingerprinting: lowercase, collapse
+    whitespace runs, trim."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Content fingerprint = md5 of the normalized text. md5 is available
+    and bit-identical in Spark, DuckDB, and most engines — the portable
+    choice for cross-system dedup keys."""
+    return F.md5(normalized_text(text))
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full per-document text-analysis profile — one narrow projection,
+    entirely whole-stage-codegen; scales linearly with no shuffle."""
+    col = F.col(text_col)
+    return df.select(
+        id_col,
+        F.length(col).alias("n_chars"),
+        token_count(col).alias("n_tokens"),
+        bpe_ish_token_count(col).alias("n_bpe_tokens"),
+        F.round(avg_token_len(col), 6).alias("avg_token_len"),
+        F.round(punct_ratio(col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(col), 6).alias("stopword_ratio"),
+        quality_score(col).alias("quality_score"),
+        lang_id(col).alias("lang_pred"),
+        fingerprint(col).alias("fingerprint"),
+    )

@@ -1,0 +1,254 @@
+"""North-star query registrations: dedup, text analysis, similarity
+search over the documents/embeddings corpus (BASELINE.json).
+
+Oracle strategy: every operator whose algorithm is portable (md5-based
+hashing, double-precision folds, linear/clamped scoring) gets a full
+DuckDB replay; xxhash64-based operators (SimHash) and approximate
+operators (SRP-ANN) register without an oracle — the driver records a
+rows-only check, and pytest covers recall against the exact variants.
+
+Imported for its registration side effects by
+``realtime_voting_data_engineering_spark.queries``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_voting_data_engineering_spark.operators import dedup as D
+from realtime_voting_data_engineering_spark.operators import similarity as S
+from realtime_voting_data_engineering_spark.operators import text as X
+from realtime_voting_data_engineering_spark.queries import register
+from realtime_voting_data_engineering_spark.sources.tables import load_table
+
+# --- shared SQL fragments ---------------------------------------------------
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+_SHINGLES_CTE = r"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM toks,
+    UNNEST(list_transform(generate_series(1, len(w)-2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+"""
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    mh_cols = ", ".join(
+        f"min(md5('{i}|' || s)) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key FROM mh"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, j.jaccard
+    FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+    WHERE j.jaccard >= {threshold}
+    """
+
+
+# --- text analysis ----------------------------------------------------------
+
+_LANG_SCORE_SQL = {
+    lang: (
+        "len(list_filter(list_transform(w, t -> lower(t)), "
+        f"t -> t IN ({', '.join(repr(m) for m in markers)})))"
+    )
+    for lang, markers in X.LANG_MARKERS.items()
+}
+_BEST_SQL = "greatest(" + ", ".join(f"s_{lg}" for lg in X.LANG_MARKERS) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _BEST_SQL + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lg} = {_BEST_SQL} THEN '{lg}'" for lg in sorted(X.LANG_MARKERS)
+    )
+    + " ELSE 'und' END"
+)
+
+_TEXT_PROFILE_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         regexp_split_to_array(trim(text), '\s+') AS w,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+             AS n_bpe_tokens,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, n_chars, n_bpe_tokens, n_punct,
+         len(w) AS n_tokens,
+         len(list_filter(w, t -> lower(t) IN ({_STOPWORDS_SQL}))) AS n_stop,
+         {", ".join(f"{expr} AS s_{lg}" for lg, expr in _LANG_SCORE_SQL.items())}
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
+       round((n_chars - (n_tokens - 1)) * 1.0 / greatest(n_tokens, 1), 6)
+           AS avg_token_len,
+       round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(n_stop * 1.0 / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round((least(n_chars / 500.0, 1.0)
+            + least((n_stop * 1.0 / greatest(n_tokens, 1)) * 4.0, 1.0)
+            + greatest(1.0 - (n_punct * 1.0 / greatest(n_chars, 1)) * 10.0, 0.0))
+            / 3.0, 6) AS quality_score,
+       {_LANG_CASE} AS lang_pred,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM feat
+"""
+
+
+@register("text_profile", _TEXT_PROFILE_ORACLE, tags=("text", "northstar"))
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis: char/token/BPE-ish counts, punct and
+    stopword ratios, composite quality score, marker-based language ID,
+    content fingerprint. Pure codegen expressions, zero shuffle."""
+    return X.text_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint_clusters",
+    r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           count(*) AS n_docs,
+           min(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "northstar"),
+)
+def doc_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup clusters via md5(normalized text) — the 100 TB
+    default dedup: one shuffle keyed on a 16-byte fingerprint."""
+    return D.fingerprint_dup_clusters(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_near_dup_pairs",
+    f"""
+    WITH {_SHINGLES_CTE}
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+    tags=("dedup", "northstar"),
+)
+def ngram_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs word-trigram Jaccard ≥ 0.5 via shingle inverted index —
+    the exact near-dup measure (verification tier for LSH variants)."""
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "minhash_lsh_dedup",
+    _minhash_oracle(num_hashes=16, bands=4, threshold=0.5),
+    tags=("dedup", "northstar"),
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) near-dup pairs, exact-Jaccard-verified at
+    ≥ 0.5. The oracle replays the identical md5-based algorithm, so this
+    checks the full signature→banding→verification pipeline, not just
+    the final measure."""
+    return D.minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.5
+    )
+
+
+@register("simhash_near_dup", None, tags=("dedup", "northstar"))
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs, Hamming ≤ 8, banded by 16-bit
+    chunks. xxhash64-based (JVM-fast, not SQL-replayable) → rows-only
+    driver check; pytest verifies planted near-dups are found."""
+    return D.simhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=8
+    )
+
+
+# --- similarity search ------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_SQL.format(a="qv", b="cv")} AS cos_raw
+  FROM q, c WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) <= 5
+"""
+
+
+@register("knn_cosine_topk", _KNN_ORACLE, tags=("similarity", "northstar"))
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10. Double-
+    precision sequential fold == DuckDB's list_sum, so similarity values
+    hash-match bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.knn_brute_force(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.withColumn("cos", F.round("cos", 6))
+
+
+_NEAR_DUP_EMB_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) >= 0.4
+"""
+
+
+@register(
+    "embedding_near_dup_pairs", _NEAR_DUP_EMB_ORACLE, tags=("similarity", "northstar")
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4) — all-pairs exact
+    form; the SRP-LSH candidate generator is the scale path (tested via
+    recall in pytest)."""
+    return S.near_dup_embeddings(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register("knn_ann_srp", None, tags=("similarity", "northstar"))
+def knn_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via sign-random-projection LSH (16 planes, 4
+    bands) with exact re-rank inside buckets. Approximate by design →
+    rows-only driver check; pytest measures recall vs brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_ann(emb.filter(F.col("vec_id") < 10), emb, dims=64, k=5)

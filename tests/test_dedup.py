@@ -1,0 +1,61 @@
+"""Dedup operator behavior beyond the oracle harness: LSH recall against
+the exact measure, SimHash sanity, exact dedup semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_voting_data_engineering_spark.operators import dedup as D
+from realtime_voting_data_engineering_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_minhash_lsh_full_recall_on_corpus(spark, sf_dir):
+    """At jaccard ≥ 0.5 the corpus's planted near-dups (~0.99) must all
+    survive LSH banding — 4 bands of 4 rows has vanishing miss
+    probability at that similarity ((1-j^4)^4 ≈ 1e-5)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5).collect()
+    }
+    assert exact, "corpus should contain planted near-dup pairs"
+    assert lsh == exact, f"LSH missed {exact - lsh} / invented {lsh - exact}"
+
+
+def test_simhash_finds_planted_near_dups(spark, sf_dir):
+    """The ~0.99-jaccard planted pairs differ in a few tokens, so their
+    SimHashes should collide within the banding radius."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.9).collect()
+    }
+    sim = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=8).collect()
+    }
+    assert exact
+    found = exact & sim
+    recall = len(found) / len(exact)
+    assert recall >= 0.8, f"simhash recall {recall:.2f} on planted near-dups"
+
+
+def test_simhash_is_deterministic(spark, sf_dir):
+    t1 = {(r.doc_id, r.sh) for r in D.simhash_table(_docs(spark, sf_dir)).collect()}
+    t2 = {(r.doc_id, r.sh) for r in D.simhash_table(_docs(spark, sf_dir)).collect()}
+    assert t1 == t2
+
+
+def test_exact_dedup_keeps_one_row_per_key(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    deduped = D.exact_dedup(events, ["user_id", "event_type"])
+    assert (
+        deduped.groupBy("user_id", "event_type").count().filter(F.col("count") > 1).count()
+        == 0
+    )

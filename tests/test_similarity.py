@@ -1,0 +1,69 @@
+"""Similarity-search behavior: ANN recall vs brute force on planted
+clusters, pandas-kernel equivalence with the expression kernel."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from realtime_voting_data_engineering_spark.operators import similarity as S
+from realtime_voting_data_engineering_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """Deterministic corpus with planted neighbor structure: 20 cluster
+    centers, 10 members each, members = center + small per-dim offset."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dims, centers, members = 16, 20, 10
+    base = rng.normal(size=(centers, dims))
+    rows = []
+    vid = 0
+    for c in range(centers):
+        for _ in range(members):
+            vec = base[c] + rng.normal(scale=0.05, size=dims)
+            rows.append((vid, c, [float(x) for x in vec]))
+            vid += 1
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_ann_recall_on_clustered_vectors(spark, clustered_vectors):
+    queries = clustered_vectors.filter(F.col("vec_id") % 10 == 0).limit(10)
+    exact = S.knn_brute_force(queries, clustered_vectors, k=5)
+    ann = S.knn_ann(queries, clustered_vectors, dims=16, k=5)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ann_set = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    recall = len(exact_set & ann_set) / len(exact_set)
+    # Cluster members are near-identical → SRP signs agree → high recall.
+    assert recall >= 0.9, f"ANN recall {recall:.2f}"
+
+
+def test_pandas_kernel_matches_expression_kernel(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    expr_res = S.knn_brute_force(queries, emb, k=5).collect()
+    pd_res = S.knn_brute_force_pandas(queries, emb, k=5).collect()
+    expr_top = {(r.query_id, r.neighbor_id) for r in expr_res}
+    pd_top = {(r.query_id, r.neighbor_id) for r in pd_res}
+    assert expr_top == pd_top
+    expr_cos = {(r.query_id, r.neighbor_id): r.cos for r in expr_res}
+    for r in pd_res:
+        assert abs(expr_cos[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+
+
+def test_srp_candidates_are_symmetric_free(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    pairs = S.srp_candidate_pairs(emb, dims=64).collect()
+    seen = {(r.id_a, r.id_b) for r in pairs}
+    assert all(a < b for a, b in seen)
+    assert len(seen) == len(pairs)
