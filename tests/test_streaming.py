@@ -1,0 +1,161 @@
+"""Streaming semantics without Kafka (SURVEY.md §5.3): vote events from
+datagen are replayed through file sources; update-mode emission, dedup,
+watermarked windows, and compaction are checked against batch-computed
+expectations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_voting_data_engineering_spark import datagen as G
+from realtime_voting_data_engineering_spark import schemas as SCH
+from realtime_voting_data_engineering_spark.streaming import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def vote_events(spark):
+    voters = G.generate_voters(spark, 300)
+    candidates = G.generate_candidates(spark, 3)
+    return G.generate_vote_events(spark, voters, candidates).cache()
+
+
+@pytest.fixture(scope="module")
+def json_stream_dir(spark, vote_events, tmp_path_factory):
+    """Vote events on the wire: JSON documents in files (stands in for
+    the Kafka value bytes)."""
+    d = tmp_path_factory.mktemp("vote_stream")
+    G.vote_events_as_json(vote_events).write.mode("overwrite").json(str(d / "data"))
+    return d
+
+
+def test_datagen_shapes(vote_events):
+    assert vote_events.count() == 300
+    cols = set(vote_events.columns)
+    assert {"voter_id", "candidate_id", "voting_time", "vote", "address_state"} <= cols
+    assert "email" not in cols  # reference drops it on the wire
+    # deterministic: regenerating yields identical assignment
+    counts = vote_events.groupBy("candidate_id").count().collect()
+    assert len(counts) == 3
+    assert sum(r["count"] for r in counts) == 300
+
+
+def test_parse_and_update_mode_aggregate_matches_batch(
+    spark, vote_events, json_stream_dir, tmp_path
+):
+    raw = (
+        spark.readStream.schema("key STRING, value STRING")
+        .json(str(json_stream_dir / "data"))
+    )
+    parsed = P.parse_vote_stream(raw, SCH.vote_event_schema())
+    agg = P.votes_per_candidate_stream(parsed)
+    q = P.start_update_aggregate(
+        agg, "votes_per_cand_test", str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT candidate_id, max(total_votes) AS total_votes "
+        "FROM votes_per_cand_test GROUP BY candidate_id"
+    ).collect()
+    expected = {
+        r.candidate_id: r.total
+        for r in vote_events.groupBy("candidate_id")
+        .agg(F.sum("vote").alias("total"))
+        .collect()
+    }
+    got = {r.candidate_id: r.total_votes for r in out}
+    assert got == expected
+
+
+def test_parse_drops_undeclared_fields(spark, json_stream_dir):
+    raw = (
+        spark.read.schema("key STRING, value STRING")
+        .json(str(json_stream_dir / "data"))
+    )
+    parsed = P.parse_vote_stream(raw, SCH.reference_vote_event_schema())
+    assert "email" not in parsed.columns
+    # registered_date is the reference's dead column: declared, never sent
+    assert parsed.filter(F.col("registered_date").isNotNull()).count() == 0
+
+
+def test_streaming_dedup_within_watermark(spark, vote_events, tmp_path):
+    """Duplicated events (at-least-once delivery) collapse to one vote
+    per (voter, candidate)."""
+    dup_dir = tmp_path / "dup_stream"
+    doubled = vote_events.unionByName(vote_events)
+    G.vote_events_as_json(doubled).write.mode("overwrite").json(str(dup_dir))
+    raw = spark.readStream.schema("key STRING, value STRING").json(str(dup_dir))
+    parsed = P.parse_vote_stream(raw, SCH.vote_event_schema())
+    deduped = P.dedup_votes(parsed)
+    agg = P.votes_per_candidate_stream(deduped, watermark=None)
+    q = P.start_update_aggregate(agg, "dedup_test", str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    total = spark.sql(
+        "SELECT sum(total_votes) AS t FROM ("
+        "  SELECT candidate_id, max(total_votes) AS total_votes"
+        "  FROM dedup_test GROUP BY candidate_id)"
+    ).collect()[0].t
+    assert total == vote_events.count()
+
+
+def test_windowed_aggregate_matches_batch(spark, vote_events, json_stream_dir, tmp_path):
+    raw = spark.readStream.schema("key STRING, value STRING").json(
+        str(json_stream_dir / "data")
+    )
+    parsed = P.parse_vote_stream(raw, SCH.vote_event_schema())
+    win = P.windowed_votes_stream(parsed, "1 minute")
+    q = P.start_update_aggregate(win, "windowed_test", str(tmp_path / "ckpt3"))
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.candidate_id): r.total_votes
+        for r in spark.sql(
+            "SELECT window_start, candidate_id, max(total_votes) AS total_votes "
+            "FROM windowed_test GROUP BY window_start, candidate_id"
+        ).collect()
+    }
+    expected = {
+        (r.ws, r.candidate_id): r.total
+        for r in vote_events.groupBy(
+            F.window("voting_time", "1 minute").start.alias("ws"), "candidate_id"
+        )
+        .agg(F.sum("vote").alias("total"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_compaction_latest_per_key(spark):
+    log = spark.createDataFrame(
+        [
+            ("c1", 5, 1),
+            ("c1", 8, 2),
+            ("c1", 12, 3),
+            ("c2", 2, 1),
+            ("c2", 4, 3),
+        ],
+        "candidate_id string, total_votes int, batch_id int",
+    )
+    latest = {
+        r.candidate_id: r.total_votes
+        for r in P.compact_latest_per_key(log, ["candidate_id"], "batch_id").collect()
+    }
+    assert latest == {"c1": 12, "c2": 4}
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    target = str(tmp_path / "serving")
+    upsert = P.foreach_batch_upsert(target, ["candidate_id"], "batch_id")
+    b1 = spark.createDataFrame(
+        [("c1", 5, 1), ("c2", 2, 1)],
+        "candidate_id string, total_votes int, batch_id int",
+    )
+    b2 = spark.createDataFrame(
+        [("c1", 9, 2)], "candidate_id string, total_votes int, batch_id int"
+    )
+    upsert(b1, 1)
+    upsert(b2, 2)
+    upsert(b2, 2)  # replayed micro-batch must be a no-op
+    got = {
+        r.candidate_id: r.total_votes for r in spark.read.parquet(target).collect()
+    }
+    assert got == {"c1": 9, "c2": 2}
