@@ -251,6 +251,12 @@ def knn_brute_force_pandas(
     in at 100 TB."""
     import numpy as np
 
+    from realtime_voting_data_engineering_spark.session import (
+        ensure_workers_can_import,
+    )
+
+    ensure_workers_can_import(corpus.sparkSession)
+
     q_rows = queries.select(id_col, vec_col).collect()  # |Q| small by contract
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)

@@ -16,6 +16,9 @@ default. We configure deliberately:
 from __future__ import annotations
 
 import os
+import pathlib
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -65,3 +68,28 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Any operator that sends a closure to workers (mapInPandas /
+    pandas_udf kernels) references this package by module name; workers
+    launched by a driver that merely ``sys.path``-hacked the repo (e.g.
+    the grading harness running from another cwd) cannot import it and
+    fail with ModuleNotFoundError. Zipping the package once per session
+    and registering it makes the kernels importable everywhere — local
+    workers and real executors alike. Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_rtv_pkg_shipped", False):
+        return
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    root = pkg_dir.parent
+    fd, zpath = tempfile.mkstemp(prefix="rtv_pkg_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, str(p.relative_to(root)))
+    sc.addPyFile(zpath)
+    sc._rtv_pkg_shipped = True
