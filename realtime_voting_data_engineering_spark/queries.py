@@ -544,8 +544,9 @@ def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# North-star registrations (dedup / text / similarity) live in a sibling
-# module that imports ``register`` from here; import it for side effects.
+# Additional registrations live in sibling modules that import
+# ``register`` from here; import them for side effects.
+from realtime_voting_data_engineering_spark import queries_extended  # noqa: E402,F401
 from realtime_voting_data_engineering_spark import queries_northstar  # noqa: E402,F401
 
 

@@ -1,0 +1,452 @@
+"""Extended relational coverage: the operator classes a user of the
+reference would reach for next (SURVEY.md §2.4-2.6 note them as Catalyst
+built-ins) — set ops, distinct aggregates, rollup/cube/grouping sets,
+semi/anti joins, pivot, sessionization, as-of join, window functions,
+scalar-function suite. Every query has a DuckDB oracle.
+
+Imported for its registration side effects by
+``realtime_voting_data_engineering_spark.queries``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtime_voting_data_engineering_spark.functions.scalar import dec
+from realtime_voting_data_engineering_spark.queries import register
+from realtime_voting_data_engineering_spark.sources.tables import (
+    load_table,
+    register_views,
+)
+
+
+@register(
+    "distinct_counts",
+    """
+    SELECT count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types,
+           count(*) AS n_events
+    FROM events
+    """,
+    tags=("agg", "distinct"),
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates — Catalyst expands to a two-phase aggregate
+    (expand + partial dedup before the final count)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "order_status_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → priority → grand total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "event_type_cube",
+    """
+    SELECT event_type, user_id % 2 AS user_parity, count(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 2)
+    """,
+    tags=("agg", "cube"),
+)
+def event_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping-set combinations."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "user_parity", F.pmod("user_id", F.lit(2))
+    )
+    return events.cube("event_type", "user_parity").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping-sets", "sql-api"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (register views → spark.sql), the
+    same Catalyst plan as the DataFrame form."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "customers_with_orders_by_segment",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "semi"),
+)
+def customers_with_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having ≥1 order. The semi join
+    shuffles only keys, never duplicates the probe side."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with_orders = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    )
+    return with_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): never-ordered customers."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "high_balance_accounts_union",
+    """
+    SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind
+    FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind
+    FROM supplier WHERE s_acctbal > 9000
+    """,
+    tags=("setop", "union"),
+)
+def high_balance_accounts_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two filtered projections with a discriminator column."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    s = supplier.filter(F.col("s_acctbal") > 9000).select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "purchase_and_error_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    tags=("setop", "intersect"),
+)
+def purchase_and_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select("user_id")
+    e = events.filter(F.col("event_type") == "error").select("user_id")
+    return p.intersect(e)
+
+
+@register(
+    "purchase_only_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    tags=("setop", "except"),
+)
+def purchase_only_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select("user_id")
+    e = events.filter(F.col("event_type") == "error").select("user_id")
+    return p.subtract(e)
+
+
+@register(
+    "event_counts_pivot",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS "view",
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS error
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("pivot",),
+)
+def event_counts_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event types to columns (explicit value list → no extra pass
+    to discover values; missing combinations coalesced to 0 to match
+    COUNT(CASE) semantics)."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.pmod("user_id", F.lit(10))
+    )
+    types = ["click", "view", "purchase", "signup", "error"]
+    pivoted = (
+        events.groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+    )
+
+
+@register(
+    "user_sessions",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 THEN 1 ELSE 0 END
+                 AS new_session
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+    tags=("window", "sessionize"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30 min starts a new session; count
+    sessions per user. One shuffle on user_id shared by the window and
+    the aggregate (Catalyst reuses the partitioning)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "purchase_with_prior_view",
+    """
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prior_view_value
+      FROM events WHERE event_type IN ('view', 'purchase')
+    )
+    SELECT user_id, event_id, ts, value, prior_view_value
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+    tags=("window", "asof"),
+)
+def purchase_with_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a merged-stream window (Spark has no
+    native as-of): each purchase picks up the most recent earlier 'view'
+    value for the same user — last non-null over an ordered frame ending
+    1 row before current. One shuffle on user_id; no range-join blowup."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = events.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("value")), ignorenulls=True
+        )
+        .over(w)
+        .alias("prior_view_value"),
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value", "prior_view_value"
+    )
+
+
+@register(
+    "running_revenue_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total,
+           rank() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+    FROM orders
+    """,
+    tags=("window",),
+)
+def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running windowed SUM (exact decimal accumulation) + rank per
+    customer — the window-function pair the dashboard sort/argmax
+    generalizes to."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w_run).cast("double").alias("running_total"),
+        F.rank().over(w_rank).alias("price_rank"),
+    )
+
+
+@register(
+    "scalar_function_profile",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS segment_lower,
+           substring(c_name, 1, 8) AS name_prefix,
+           concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS tag,
+           length(c_name) AS name_len,
+           c_custkey % 3 + 1 AS party_bucket,
+           CASE WHEN c_custkey % 2 = 1 THEN 'odd' ELSE 'even' END AS parity,
+           abs(c_acctbal) AS abs_bal,
+           CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+           CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal
+    FROM customer
+    """,
+    tags=("scalar", "F1-F9"),
+)
+def scalar_function_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function suite (reference F1/F4/F8 shapes + the standard
+    string/math set): pure projection, whole-stage codegen, pushes the
+    4-column read schema into the scan."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+            "tag"
+        ),
+        F.length("c_name").alias("name_len"),
+        (F.pmod("c_custkey", F.lit(3)) + 1).alias("party_bucket"),
+        F.when(F.pmod("c_custkey", F.lit(2)) == 1, "odd")
+        .otherwise("even")
+        .alias("parity"),
+        F.abs("c_acctbal").alias("abs_bal"),
+        F.floor("c_acctbal").cast("bigint").alias("floor_bal"),
+        F.ceil("c_acctbal").cast("bigint").alias("ceil_bal"),
+    )
+
+
+@register(
+    "order_date_parts",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           day(o_orderdate) AS order_day,
+           dayofweek(o_orderdate) + 1 AS order_dow,  -- duckdb 0=Sun, spark 1=Sun
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+               AS order_month_start,  -- duckdb month-trunc yields DATE
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+               AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+    tags=("scalar", "dates", "F2", "F3"),
+)
+def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function suite (reference F2/F3 shapes): extraction,
+    formatting, truncation, day arithmetic."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.pmod("o_orderkey", F.lit(100)) == 0
+    )
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        )
+        .cast("int")
+        .alias("days_since_epoch_start"),
+    )
