@@ -548,6 +548,7 @@ def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``register`` from here; import them for side effects.
 from realtime_voting_data_engineering_spark import queries_extended  # noqa: E402,F401
 from realtime_voting_data_engineering_spark import queries_northstar  # noqa: E402,F401
+from realtime_voting_data_engineering_spark import queries_tpch  # noqa: E402,F401
 
 
 def spark_query(name: str) -> QueryFn:

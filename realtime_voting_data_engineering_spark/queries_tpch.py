@@ -1,0 +1,421 @@
+"""TPC-H-shaped relational breadth beyond q1/q3/q5: the remaining classic
+query shapes expressible over the driver corpus — EXISTS/IN subqueries,
+conditional aggregation, disjunctive pushdown, HAVING-on-aggregate,
+correlated per-group thresholds, argmax-by-aggregate, and multi-year join
+volume. The corpus lacks ``partsupp``, ``l_commitdate``/``l_receiptdate``
+and ``l_shipmode``, so each query adapts its classic predicate to the
+columns that exist while keeping the *plan shape* (and therefore the
+scale behavior) of the original.
+
+Determinism follows the queries.py contract: double sums go through exact
+DECIMAL accumulation and a final cast back to DOUBLE; divisions happen
+once, on the already-deterministic operands; top-k always carries a
+unique tiebreaker.
+
+Imported for its registration side effects by
+``realtime_voting_data_engineering_spark.queries``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtime_voting_data_engineering_spark.functions.scalar import dec
+from realtime_voting_data_engineering_spark.queries import (
+    _REVENUE_SQL,
+    _revenue_expr,
+    _sum_dec_double,
+    register,
+)
+from realtime_voting_data_engineering_spark.sources.tables import load_table
+
+
+def _ts(lit: str):
+    return F.lit(f"{lit} 00:00:00").cast("timestamp")
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+               AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "tpch", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, the canonical predicate
+    pushdown showcase. All three predicates and the 4-column projection
+    reach the parquet reader (PushedFilters in .explain); at 100 TB this
+    is an embarrassingly parallel scan with a 1-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.sum(dec(F.col("l_extendedprice") * F.col("l_discount"), 18, 6))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q4_late_ship_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "semi", "tpch"),
+)
+def q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join (the corpus
+    has no commit/receipt dates, so "late" = shipped >60 days after the
+    order date). The semi join shuffles only the order keys that survive
+    the quarter filter; lineitem's date predicate is evaluated join-side
+    because it references both tables."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01"))
+        & (F.col("o_orderdate") < _ts("1996-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q7_nation_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           {_REVENUE_SQL} AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey  = l_orderkey
+    JOIN customer ON c_custkey   = o_custkey
+    JOIN supplier ON s_suppkey   = l_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "tpch"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. The two nation dims broadcast; the cross-nation disjunction is
+    applied after both joins (it references both sides). Fact-fact joins
+    on orderkey/custkey are the only shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(_revenue_expr())
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, {_REVENUE_SQL} AS revenue, n_name, c_mktsegment
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "topk", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue-per-customer over returned items,
+    top 20. The returnflag and quarter filters push to the scans; nation
+    broadcasts; the final top-20 is TakeOrderedAndProject."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-10-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    grouped = joined.groupBy("c_custkey", "c_name", "n_name", "c_mktsegment").agg(
+        _revenue_expr()
+    )
+    return (
+        grouped.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name", "c_mktsegment")
+    )
+
+
+@register(
+    "q12_priority_lines",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation (CASE inside SUM) after a
+    fact-fact join — the corpus has no l_shipmode, so lines group by
+    returnflag instead. Both counts compute in one aggregate pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — a conditional-sum ratio in
+    one aggregate over a month of lineitem joined to part. Both decimal
+    sums are exact, so the final double division is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-03-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 6)
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            100.0 * F.sum(promo).cast("double") / F.sum(disc).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {_REVENUE_SQL} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax over an aggregate (top supplier by quarter
+    revenue). The scalar max is a window over the already tiny aggregated
+    frame — no second scan of lineitem, unlike the naive subquery plan.
+    Equality on the double is engine-stable because both sides derive
+    from the same exact decimal sum."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 6))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    top = revenue.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return supplier.join(
+        F.broadcast(top), supplier.s_suppkey == top.supplier_no
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*))
+        FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    tags=("join", "subquery", "tpch"),
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity-order revenue with a correlated
+    per-part average. Decorrelated Spark-side: compute each part's avg
+    quantity in one grouped pass over lineitem and broadcast it back —
+    two scans of lineitem but no per-row subquery, which is the only
+    shape that survives at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (
+            0.2 * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_threshold")
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).join(
+        per_part, li.l_partkey == per_part.avg_partkey
+    )
+    small = joined.filter(F.col("l_quantity") < F.col("qty_threshold"))
+    return small.agg(
+        (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("join", "semi", "agg", "tpch"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — IN over a HAVING-filtered
+    aggregate, decorrelated to a semi join on the pre-aggregated order
+    keys. The heavy lineitem aggregation happens once; the qualifying key
+    set is small and broadcasts into the orders join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(big_orders),
+        F.col("o_orderkey") == F.col("big_orderkey"),
+        "left_semi",
+    )
+    joined = customer.join(orders, customer.c_custkey == orders.o_custkey).join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    grouped = joined.groupBy(
+        "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(_sum_dec_double("l_quantity", "sum_qty"))
+    return grouped.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(20)
+
+
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT {_REVENUE_SQL} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "pushdown", "tpch"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    derives the single-table residuals (brand ∈ {...}, size ≤ 25,
+    quantity ranges) and pushes them below the join, so only candidate
+    rows shuffle; the full disjunction evaluates post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & size.between(1, 15) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & size.between(1, 20) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & size.between(1, 25) & qty.between(20, 30))
+    )
+    return joined.filter(cond).agg(_revenue_expr())
