@@ -79,6 +79,31 @@ def generate_media(spark: SparkSession, n: int = 64, kind: str = "image") -> Dat
     )
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Bridge the driver corpus into the media schema: each document's
+    text bytes become the opaque ``content`` blob (deterministic,
+    corpus-derived), kind cycles image/audio/video, and metadata derives
+    from ``n_chars`` — so every multimodal operator is exercisable from
+    the standard tables with no synthetic side-channel."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    n_chars = F.col("n_chars").cast("int")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            (F.pmod(n_chars, F.lit(1920)) + 16).alias("width"),
+            (F.pmod(n_chars * 7, F.lit(1080)) + 16).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.pmod(n_chars, F.lit(300)) + 1).alias("n_frames"),
+            F.concat(kind, F.lit("/synthetic")).alias("mime"),
+        ).alias("meta"),
+    )
+
+
 def _fake_decode(content: bytes, n_values: int = 64) -> np.ndarray:
     """Deterministic stand-in for a codec: expand bytes into ``n_values``
     uint8 samples via an md5 chain. Replace with PIL/libav in production."""

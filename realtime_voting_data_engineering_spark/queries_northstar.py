@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_voting_data_engineering_spark.operators import dedup as D
+from realtime_voting_data_engineering_spark.operators import multimodal as M
 from realtime_voting_data_engineering_spark.operators import similarity as S
 from realtime_voting_data_engineering_spark.operators import text as X
 from realtime_voting_data_engineering_spark.queries import register
@@ -252,3 +253,57 @@ def knn_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only driver check; pytest measures recall vs brute force."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_ann(emb.filter(F.col("vec_id") < 10), emb, dims=64, k=5)
+
+
+@register("knn_ann_ivf", None, tags=("similarity", "northstar"))
+def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF index: sample-trained k-means coarse
+    quantizer, corpus assigned to inverted lists (Arrow-batched argmin),
+    queries probe their 4 nearest of 16 lists, exact cosine re-rank
+    within probed lists. Approximate by design → rows-only driver check;
+    pytest measures recall vs brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_ivf(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, nprobe=4
+    )
+
+
+@register("media_feature_stats", None, tags=("multimodal", "northstar"))
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode → feature-extract over corpus-derived media
+    (documents' bytes as opaque blobs): Arrow-batched mapInPandas kernel
+    with the deterministic stand-in decoder, then per-kind feature stats.
+    mapInPandas is not SQL-expressible → rows-only driver check; pytest
+    covers kernel determinism and schema."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.decode_features(M.media_from_documents(docs), fake=True)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.round(F.avg("mean_value"), 6).alias("avg_mean_value"),
+        F.round(F.avg("std_value"), 6).alias("avg_std_value"),
+    )
+
+
+@register(
+    "media_frame_sample_plan",
+    """
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+               (n_chars % 300) + 1 AS n_frames
+        FROM documents)
+    SELECT media_id, UNNEST(range(0, n_frames, 30)) AS frame_idx
+    FROM media WHERE kind = 'video'
+    """,
+    tags=("multimodal", "northstar"),
+)
+def media_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for video rows — every 30th frame index from
+    metadata alone (pure expressions, no blob bytes touched): the
+    metadata-first discipline that lets a 100 TB media sweep plan its
+    decode work before reading a byte. Fully SQL-expressible → oracled."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.media_from_documents(docs)
+    return M.sample_frames(media, every_nth=30).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )

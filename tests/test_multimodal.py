@@ -56,3 +56,18 @@ def test_resize_preserves_aspect_ratio(media):
             assert r.target_width >= r.target_height
         else:
             assert r.target_height >= r.target_width
+
+
+def test_media_from_documents_bridge(spark, sf_dir):
+    from realtime_voting_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.media_from_documents(docs)
+    assert media.count() == docs.count()
+    row = media.first()
+    assert isinstance(row.content, (bytes, bytearray))
+    assert row.kind in {"image", "audio", "video"}
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    feats = M.decode_features(media.limit(20), fake=True)
+    assert feats.count() == 20

@@ -48,6 +48,31 @@ def test_ann_recall_on_clustered_vectors(spark, clustered_vectors):
     assert recall >= 0.9, f"ANN recall {recall:.2f}"
 
 
+def test_ivf_recall_on_clustered_vectors(spark, clustered_vectors):
+    """IVF with nprobe covering a quarter of the lists still finds the
+    planted neighbors, because cluster members land in the same inverted
+    list as their center."""
+    queries = clustered_vectors.filter(F.col("vec_id") % 10 == 0).limit(10)
+    exact = S.knn_brute_force(queries, clustered_vectors, k=5)
+    ivf = S.knn_ivf(queries, clustered_vectors, k=5, n_centroids=16, nprobe=4)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    assert recall >= 0.9, f"IVF recall {recall:.2f}"
+
+
+def test_ivf_assign_is_deterministic_and_total(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = S.ivf_train_centroids(emb, n_centroids=8)
+    a1 = S.ivf_assign(emb, cent)
+    a2 = S.ivf_assign(emb, cent)
+    assert a1.count() == emb.count()
+    assert a1.select("cluster").distinct().count() <= 8
+    m1 = {r.vec_id: r.cluster for r in a1.collect()}
+    m2 = {r.vec_id: r.cluster for r in a2.collect()}
+    assert m1 == m2
+
+
 def test_pandas_kernel_matches_expression_kernel(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
