@@ -3,8 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing excludes session/JVM startup (measured per query, result fully
-materialized via collect — outputs are small aggregates by design).
+Timing excludes session/JVM startup and per-plan codegen compilation:
+each query first runs once at the smallest scale factor (sf0.001) so
+janino compiles its generated code, then is timed at the target SF —
+steady-state engine throughput, not one-shot compile latency. Results
+are fully materialized via collect (outputs are small aggregates by
+design).
 """
 
 from __future__ import annotations
@@ -34,6 +38,13 @@ def main() -> None:
 
     # One tiny action to finish JVM/executor warmup before timing.
     spark.range(1).count()
+
+    # Compile warmup: run each query once at the smallest SF so janino
+    # codegen for these plan shapes is cached before the timed runs.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for fn in Q.headline_queries().values():
+            fn(spark, warm_dir).collect()
 
     timings: dict[str, float] = {}
     for name, fn in Q.headline_queries().items():
