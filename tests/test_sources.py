@@ -1,0 +1,83 @@
+"""Source-layer behavior: catalog DDL + seed-once guard, JDBC gating,
+rate-source vote stream."""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from realtime_voting_data_engineering_spark.sources import catalog as C
+from realtime_voting_data_engineering_spark.sources import jdbc as J
+from realtime_voting_data_engineering_spark.sources import rate as RT
+
+
+@pytest.fixture()
+def table_name(spark):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+
+def test_catalog_create_and_seed_once(spark, table_name):
+    schema = T.StructType(
+        [
+            T.StructField("candidate_id", T.StringType()),
+            T.StructField("candidate_name", T.StringType()),
+        ]
+    )
+    C.create_table_if_not_exists(spark, table_name, schema)
+    assert C.table_exists(spark, table_name)
+    assert C.is_empty(spark, table_name)
+    # DDL is idempotent
+    C.create_table_if_not_exists(spark, table_name, schema)
+
+    def gen(s):
+        return s.createDataFrame([("c1", "Ada"), ("c2", "Grace")], schema)
+
+    assert C.seed_once(spark, table_name, gen) is True
+    assert spark.table(table_name).count() == 2
+    # second seed is a no-op — the reference's len(candidates)==0 guard
+    assert C.seed_once(spark, table_name, gen) is False
+    assert spark.table(table_name).count() == 2
+
+
+def test_jdbc_gating_raises_clear_error(spark):
+    with pytest.raises(J.JdbcUnavailableError):
+        J.read_table(spark, "jdbc:postgresql://nohost:5432/db", "candidates").collect()
+    with pytest.raises(J.JdbcUnavailableError):
+        J.write_table(
+            spark.range(3), "jdbc:postgresql://nohost:5432/db", "votes"
+        )
+
+
+def test_rate_source_vote_stream(spark, tmp_path):
+    votes = RT.vote_rate_stream(spark, rows_per_second=50, n_candidates=3)
+    assert votes.isStreaming
+    assert set(votes.columns) == {"voter_id", "candidate_id", "voting_time", "vote"}
+    q = (
+        votes.writeStream.format("memory")
+        .queryName("rate_votes")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM rate_votes").count() >= 20:
+                break
+            time.sleep(0.5)
+        out = spark.sql("SELECT * FROM rate_votes")
+        assert out.count() >= 20
+        cands = {r.candidate_id for r in out.select("candidate_id").distinct().collect()}
+        assert cands <= {"cand-0", "cand-1", "cand-2"}
+        # deterministic-per-voter: same voter never maps to two candidates
+        assert (
+            out.select("voter_id", "candidate_id").distinct().count()
+            == out.select("voter_id").distinct().count()
+        )
+    finally:
+        q.stop()
