@@ -157,6 +157,35 @@ def enrich_broadcast(
     return fact.join(F.broadcast(dim), on, how)
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    row_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join for keys too hot even for AQE's skew-join
+    splitting: the skewed side scatters each row into one of ``n_salts``
+    sub-keys (deterministically, from its unique ``row_key`` — stable
+    under retries, unlike ``rand()``); the other side replicates
+    ``n_salts``× via an executor-side explode. The join key becomes
+    (key, salt), so one hot key spreads across ``n_salts`` reducers.
+
+    Cost: |other| × n_salts replication — use when `other` is mid-sized
+    (too big to broadcast, small enough to replicate) and the skew is
+    measured, not guessed. First resort remains AQE skew-join; this is
+    the explicit fallback at 100 TB hot-key extremes.
+    """
+    salted = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(row_key)), F.lit(n_salts)).cast("int")
+    )
+    replicated = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted.join(replicated, [key, "__salt"], how).drop("__salt")
+
+
 def deterministic_assignment(
     df: DataFrame,
     key: str,

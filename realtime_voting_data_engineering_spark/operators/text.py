@@ -42,6 +42,10 @@ def tokens(text: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
+    """Count of whitespace tokens. Boundary semantics follow SQL split:
+    empty/whitespace-only text counts as 1 (the empty token), matching
+    ``len(regexp_split_to_array(trim(x), '\\s+'))`` in the DuckDB oracle
+    — unlike Python's ``str.split()`` which yields 0."""
     return F.size(tokens(text))
 
 

@@ -103,6 +103,32 @@ def windowed_votes_stream(
     )
 
 
+def session_votes_stream(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    key: str = "voter_id",
+    watermark: str | None = "1 minute",
+) -> DataFrame:
+    """Session-window activity per key: events closer than ``gap`` merge
+    into one session (``F.session_window`` — dynamic-length windows, the
+    piece of the window family tumbling windows don't cover). With the
+    watermark, sessions closed past the horizon are evicted from state —
+    bounded like the tumbling variant, unlike the reference's unwindowed
+    running aggregate."""
+    src = events.withWatermark("voting_time", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("voting_time", gap).alias("s"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("vote").alias("total_votes"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            key,
+            "n_events",
+            "total_votes",
+        )
+    )
+
+
 def compact_latest_per_key(
     update_log: DataFrame,
     keys: list[str],

@@ -30,3 +30,32 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"event_type", "total_votes", "total_value"}
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from realtime_voting_data_engineering_spark.operators.relational import salted_join
+    from realtime_voting_data_engineering_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    plain = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .count()
+        .collect()
+    )
+    salted = (
+        salted_join(
+            li.withColumnRenamed("l_partkey", "p_partkey"),
+            part,
+            key="p_partkey",
+            row_key="l_orderkey",
+            n_salts=8,
+        )
+        .groupBy("p_brand")
+        .count()
+        .collect()
+    )
+    assert {(r.p_brand, r["count"]) for r in plain} == {
+        (r.p_brand, r["count"]) for r in salted
+    }

@@ -1,0 +1,82 @@
+"""Property-based checks (hypothesis): engine operators vs plain-Python
+models on randomized inputs — paginate as list slicing, shingles and
+token counts as string ops, dedup as set semantics, assignment as a pure
+hash function. Few examples per property (each round-trips through
+Spark), but each example is adversarially shrunk on failure."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from realtime_voting_data_engineering_spark.operators import dedup as D
+from realtime_voting_data_engineering_spark.operators import text as X
+from realtime_voting_data_engineering_spark.operators.relational import (
+    deterministic_assignment,
+    paginate,
+)
+
+SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")), min_size=1, max_size=8
+)
+texts = st.lists(words, min_size=0, max_size=30).map(" ".join)
+
+
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=0, max_size=50, unique=True),
+       page=st.integers(1, 4), size=st.integers(1, 7))
+@SET
+def test_paginate_is_sorted_slice(spark, vals, page, size):
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = [r.v for r in paginate(df, [F.col("v").asc()], page, size).collect()]
+    expected = sorted(vals)[(page - 1) * size : page * size]
+    assert got == expected
+
+
+@given(keys=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=30, unique=True),
+       n=st.integers(2, 7))
+@SET
+def test_assignment_in_range_and_deterministic(spark, keys, n):
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    a1 = {r.k: r.b for r in deterministic_assignment(df, "k", n, "b").collect()}
+    a2 = {r.k: r.b for r in deterministic_assignment(df, "k", n, "b").collect()}
+    assert a1 == a2
+    assert all(0 <= b < n for b in a1.values())
+
+
+@given(text=texts)
+@SET
+def test_token_count_matches_python_split(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(X.token_count("text").alias("n")).collect()[0].n
+    # SQL split semantics: blank text is one (empty) token — see token_count.
+    expected = len(text.split()) if text.strip() else 1
+    assert got == expected
+
+
+@given(text=texts)
+@SET
+def test_shingles_match_python_model(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(D.word_shingles("text", n=3).alias("s")).collect()[0].s
+    toks = text.split()
+    expected = sorted({" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))})
+    assert sorted(set(got or [])) == expected
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 5), st.sampled_from(["a", "b", "c"])),
+    min_size=0, max_size=40))
+@SET
+def test_exact_dedup_is_set_semantics(spark, rows):
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "user_id int, event_type string")
+    got = {(r.user_id, r.event_type) for r in D.exact_dedup(df, ["user_id", "event_type"]).collect()}
+    assert got == set(rows)

@@ -159,3 +159,32 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
         r.candidate_id: r.total_votes for r in spark.read.parquet(target).collect()
     }
     assert got == {"c1": 9, "c2": 2}
+
+
+def test_session_window_stream_matches_batch(spark, vote_events, json_stream_dir, tmp_path):
+    raw = spark.readStream.schema("key STRING, value STRING").json(
+        str(json_stream_dir / "data")
+    )
+    parsed = P.parse_vote_stream(raw, SCH.vote_event_schema())
+    sess = P.session_votes_stream(parsed, gap="2 minutes", key="candidate_id")
+    # session windows merge as events arrive → update mode is unsupported;
+    # complete mode emits the final merged sessions.
+    q = P.start_update_aggregate(
+        sess, "session_test", str(tmp_path / "ckpt_sess"), output_mode="complete"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.session_start, r.candidate_id): (r.n_events, r.total_votes)
+        for r in spark.sql("SELECT * FROM session_test").collect()
+    }
+    expected = {
+        (r.ss, r.candidate_id): (r.n, r.t)
+        for r in vote_events.groupBy(
+            F.session_window("voting_time", "2 minutes").alias("s"),
+            "candidate_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vote").alias("t"))
+        .select(F.col("s.start").alias("ss"), "candidate_id", "n", "t")
+        .collect()
+    }
+    assert got == expected
