@@ -450,3 +450,48 @@ def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("days_since_epoch_start"),
     )
+
+
+@register(
+    "value_quartiles_by_type",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS q1,
+           quantile_cont(value, 0.5)  AS median,
+           quantile_cont(value, 0.75) AS q3,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark's ``percentile``
+    matches DuckDB's ``quantile_cont`` bit-for-bit (same linear
+    interpolation over the sorted run). Exact percentiles sort within
+    groups; at 100 TB prefer ``approx_percentile`` (KLL-sketch mergeable
+    in the partial-aggregate pass) — see ``approx_distinct_users``."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.5).alias("median"),
+        F.percentile("value", 0.75).alias("q3"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register("approx_distinct_users", None, tags=("agg", "sketch"))
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type — the sketch
+    form of COUNT(DISTINCT): mergeable partial aggregates, one shuffle
+    row per (partition, key), no exact-distinct's per-key row explosion.
+    Estimates are engine-specific → rows-only driver check; pytest bounds
+    the error against the exact count (``distinct_counts`` is the exact
+    twin in this registry)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -129,6 +129,37 @@ def session_votes_stream(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 minute",
+    max_lag: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with an event-time range bound
+    (right event within ``max_lag`` *before* the left event). The range
+    condition is what lets Spark expire join state: each side buffers
+    only rows inside watermark + lag horizon, so state is bounded at any
+    scale — an unbounded-time stream-stream join would buffer forever.
+    The reference sidesteps this class entirely by denormalizing votes
+    at produce time (P6, voting.py:69-74); this is the normalized form.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_lag}")
+        )
+    )
+    return l.join(r, cond, how)
+
+
 def compact_latest_per_key(
     update_log: DataFrame,
     keys: list[str],

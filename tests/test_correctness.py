@@ -4,6 +4,7 @@ driver's t2 gate (BASELINE.md)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from realtime_voting_data_engineering_spark import queries as Q
 from tests.oracle_harness import compare_query
@@ -59,3 +60,22 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert {(r.p_brand, r["count"]) for r in plain} == {
         (r.p_brand, r["count"]) for r in salted
     }
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    from realtime_voting_data_engineering_spark import queries as Q
+    from realtime_voting_data_engineering_spark.sources.tables import load_table
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in Q.REGISTRY["approx_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n < 0.05, (et, approx[et], n)

@@ -188,3 +188,44 @@ def test_session_window_stream_matches_batch(spark, vote_events, json_stream_dir
         .collect()
     }
     assert got == expected
+
+
+def test_stream_stream_join_matches_batch(spark, vote_events, tmp_path):
+    """Votes joined to a (synthetic) registration-event stream on
+    voter_id with an event-time range bound, vs the same join in batch."""
+    votes = vote_events.select("voter_id", "candidate_id", "voting_time")
+    regs = vote_events.select(
+        "voter_id",
+        (F.col("voting_time") - F.expr("INTERVAL 30 SECONDS")).alias("reg_time"),
+    )
+    votes.write.mode("overwrite").json(str(tmp_path / "votes"))
+    regs.write.mode("overwrite").json(str(tmp_path / "regs"))
+
+    votes_s = (
+        spark.readStream.schema("voter_id string, candidate_id string, voting_time timestamp")
+        .json(str(tmp_path / "votes"))
+    )
+    regs_s = (
+        spark.readStream.schema("voter_id string, reg_time timestamp")
+        .json(str(tmp_path / "regs"))
+    )
+    joined = P.stream_stream_join(
+        votes_s, regs_s, key="voter_id", left_ts="voting_time",
+        right_ts="reg_time", max_lag="10 minutes",
+    ).select("l.voter_id", "candidate_id", "voting_time", "reg_time")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssj_test")
+    expected = votes.join(regs, "voter_id").filter(
+        (F.col("reg_time") <= F.col("voting_time"))
+        & (F.col("reg_time") >= F.col("voting_time") - F.expr("INTERVAL 10 MINUTES"))
+    )
+    assert got.count() == expected.count()
+    assert got.count() == vote_events.count()  # each vote pairs its own reg
