@@ -307,3 +307,80 @@ def media_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(media, every_nth=30).select(
         "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
     )
+
+
+@register(
+    "language_histogram",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents),
+    feat AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{expr} AS s_{lg}" for lg, expr in _LANG_SCORE_SQL.items())}
+      FROM base)
+    SELECT lang, {_LANG_CASE} AS lang_pred, count(*) AS n_docs
+    FROM feat GROUP BY lang, lang_pred
+    """,
+    tags=("text", "northstar"),
+)
+def language_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion histogram: labeled ``lang`` × predicted
+    ``lang_id`` with document counts — the corpus-level quality view of
+    the n-gram-marker classifier. One aggregate over per-row codegen
+    expressions; group cardinality is |langs|²."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", X.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "quality_score_buckets",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             regexp_split_to_array(trim(text), '\s+') AS w,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+      FROM documents),
+    feat AS (
+      SELECT doc_id, n_chars,
+             len(w) AS n_tokens,
+             len(list_filter(w, t -> lower(t) IN ({_STOPWORDS_SQL}))) AS n_stop,
+             n_punct
+      FROM base),
+    scored AS (
+      SELECT doc_id, n_chars,
+             round((least(n_chars / 500.0, 1.0)
+                  + least((n_stop * 1.0 / greatest(n_tokens, 1)) * 4.0, 1.0)
+                  + greatest(1.0 - (n_punct * 1.0 / greatest(n_chars, 1)) * 10.0, 0.0))
+                  / 3.0, 6) AS q
+      FROM feat)
+    SELECT least(CAST(floor(q * 10) AS BIGINT), 9) AS bucket,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM scored GROUP BY bucket
+    """,
+    tags=("text", "northstar"),
+)
+def quality_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score decile histogram — the filter-threshold view a
+    training-data pipeline uses to pick its keep/drop cutoff. The score
+    is linear+clamp arithmetic (bit-portable), so bucket edges agree
+    across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("n_chars"), X.quality_score("text").alias("q")
+    )
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("q") * 10), F.lit(9)).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
