@@ -495,3 +495,113 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "event_window_suite",
+    """
+    SELECT user_id, event_id, ts, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           rank()       OVER w2 AS value_rank,
+           dense_rank() OVER w2 AS value_dense_rank,
+           ntile(4)     OVER w2 AS value_quartile
+    FROM events
+    WHERE user_id % 200 = 0
+    WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w2 AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    tags=("window",),
+)
+def event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth on one frame: lag/lead over event time,
+    rank/dense_rank/ntile over value — all share the single shuffle on
+    user_id; the two sort orders run as in-partition sorts."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.pmod("user_id", F.lit(200)) == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.rank().over(w2).alias("value_rank"),
+        F.dense_rank().over(w2).alias("value_dense_rank"),
+        F.ntile(4).over(w2).alias("value_quartile"),
+    )
+
+
+@register(
+    "embedding_array_profile",
+    """
+    SELECT vec_id,
+           len(embedding) AS dims,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_component,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_component,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))) / len(embedding), 6) AS mean_component
+    FROM embeddings
+    WHERE vec_id % 10 = 0
+    """,
+    tags=("array", "scalar"),
+)
+def embedding_array_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function suite over the embedding column: size, min/max
+    components, L2 norm and mean via ``F.aggregate``/``F.transform``
+    folds — per-row codegen expressions, no UDF, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.pmod("vec_id", F.lit(10)) == 0
+    )
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        as_double, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    comp_sum = F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dims"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_component"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_component"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(comp_sum / F.size("embedding"), 6).alias("mean_component"),
+    )
+
+
+@register(
+    "top_words",
+    r"""
+    WITH words AS (
+      SELECT lower(w) AS word
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+      WHERE w <> '')
+    SELECT word, count(*) AS n
+    FROM words
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+    tags=("text", "explode", "topk"),
+)
+def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed word count: explode(split) → partial-aggregated count
+    → top-20. The explode multiplies rows executor-side only; the shuffle
+    carries one row per distinct word per partition (map-side combine),
+    and the final top-20 is TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words.select(F.lower("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
