@@ -49,8 +49,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in Q.headline_queries().items():
         start = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - start, 4)
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # one broken query must not kill the bench
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
 
     out = {
         "metric": "headline_queries_total_runtime",

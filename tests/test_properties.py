@@ -20,6 +20,7 @@ from realtime_voting_data_engineering_spark.operators.relational import (
 SET = settings(
     max_examples=10,
     deadline=None,
+    derandomize=True,  # reproducible examples — no CI flakes
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
