@@ -622,3 +622,158 @@ def q22_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         _sum_dec_double("c_acctbal", "totacctbal"),
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS unit_price
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+        SELECT l_partkey, l_suppkey, unit_price,
+               min(unit_price) OVER (PARTITION BY l_partkey) AS min_price
+        FROM unit)
+    SELECT p_partkey, p_brand, s_name,
+           round(unit_price, 6) AS best_unit_price
+    FROM ranked
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE unit_price = min_price AND p_size <= 5
+    """,
+    tags=("join", "window", "subquery", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part — the classic correlated
+    MIN subquery, decorrelated to a partition-window minimum over the
+    observed unit prices (lineitem stands in for partsupp). One grouped
+    pass builds unit prices; the window min shares its shuffle; dims
+    broadcast in at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(dec("l_extendedprice")).cast("double")
+            / F.sum(dec("l_quantity")).cast("double")
+        ).alias("unit_price")
+    )
+    w = Window.partitionBy("l_partkey")
+    ranked = unit.withColumn("min_price", F.min("unit_price").over(w)).filter(
+        F.col("unit_price") == F.col("min_price")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        ranked.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.round("unit_price", 6).alias("best_unit_price"),
+        )
+    )
+
+
+@register(
+    "q20_promo_heavy_suppliers",
+    """
+    WITH shipped AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+               CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_quantity AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   AS promo_qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, promo_qty, total_qty
+    FROM supplier JOIN shipped ON s_suppkey = l_suppkey
+    WHERE promo_qty > 0.2 * total_qty
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose shipped volume of a part class
+    exceeds a fraction of their total — the nested IN-subquery chain
+    decorrelated into one conditional aggregate per supplier plus a
+    broadcast join back to the supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", dec("l_quantity")).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    shipped = joined.groupBy("l_suppkey").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
+        F.sum(promo).cast("double").alias("promo_qty"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        supplier.join(
+            F.broadcast(shipped), supplier.s_suppkey == shipped.l_suppkey
+        )
+        .filter(F.col("promo_qty") > 0.2 * F.col("total_qty"))
+        .select("s_suppkey", "s_name", "promo_qty", "total_qty")
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    """
+    WITH order_stats AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_suppliers,
+               count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                   THEN l_suppkey END) AS n_late_suppliers
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY l_orderkey),
+    late AS (
+        SELECT DISTINCT li.l_orderkey, li.l_suppkey
+        FROM lineitem li
+        JOIN orders o ON o.o_orderkey = li.l_orderkey
+        WHERE li.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    SELECT s_name, count(*) AS numwait
+    FROM late
+    JOIN order_stats USING (l_orderkey)
+    JOIN supplier ON s_suppkey = late.l_suppkey
+    WHERE n_suppliers > 1 AND n_late_suppliers = 1
+    GROUP BY s_name
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the *only* late shipper on a
+    multi-supplier order — the reference formulation's EXISTS/NOT-EXISTS
+    pair decorrelated into per-order conditional distinct counts
+    (n_suppliers > 1, n_late = 1) joined back to the late shippers. Two
+    shuffles on l_orderkey, both sharable; no per-row subqueries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lo = li.join(orders, orders.o_orderkey == li.l_orderkey)
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(F.when(is_late, F.col("l_suppkey"))).alias(
+            "n_late_suppliers"
+        ),
+    )
+    late = (
+        lo.filter(is_late).select("l_orderkey", "l_suppkey").distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        late.join(stats, "l_orderkey")
+        .filter((F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
