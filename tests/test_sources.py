@@ -71,14 +71,13 @@ def test_rate_source_vote_stream(spark, tmp_path):
             if spark.sql("SELECT * FROM rate_votes").count() >= 10:
                 break
             time.sleep(0.5)
-        out = spark.sql("SELECT * FROM rate_votes")
-        assert out.count() >= 10
-        cands = {r.candidate_id for r in out.select("candidate_id").distinct().collect()}
-        assert cands <= {"cand-0", "cand-1", "cand-2"}
-        # deterministic-per-voter: same voter never maps to two candidates
-        assert (
-            out.select("voter_id", "candidate_id").distinct().count()
-            == out.select("voter_id").distinct().count()
-        )
     finally:
+        # stop BEFORE asserting: the memory sink grows between actions,
+        # so two counts on a live stream see different snapshots
         q.stop()
+    rows = spark.sql("SELECT * FROM rate_votes").collect()
+    assert len(rows) >= 10, f"only {len(rows)} rows; status={q.status}"
+    assert {r.candidate_id for r in rows} <= {"cand-0", "cand-1", "cand-2"}
+    # deterministic-per-voter: same voter never maps to two candidates
+    pairs = {(r.voter_id, r.candidate_id) for r in rows}
+    assert len(pairs) == len({r.voter_id for r in rows})
