@@ -1,0 +1,94 @@
+"""At-rest layout proofs: bucketed joins plan without exchanges,
+partitioned datasets prune at planning time. These are the plan-level
+guarantees SCALE.md's 100 TB strategy rests on."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_voting_data_engineering_spark.sources import layout as L
+from realtime_voting_data_engineering_spark.sources.tables import load_table
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def two_tables(spark):
+    a, b = f"bl_{uuid.uuid4().hex[:8]}", f"bo_{uuid.uuid4().hex[:8]}"
+    yield a, b
+    spark.sql(f"DROP TABLE IF EXISTS `{a}`")
+    spark.sql(f"DROP TABLE IF EXISTS `{b}`")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, two_tables):
+    li_t, o_t = two_tables
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    L.write_bucketed(li, li_t, ("l_orderkey",), 8, sort_cols=("l_orderkey",))
+    L.write_bucketed(orders, o_t, ("o_orderkey",), 8, sort_cols=("o_orderkey",))
+    assert L.bucketed_join_ready(spark, li_t, o_t)
+
+    joined = (
+        spark.table(li_t)
+        .join(
+            spark.table(o_t),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the join itself must need no shuffle: both sides pre-bucketed on the
+    # key. The only exchange allowed is the final groupBy's. Disable
+    # broadcast so the plan actually exercises the bucketed SMJ path.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(joined)
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+        # one exchange for the aggregate; none keyed on the join columns
+        assert not any("l_orderkey" in l or "o_orderkey" in l for l in exchanges), exchanges
+        # correctness unchanged
+        expected = (
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        got = {r.o_orderpriority: r.n for r in joined.collect()}
+        exp = {r.o_orderpriority: r["count"] for r in expected.collect()}
+        assert got == exp
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_partitioned_write_prunes_at_plan_time(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_part")
+    L.write_partitioned(events, path, ("event_type",))
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = plan_of(df)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and any("event_type" in l for l in part_lines), plan[:800]
+    # pruning is semantic too: only the one partition's rows
+    n_click = events.filter(F.col("event_type") == "click").count()
+    assert df.count() == n_click
