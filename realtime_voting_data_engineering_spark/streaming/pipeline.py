@@ -40,6 +40,35 @@ def parse_vote_stream(raw: DataFrame, schema: StructType) -> DataFrame:
     )
 
 
+def split_valid_invalid(
+    raw: DataFrame,
+    schema: StructType,
+    required: tuple[str, ...] = ("voter_id", "voting_time"),
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-record routing: parse the JSON value against the schema
+    and split into (valid, dead_letter). ``from_json`` yields NULL for
+    unparseable documents and NULL fields for type mismatches; a record
+    missing any ``required`` field is quarantined with its original
+    bytes instead of silently polluting aggregates — the dead-letter
+    pattern the reference lacked (its consumer crashes the poll loop on
+    bad JSON, voting.py:67).
+
+    Both outputs derive from one pass over the source; Catalyst shares
+    the scan. The dead-letter frame keeps the raw value for replay."""
+    parsed = raw.selectExpr("CAST(value AS STRING) AS _raw").select(
+        "_raw", F.from_json(F.col("_raw"), schema).alias("data")
+    )
+    ok = F.col("data").isNotNull()
+    for field in required:
+        ok = ok & F.col(f"data.{field}").isNotNull()
+    valid = parsed.filter(ok).select("data.*")
+    dead = parsed.filter(~ok).select(
+        F.col("_raw").alias("raw_value"),
+        F.current_timestamp().alias("quarantined_at"),
+    )
+    return valid, dead
+
+
 def dedup_votes(
     events: DataFrame,
     keys: tuple[str, ...] = ("voter_id", "candidate_id"),
@@ -221,6 +250,16 @@ def foreach_batch_upsert(
         except Exception:
             merged = batch_df
         compacted = compact_latest_per_key(merged, keys, order_col)
-        compacted.write.mode("overwrite").parquet(target_path)
+        # Materialize BEFORE overwriting: the compacted plan still reads
+        # target_path lazily, and mode("overwrite") deletes those files
+        # before the scan finishes (FAILED_READ_FILE race). persist+count
+        # pins the result first; a transactional table format makes this
+        # an atomic MERGE instead.
+        compacted = compacted.persist()
+        try:
+            compacted.count()
+            compacted.write.mode("overwrite").parquet(target_path)
+        finally:
+            compacted.unpersist()
 
     return upsert
