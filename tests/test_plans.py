@@ -85,3 +85,24 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     # formatted mode stars codegen-compiled nodes
     assert "* HashAggregate" in plan and "* Filter" in plan
     assert "Final Plan" in plan
+
+
+def test_no_python_udfs_or_cartesian_in_oracled_queries(spark):
+    """Engine-wide plan lint: every SQL-expressible (oracled) query must
+    stay JVM-side — no BatchEvalPython (row-at-a-time Python UDF) — and
+    must not plan a CartesianProduct. Catches a hot-path de-optimization
+    anywhere in the registry the moment it lands."""
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, spec in Q.REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        plan = plan_of(spec.fn(spark, sf))
+        bad = [
+            marker
+            for marker in ("BatchEvalPython", "CartesianProduct")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
