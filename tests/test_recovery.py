@@ -93,3 +93,32 @@ def test_checkpoint_recovery_processes_each_file_once(spark, vote_events, tmp_pa
         for r in spark.read.parquet(serving).collect()
     }
     assert served2 == expected
+
+
+def test_progress_listener_captures_batch_metrics(spark, vote_events, tmp_path):
+    from realtime_voting_data_engineering_spark.streaming import observability as O
+
+    G.vote_events_as_json(vote_events).write.mode("overwrite").json(
+        str(tmp_path / "obs_wire")
+    )
+    log = O.attach(spark)
+    try:
+        raw = spark.readStream.schema("key STRING, value STRING").json(
+            str(tmp_path / "obs_wire")
+        )
+        parsed = P.parse_vote_stream(raw, SCH.vote_event_schema())
+        agg = P.votes_per_candidate_stream(parsed)
+        q = P.start_update_aggregate(agg, "obs_test", str(tmp_path / "obs_ckpt"))
+        q.awaitTermination(120)
+        # listener delivery is async — allow it to drain
+        import time as _t
+
+        deadline = _t.time() + 30
+        while _t.time() < deadline and log.total_input_rows("obs_test") < vote_events.count():
+            _t.sleep(0.5)
+        assert log.total_input_rows("obs_test") == vote_events.count()
+        stateful = [m for m in log.metrics if m.query_name == "obs_test" and m.state_rows]
+        assert stateful and stateful[-1].state_rows == 3  # one state row per candidate
+        assert log.started
+    finally:
+        O.detach(spark, log)
