@@ -93,3 +93,39 @@ def test_full_pipeline(spark, world, tmp_path):
         r.candidate_id: r.total_votes for r in spark.read.parquet(target).collect()
     }
     assert served == expected_cand
+
+
+def test_serving_views(spark, world):
+    from realtime_voting_data_engineering_spark import serving as V
+
+    events = world["events"]
+    totals = events.groupBy("candidate_id", "candidate_name").agg(
+        F.sum("vote").alias("total_votes")
+    )
+    lead = V.leading_candidate(totals).collect()
+    assert len(lead) == 1
+    expected_max = max(r.total_votes for r in totals.collect())
+    assert lead[0].total_votes == expected_max
+
+    shares = V.results_with_share(totals).collect()
+    assert abs(sum(r.share_pct for r in shares) - 100.0) < 0.05
+
+    page = V.results_page(totals, "total_votes", ascending=False, page=1, page_size=2)
+    rows = page.collect()
+    assert len(rows) == 2 and rows[0].total_votes >= rows[1].total_votes
+
+    loc_totals = events.groupBy("address_state").agg(
+        F.count(F.lit(1)).alias("total_voters")
+    )
+    top_locs = V.turnout_by_location(loc_totals, top_n=3).collect()
+    assert len(top_locs) == 3
+    assert top_locs[0].total_voters >= top_locs[-1].total_voters
+
+    counts = V.header_counts(
+        events.select("voter_id").distinct(),
+        events.select("candidate_id").distinct(),
+        events,
+    ).collect()[0]
+    assert counts.total_voters == 500
+    assert counts.total_candidates == 3
+    assert counts.total_votes == 500
