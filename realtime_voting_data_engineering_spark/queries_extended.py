@@ -605,3 +605,19 @@ def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "word")
         .limit(20)
     )
+
+
+@register("approx_value_quartiles", None, tags=("agg", "sketch"))
+def approx_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles per group (``approx_percentile``) — the
+    scale path promised by ``value_quartiles_by_type``: the quantile
+    sketch is mergeable in the partial-aggregate pass, so no per-group
+    sort and a shuffle of sketches instead of rows. Estimates are
+    engine-specific → rows-only driver check; pytest bounds the error
+    against the exact percentiles."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_percentile("value", 0.25, 10_000).alias("q1"),
+        F.approx_percentile("value", 0.5, 10_000).alias("median"),
+        F.approx_percentile("value", 0.75, 10_000).alias("q3"),
+    )

@@ -79,3 +79,20 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     }
     for et, n in exact.items():
         assert abs(approx[et] - n) / n < 0.05, (et, approx[et], n)
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    from realtime_voting_data_engineering_spark import queries as Q
+
+    approx = {
+        r.event_type: (r.q1, r.median, r.q3)
+        for r in Q.REGISTRY["approx_value_quartiles"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: (r.q1, r.median, r.q3)
+        for r in Q.REGISTRY["value_quartiles_by_type"].fn(spark, sf_dir).collect()
+    }
+    for et, (q1, med, q3) in exact.items():
+        a1, amed, a3 = approx[et]
+        for a, e in ((a1, q1), (amed, med), (a3, q3)):
+            assert abs(a - e) <= max(0.5, 0.02 * abs(e)), (et, a, e)
