@@ -135,6 +135,35 @@ def srp_signature(vec: Column, dims: int, planes: int = 16) -> Column:
     return sig
 
 
+def _banded(df: DataFrame, sig_col: str, planes: int, bands: int) -> DataFrame:
+    """Explode a packed signature into one row per LSH band:
+    (…, band_idx, chunk). Executor-side explode, ``bands``× row
+    amplification — the corpus-linear pigeonhole that replaces the
+    quadratic pair space."""
+    bits_per_band = planes // bands
+    mask = (1 << bits_per_band) - 1
+    return (
+        df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.shiftright(sig_col, i * bits_per_band)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("chunk"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bc"),
+        )
+        .select("*", "bc.band_idx", "bc.chunk")
+        .drop("bc")
+    )
+
+
 def srp_candidate_pairs(
     corpus: DataFrame,
     dims: int,
@@ -146,27 +175,10 @@ def srp_candidate_pairs(
     """ANN candidate generation: band the SRP signature (pigeonhole over
     sign bits); vectors sharing a band bucket are candidates. Shuffle is
     on (band_idx, chunk) — corpus-linear, never quadratic."""
-    bits_per_band = planes // bands
-    mask = (1 << bits_per_band) - 1
     sigs = corpus.select(
         F.col(id_col), srp_signature(F.col(vec_col), dims, planes).alias("sig")
     )
-    chunks = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftright("sig", i * bits_per_band)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("c"),
-    ).select(id_col, "c.band_idx", "c.chunk")
+    chunks = _banded(sigs, "sig", planes, bands).select(id_col, "band_idx", "chunk")
     a = chunks.select(F.col(id_col).alias("id_a"), "band_idx", "chunk")
     b = chunks.select(F.col(id_col).alias("id_b"), "band_idx", "chunk")
     return (
@@ -200,29 +212,8 @@ def knn_ann(
         F.col(vec_col).alias("c_vec"),
         srp_signature(F.col(vec_col), dims, planes).alias("sig"),
     )
-    bits_per_band = planes // bands
-    mask = (1 << bits_per_band) - 1
-
-    def banded(df: DataFrame, sig: str) -> DataFrame:
-        return df.select(
-            "*",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band_idx"),
-                            F.shiftright(sig, i * bits_per_band)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("chunk"),
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("bc"),
-        ).select("*", "bc.band_idx", "bc.chunk").drop("bc")
-
-    qb = banded(q, "sig").drop("sig")
-    cb = banded(c, "sig").drop("sig")
+    qb = _banded(q, "sig", planes, bands).drop("sig")
+    cb = _banded(c, "sig", planes, bands).drop("sig")
     cands = (
         qb.join(cb, ["band_idx", "chunk"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
