@@ -327,7 +327,7 @@ def hourly_vote_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parse_vote_payload",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(json_extract_string(props, '$.k')) AS n_parsed
     FROM events
     GROUP BY event_type

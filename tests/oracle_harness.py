@@ -19,17 +19,67 @@ from realtime_voting_data_engineering_spark.sources.tables import TABLE_NAMES
 
 
 def duckdb_run(sql: str, sf_dir: str):
+    cols, rows, _ = duckdb_run_typed(sql, sf_dir)
+    return cols, rows
+
+
+def duckdb_run_typed(sql: str, sf_dir: str):
+    """Run the oracle and also return the Arrow schema — the driver's
+    value-hash is type-sensitive (DuckDB HUGEINT vs Spark bigint was a
+    real round-1 failure), so callers can check type compatibility."""
     con = duckdb.connect()
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    tbl = con.execute(sql).arrow()
+    cols = tbl.schema.names
+    rows = [tuple(r.values()) for r in tbl.to_pylist()]
+    schema = tbl.schema
     con.close()
-    return cols, rows
+    return cols, rows, schema
+
+
+def _type_family(arrow_type) -> str:
+    """Collapse an Arrow type to the family the driver's hash treats as
+    equivalent.  Round-1 evidence: int32 vs int64 and tz-aware vs naive
+    timestamps both hash-matched; int64 vs decimal128(38,0) (DuckDB
+    HUGEINT from SUM over integers) did NOT."""
+    import pyarrow.types as pat
+
+    if pat.is_integer(arrow_type):
+        return "int"
+    if pat.is_floating(arrow_type):
+        return "float"
+    if pat.is_timestamp(arrow_type):
+        return "timestamp"
+    if pat.is_date(arrow_type):
+        return "date"
+    if pat.is_decimal(arrow_type):
+        return f"decimal({arrow_type.precision},{arrow_type.scale})"
+    if pat.is_string(arrow_type) or pat.is_large_string(arrow_type):
+        return "string"
+    if pat.is_binary(arrow_type) or pat.is_large_binary(arrow_type):
+        return "binary"
+    if pat.is_list(arrow_type) or pat.is_large_list(arrow_type):
+        return f"list<{_type_family(arrow_type.value_type)}>"
+    return str(arrow_type)
+
+
+def assert_types_compatible(name: str, spark_schema, duck_schema) -> None:
+    s_fam = {f.name: _type_family(f.type) for f in spark_schema}
+    d_fam = {f.name: _type_family(f.type) for f in duck_schema}
+    mism = {
+        c: (s_fam.get(c), d_fam.get(c))
+        for c in sorted(set(s_fam) | set(d_fam))
+        if s_fam.get(c) != d_fam.get(c)
+    }
+    assert not mism, (
+        f"{name}: driver-hash-unsafe type mismatch (spark vs oracle): {mism} — "
+        "e.g. DuckDB SUM over integers yields HUGEINT; wrap the oracle "
+        "aggregate in CAST(... AS BIGINT)"
+    )
 
 
 def _canon(v) -> str:
@@ -68,7 +118,8 @@ def compare_query(spark, name: str, fn, oracle: str, sf_dir: str) -> None:
     sdf = fn(spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
-    duck_cols, duck_rows = duckdb_run(oracle, sf_dir)
+    duck_cols, duck_rows, duck_schema = duckdb_run_typed(oracle, sf_dir)
+    assert_types_compatible(name, sdf.limit(0).toArrow().schema, duck_schema)
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={sorted(spark_cols)} "
