@@ -465,8 +465,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: five-way join with a region filter. nation⋈region
-    prunes to the 5 target nations and broadcasts into supplier, so the
-    only big shuffles are the fact-side equi-joins (AQE handles skew)."""
+    prunes to the 5 target nations and broadcasts into supplier; the
+    region-pruned supplier still scales 1:100 with lineitem, so its join
+    strategy is left to Catalyst/AQE (broadcast at test SF, shuffle at
+    100×) and the big shuffles stay on the fact-side equi-joins."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -486,7 +488,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(orders, customer.c_custkey == orders.o_custkey)
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(sup),
+            sup,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -224,7 +224,11 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision sequential fold == DuckDB's list_sum, so similarity values
     hash-match bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = S.knn_brute_force(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    # .limit(10) is a semantic no-op (vec_id is unique) but makes the
+    # query-side bound plan-visible, so the broadcast-hint scale lint in
+    # tests/test_plans.py can prove the broadcast is SF-independent.
+    queries = emb.filter(F.col("vec_id") < 10).limit(10)
+    out = S.knn_brute_force(queries, emb, k=5)
     return out.withColumn("cos", F.round("cos", 6))
 
 
@@ -252,7 +256,7 @@ def knn_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands) with exact re-rank inside buckets. Approximate by design →
     rows-only driver check; pytest measures recall vs brute force."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.knn_ann(emb.filter(F.col("vec_id") < 10), emb, dims=64, k=5)
+    return S.knn_ann(emb.filter(F.col("vec_id") < 10).limit(10), emb, dims=64, k=5)
 
 
 @register("knn_ann_ivf", None, tags=("similarity", "northstar"))
@@ -264,7 +268,7 @@ def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest measures recall vs brute force."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_ivf(
-        emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, nprobe=4
+        emb.filter(F.col("vec_id") < 10).limit(10), emb, k=5, n_centroids=16, nprobe=4
     )
 
 

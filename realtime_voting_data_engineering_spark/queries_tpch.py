@@ -126,9 +126,11 @@ def q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by ship
-    year. The two nation dims broadcast; the cross-nation disjunction is
-    applied after both joins (it references both sides). Fact-fact joins
-    on orderkey/custkey are the only shuffles."""
+    year. The two nation dims broadcast (fixed 25 rows); supplier scales
+    1:100 with lineitem, so its join strategy is left to Catalyst/AQE —
+    an explicit hint would OOM at 100× (it broadcasts at test SF anyway).
+    The cross-nation disjunction is applied after both joins (it
+    references both sides)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1998-01-01"))
@@ -146,7 +148,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -251,7 +253,8 @@ def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share — a conditional-sum ratio in
     one aggregate over a month of lineitem joined to part. Both decimal
-    sums are exact, so the final double division is deterministic."""
+    sums are exact, so the final double division is deterministic. part
+    scales 1:30 with lineitem — join strategy left to Catalyst/AQE."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-03-01"))
         & (F.col("l_shipdate") < _ts("1997-04-01"))
@@ -261,7 +264,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
         F.lit(0).cast("decimal(18,6)")
     )
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.agg(
         (
             100.0 * F.sum(promo).cast("double") / F.sum(disc).cast("double")
@@ -325,9 +328,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: small-quantity-order revenue with a correlated
     per-part average. Decorrelated Spark-side: compute each part's avg
-    quantity in one grouped pass over lineitem and broadcast it back —
-    two scans of lineitem but no per-row subquery, which is the only
-    shape that survives at 100 TB."""
+    quantity in one grouped pass over lineitem and join it back — two
+    scans of lineitem but no per-row subquery, which is the only shape
+    that survives at 100 TB. The brand-filtered part and the per-part
+    aggregate both scale with SF, so join strategy stays with AQE."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
@@ -335,7 +339,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.2 * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
         ).alias("qty_threshold")
     )
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).join(
+    joined = li.join(part, li.l_partkey == part.p_partkey).join(
         per_part, li.l_partkey == per_part.avg_partkey
     )
     small = joined.filter(F.col("l_quantity") < F.col("qty_threshold"))
@@ -365,8 +369,10 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders — IN over a HAVING-filtered
     aggregate, decorrelated to a semi join on the pre-aggregated order
-    keys. The heavy lineitem aggregation happens once; the qualifying key
-    set is small and broadcasts into the orders join."""
+    keys. The heavy lineitem aggregation happens once; the qualifying
+    key set is a fixed *fraction* of orders (grows with SF), so the
+    semi-join strategy is left to Catalyst/AQE rather than a forced
+    broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     big_orders = (
         li.groupBy("l_orderkey")
@@ -376,7 +382,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").join(
-        F.broadcast(big_orders),
+        big_orders,
         F.col("o_orderkey") == F.col("big_orderkey"),
         "left_semi",
     )
@@ -410,7 +416,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows shuffle; the full disjunction evaluates post-join."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    joined = li.join(part, part.p_partkey == li.l_partkey)
     qty = F.col("l_quantity")
     size = F.col("p_size")
     cond = (
@@ -450,9 +456,10 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's market for a part
-    type, by year — a conditional-sum ratio over a six-way join. Dims
-    (supplier, part, both nation roles, region) broadcast; the two fact
-    joins are the only shuffles."""
+    type, by year — a conditional-sum ratio over a six-way join. The
+    fixed-cardinality dims (both nation roles, nation⋈region) broadcast;
+    supplier and part scale with SF, so their join strategy is left to
+    Catalyst/AQE (broadcast at test SF, shuffle at 100×)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1996-01-01"))
@@ -472,8 +479,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(cust_region), F.col("c_nationkey") == F.col("n2_key"))
     )
@@ -507,7 +514,8 @@ def q9_margin_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation and order year for parts
     matching a name pattern. The corpus has no partsupp, so unit cost is
     modeled as 5% of p_retailprice — same join/aggregate topology. The
-    LIKE filter prunes part before the broadcast."""
+    LIKE filter prunes part at the scan; supplier/part join strategy is
+    left to Catalyst/AQE (both scale with SF), nation broadcasts."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -515,8 +523,8 @@ def q9_margin_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     joined = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     margin = dec(
@@ -581,7 +589,7 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#45")
         & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
     )
-    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    joined = li.join(part, part.p_partkey == li.l_partkey)
     return joined.groupBy("p_brand", "p_type", "p_size").agg(
         F.countDistinct("l_suppkey").alias("supplier_cnt")
     )
@@ -651,8 +659,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: cheapest supplier per part — the classic correlated
     MIN subquery, decorrelated to a partition-window minimum over the
     observed unit prices (lineitem stands in for partsupp). One grouped
-    pass builds unit prices; the window min shares its shuffle; dims
-    broadcast in at the end."""
+    pass builds unit prices; the window min shares its shuffle. part and
+    supplier scale with SF — join strategy left to Catalyst/AQE."""
     li = load_table(spark, sf_dir, "lineitem")
     unit = li.groupBy("l_partkey", "l_suppkey").agg(
         (
@@ -667,8 +675,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
     supplier = load_table(spark, sf_dir, "supplier")
     return (
-        ranked.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        ranked.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             "p_partkey",
             "p_brand",
@@ -701,14 +709,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers whose shipped volume of a part class
     exceeds a fraction of their total — the nested IN-subquery chain
-    decorrelated into one conditional aggregate per supplier plus a
-    broadcast join back to the supplier dim."""
+    decorrelated into one conditional aggregate per supplier joined back
+    to the supplier dim. part and the per-supplier aggregate both scale
+    with SF, so both join strategies stay with Catalyst/AQE."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-01-01"))
         & (F.col("l_shipdate") < _ts("1998-01-01"))
     )
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    joined = li.join(part, part.p_partkey == li.l_partkey)
     promo = F.when(F.col("p_type") == "PROMO", dec("l_quantity")).otherwise(
         F.lit(0).cast("decimal(18,2)")
     )
@@ -718,9 +727,7 @@ def q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supplier = load_table(spark, sf_dir, "supplier")
     return (
-        supplier.join(
-            F.broadcast(shipped), supplier.s_suppkey == shipped.l_suppkey
-        )
+        supplier.join(shipped, supplier.s_suppkey == shipped.l_suppkey)
         .filter(F.col("promo_qty") > 0.2 * F.col("total_qty"))
         .select("s_suppkey", "s_name", "promo_qty", "total_qty")
     )
@@ -773,7 +780,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.join(stats, "l_orderkey")
         .filter((F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

