@@ -169,6 +169,45 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard evaluated ONLY for the given (id_a, id_b)
+    pairs. The shingle index is first pruned to docs appearing in any
+    pair (left-semi), then intersections are computed by walking each
+    pair's shingles — cost is Σ|shingles(a)| over the pairs, linear in
+    candidate volume, never the corpus-wide all-pairs blowup. Pairs with
+    an empty intersection drop out (jaccard would be 0)."""
+    idx = shingle_index(df, text_col, id_col, n)
+    pair_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    idx = idx.join(pair_ids, id_col, "left_semi")
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = idx.select(F.col(id_col).alias("id_a"), "shingle")
+    b = idx.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -179,16 +218,15 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
-    candidates → exact Jaccard verification ≥ threshold. The verification
-    join touches only candidate pairs, so the expensive exact measure
-    runs on a vanishing fraction of the corpus."""
+    candidates → exact Jaccard verification ≥ threshold. Verification is
+    pair-driven (``jaccard_for_pairs``): the shingle index is semi-joined
+    to candidate doc ids before any intersection is counted, so the
+    expensive exact measure runs on the candidate pairs only — never the
+    all-pairs measure LSH exists to avoid."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
-    return (
-        cands.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return jaccard_for_pairs(df, cands, text_col, id_col, n).filter(
+        F.col("jaccard") >= threshold
     )
 
 

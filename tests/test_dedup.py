@@ -29,6 +29,23 @@ def test_minhash_lsh_full_recall_on_corpus(spark, sf_dir):
     assert lsh == exact, f"LSH missed {exact - lsh} / invented {lsh - exact}"
 
 
+def test_jaccard_for_pairs_matches_all_pairs_measure(spark, sf_dir):
+    """The pair-driven verification (semi-join pruned, candidate-linear)
+    must produce exactly the all-pairs measure restricted to the given
+    pairs — same jaccard values, nothing extra, nothing lost (pairs with
+    zero intersection excepted: jaccard 0 never passes a threshold)."""
+    docs = _docs(spark, sf_dir)
+    all_pairs = D.ngram_jaccard_pairs(docs, threshold=0.0)
+    # Use every pair that shares ≥1 shingle as the candidate set.
+    cands = all_pairs.select("id_a", "id_b")
+    driven = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_for_pairs(docs, cands).collect()
+    }
+    expected = {(r.id_a, r.id_b): r.jaccard for r in all_pairs.collect()}
+    assert driven == expected
+
+
 def test_simhash_finds_planted_near_dups(spark, sf_dir):
     """The ~0.99-jaccard planted pairs differ in a few tokens, so their
     SimHashes should collide within the banding radius."""
