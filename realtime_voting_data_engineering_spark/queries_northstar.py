@@ -250,6 +250,19 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.near_dup_embeddings(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@register("embedding_near_dup_srp", None, tags=("similarity", "dedup", "northstar"))
+def embedding_near_dup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path in front of ``embedding_near_dup_pairs``: SRP-LSH
+    candidate generation (32 planes, 8 bands, corpus-linear band-key
+    shuffle) followed by exact cosine verification of candidates only.
+    Approximate by design (recall ≈0.8 at this corpus's loose 0.4
+    threshold, ≈0.995 at production ≥0.9 thresholds; false-positive-free
+    because verification is exact) → rows-only driver check; pytest
+    measures recall against the all-pairs form."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.near_dup_embeddings_srp(emb, dims=64, threshold=0.4)
+
+
 @register("knn_ann_srp", None, tags=("similarity", "northstar"))
 def knn_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via sign-random-projection LSH (16 planes, 4

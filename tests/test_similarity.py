@@ -92,3 +92,26 @@ def test_srp_candidates_are_symmetric_free(spark, sf_dir):
     seen = {(r.id_a, r.id_b) for r in pairs}
     assert all(a < b for a, b in seen)
     assert len(seen) == len(pairs)
+
+
+def test_srp_near_dup_recall_and_precision(spark, sf_dir):
+    """The SRP-fronted near-dup pipeline vs the all-pairs exact form:
+    no false positives ever (verification is exact cosine), and recall
+    ≥0.75 even at this corpus's loose 0.4 threshold — the worst case for
+    sign-projection banding (banding math gives ≈0.85 expected here,
+    ≈0.995 at production ≥0.9 thresholds)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.near_dup_embeddings(emb, threshold=0.4).collect()
+    }
+    srp = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.near_dup_embeddings_srp(emb, dims=64, threshold=0.4).collect()
+    }
+    assert exact, "corpus should contain near-dup embedding pairs"
+    assert set(srp) <= set(exact), f"false positives: {set(srp) - set(exact)}"
+    recall = len(srp) / len(exact)
+    assert recall >= 0.75, f"SRP near-dup recall {recall:.3f}"
+    # Verified cosines are the exact measure, bit-identical to all-pairs.
+    assert all(exact[p] == c for p, c in srp.items())
