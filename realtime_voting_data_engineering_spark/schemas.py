@@ -85,17 +85,37 @@ def vote_event_schema() -> T.StructType:
 
 def reference_vote_event_schema() -> T.StructType:
     """The reference's verbatim 22-field stream schema
-    (spark_stream.py:15-38) for strict parity mode: no ``email``, and a
+    (spark_stream.py:15-38) for strict parity mode, field order and
+    types exactly as declared there: no ``email``; ``date_of_birth`` is
+    a raw string (the canonical schema upgrades it to DateType); and a
     ``registered_date`` string that parses NULL because the producer
-    sends ``registered_age`` (main.py:168)."""
-    fields = [
-        f
-        for f in vote_event_schema().fields
-        if f.name not in ("registered_age",)
+    sends ``registered_age`` (main.py:168). from_json matches by name,
+    so consumers relying on position or the declared string type see
+    precisely what the reference's job produced."""
+    names_types = [
+        ("voter_id", T.StringType()),
+        ("candidate_id", T.StringType()),
+        ("voting_time", T.TimestampType()),
+        ("voter_name", T.StringType()),
+        ("party_affiliation", T.StringType()),
+        ("biography", T.StringType()),
+        ("campaign_platform", T.StringType()),
+        ("photo_url", T.StringType()),
+        ("candidate_name", T.StringType()),
+        ("date_of_birth", T.StringType()),
+        ("gender", T.StringType()),
+        ("nationality", T.StringType()),
+        ("registration_number", T.StringType()),
+        ("address_street", T.StringType()),
+        ("address_city", T.StringType()),
+        ("address_state", T.StringType()),
+        ("address_country", T.StringType()),
+        ("address_postcode", T.StringType()),
+        ("phone_number", T.StringType()),
+        ("picture", T.StringType()),
+        ("registered_date", T.StringType()),
+        ("vote", T.IntegerType()),
     ]
-    # Insert the dead column where registered_age would have been.
-    out = []
-    for f in fields:
-        out.append(f)
-    out.insert(14, T.StructField("registered_date", T.StringType(), True))
-    return T.StructType(out)
+    return T.StructType(
+        [T.StructField(n, t, True) for n, t in names_types]
+    )

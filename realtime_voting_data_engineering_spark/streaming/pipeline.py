@@ -242,24 +242,57 @@ def foreach_batch_upsert(
     Idempotent under micro-batch replay, so exactly-once end-to-end with
     checkpointed source offsets."""
 
+    def _hadoop(spark):
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        mk = jvm.org.apache.hadoop.fs.Path
+        fs = mk(target_path).getFileSystem(conf)
+        return fs, mk
+
+    def _read_existing(spark) -> DataFrame | None:
+        """Current state: the target, or — if a previous batch crashed
+        mid-swap — the newest __old/__stage snapshot left behind."""
+        fs, mk = _hadoop(spark)
+        candidates = [target_path]
+        for suffix in ("__old_epoch", "__stage_epoch"):
+            stats = fs.globStatus(mk(f"{target_path}{suffix}*"))
+            if stats:
+                paths = sorted(
+                    (s.getPath().toString() for s in stats),
+                    key=lambda p: int(p.rsplit("epoch", 1)[1]),
+                )
+                candidates.append(paths[-1])
+        for path in candidates:
+            try:
+                return spark.read.parquet(path)
+            except Exception:
+                continue
+        return None
+
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(target_path)
-            merged = existing.unionByName(batch_df)
-        except Exception:
-            merged = batch_df
+        existing = _read_existing(spark)
+        merged = (
+            existing.unionByName(batch_df) if existing is not None else batch_df
+        )
         compacted = compact_latest_per_key(merged, keys, order_col)
-        # Materialize BEFORE overwriting: the compacted plan still reads
-        # target_path lazily, and mode("overwrite") deletes those files
-        # before the scan finishes (FAILED_READ_FILE race). persist+count
-        # pins the result first; a transactional table format makes this
-        # an atomic MERGE instead.
-        compacted = compacted.persist()
-        try:
-            compacted.count()
-            compacted.write.mode("overwrite").parquet(target_path)
-        finally:
-            compacted.unpersist()
+        # Never overwrite the path a live plan is still reading: a lost
+        # executor or evicted cache would recompute partitions from files
+        # the overwrite is concurrently deleting. Instead, fully
+        # materialize to a stage path (its scan reads the OLD target,
+        # which nothing is deleting), then swap directories with two
+        # renames — atomic on HDFS/local; on object stores use a
+        # transactional table format (Delta/Iceberg) for a real MERGE.
+        fs, mk = _hadoop(spark)
+        stage = f"{target_path}__stage_epoch{epoch_id}"
+        old = f"{target_path}__old_epoch{epoch_id}"
+        compacted.write.mode("overwrite").parquet(stage)
+        if fs.exists(mk(target_path)):
+            fs.rename(mk(target_path), mk(old))
+        fs.rename(mk(stage), mk(target_path))
+        # Success — clear this and any earlier crash's leftovers.
+        for suffix in ("__old_epoch", "__stage_epoch"):
+            for s in fs.globStatus(mk(f"{target_path}{suffix}*")):
+                fs.delete(s.getPath(), True)
 
     return upsert

@@ -161,6 +161,35 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     assert got == {"c1": 9, "c2": 2}
 
 
+def test_foreach_batch_upsert_recovers_from_mid_swap_crash(spark, tmp_path):
+    """If a batch died between the two swap renames, the target dir is
+    gone but the pre-swap state survives as __old_epochN. The next batch
+    must merge against that snapshot, not start from empty."""
+    import os
+    import shutil
+
+    target = str(tmp_path / "serving")
+    upsert = P.foreach_batch_upsert(target, ["candidate_id"], "batch_id")
+    b1 = spark.createDataFrame(
+        [("c1", 5, 1), ("c2", 2, 1)],
+        "candidate_id string, total_votes int, batch_id int",
+    )
+    upsert(b1, 1)
+    # Simulate the crash window: target renamed away, swap never finished.
+    shutil.move(target, f"{target}__old_epoch2")
+    b3 = spark.createDataFrame(
+        [("c1", 9, 3)], "candidate_id string, total_votes int, batch_id int"
+    )
+    upsert(b3, 3)
+    got = {
+        r.candidate_id: r.total_votes for r in spark.read.parquet(target).collect()
+    }
+    assert got == {"c1": 9, "c2": 2}
+    # Recovery cleaned up the leftover snapshot dirs.
+    leftovers = [p for p in os.listdir(tmp_path) if "epoch" in p]
+    assert leftovers == []
+
+
 def test_session_window_stream_matches_batch(spark, vote_events, json_stream_dir, tmp_path):
     raw = spark.readStream.schema("key STRING, value STRING").json(
         str(json_stream_dir / "data")
