@@ -214,18 +214,25 @@ def start_update_aggregate(
     checkpoint: str,
     output_mode: str = "update",
     trigger_available_now: bool = True,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """W2/W3 (spark_stream.py:67-84): start an update-mode aggregate into
     a named in-memory sink with checkpointing. The Kafka twin is
     ``sinks.kafka_sink`` — same upstream plan, different adapter (W4:
-    multiple ``start()`` handles fan out one source)."""
+    multiple ``start()`` handles fan out one source).
+
+    ``processing_time`` (e.g. ``'1 second'``) selects a periodic-refresh
+    trigger instead of availableNow — W8, the cadence the reference's
+    dashboard polls at (streamlit-app.py:115, 15 s)."""
     writer = (
         aggregated.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(queryName)
         .option("checkpointLocation", checkpoint)
     )
-    if trigger_available_now:
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
 

@@ -95,6 +95,53 @@ def test_checkpoint_recovery_processes_each_file_once(spark, vote_events, tmp_pa
     assert served2 == expected
 
 
+def test_processing_time_trigger_runs_periodic_batches(spark, tmp_path):
+    """W8 (streamlit-app.py:115): a periodic-refresh trigger. An
+    update-mode aggregate over a rate source with
+    trigger(processingTime='1 second') must produce multiple distinct
+    micro-batches with rows, observed via the progress listener —
+    the engine-side cadence behind the reference's 15 s dashboard poll."""
+    import time as _t
+
+    from realtime_voting_data_engineering_spark.sources.rate import (
+        vote_rate_stream,
+    )
+    from realtime_voting_data_engineering_spark.streaming import observability as O
+
+    log = O.attach(spark)
+    q = None
+    try:
+        votes = vote_rate_stream(spark, rows_per_second=50)
+        agg = (
+            votes.withWatermark("voting_time", "1 minute")
+            .groupBy("candidate_id")
+            .agg(F.sum("vote").alias("total_votes"))
+        )
+        q = P.start_update_aggregate(
+            agg,
+            "w8_periodic",
+            str(tmp_path / "w8_ckpt"),
+            processing_time="1 second",
+        )
+        # Load-sensitive: wait generously for >=3 non-empty batches.
+        deadline = _t.time() + 90
+        while _t.time() < deadline:
+            batches = {
+                m.batch_id
+                for m in log.metrics
+                if m.query_name == "w8_periodic" and m.num_input_rows > 0
+            }
+            if len(batches) >= 3:
+                break
+            _t.sleep(0.5)
+        assert len(batches) >= 3, f"only batches {batches}"
+        assert log.total_input_rows("w8_periodic") > 0
+    finally:
+        if q is not None:
+            q.stop()
+        O.detach(spark, log)
+
+
 def test_progress_listener_captures_batch_metrics(spark, vote_events, tmp_path):
     from realtime_voting_data_engineering_spark.streaming import observability as O
 
