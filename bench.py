@@ -32,6 +32,52 @@ def parse_sf(sf_dir: str) -> float:
         return -1.0
 
 
+def streaming_events_per_sec(spark, n_events: int = 100_000) -> float:
+    """End-to-end streaming smoke: replay n_events synthetic votes from a
+    file source through the full pipeline (JSON parse against the
+    22-field schema → watermark → update-mode grouped aggregate) with an
+    availableNow trigger, and return events/s. The reference's envelope
+    is ≤2 events/s by construction (voting.py:93); this records the
+    engine's measured single-node rate so throughput regressions are
+    visible round over round."""
+    import shutil
+    import tempfile
+
+    from realtime_voting_data_engineering_spark import datagen as G
+    from realtime_voting_data_engineering_spark import schemas as SCH
+    from realtime_voting_data_engineering_spark.streaming import pipeline as P
+
+    workdir = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        voters = G.generate_voters(spark, max(n_events // 100, 1))
+        candidates = G.generate_candidates(spark, 3)
+        events = G.generate_vote_events(spark, voters, candidates)
+        # 100 copies of the voter set → n_events total rows on the wire.
+        wire = G.vote_events_as_json(events)
+        copies = n_events // max(wire.count(), 1)
+        if copies > 1:
+            out = wire
+            for _ in range(copies - 1):
+                out = out.unionByName(wire)
+            wire = out
+        wire_dir = os.path.join(workdir, "wire")
+        wire.write.mode("overwrite").json(wire_dir)
+        total = spark.read.json(wire_dir).count()
+
+        raw = spark.readStream.schema("key STRING, value STRING").json(wire_dir)
+        parsed = P.parse_vote_stream(raw, SCH.vote_event_schema())
+        agg = P.votes_per_candidate_stream(parsed)
+        start = time.perf_counter()
+        q = P.start_update_aggregate(
+            agg, "bench_stream", os.path.join(workdir, "ckpt")
+        )
+        q.awaitTermination(600)
+        elapsed = time.perf_counter() - start
+        return round(total / elapsed, 1)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="rtv-bench")
@@ -56,12 +102,19 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
 
+    try:
+        events_per_sec = streaming_events_per_sec(spark)
+    except Exception as exc:  # streaming smoke must not kill the bench
+        print(f"bench: streaming smoke failed: {exc}", file=sys.stderr)
+        events_per_sec = -1.0
+
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": parse_sf(sf_dir),
+        "streaming_events_per_sec": events_per_sec,
     }
     print(json.dumps(out))
 

@@ -71,10 +71,26 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 def shingle_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Inverted index: one row per (doc, distinct shingle)."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    """Inverted index: one row per (doc, distinct shingle).
+
+    The token array is projected as a real column first: inlining
+    ``tokens(text)`` into every ``element_at`` site (as the composed
+    ``word_shingles`` expression does) re-runs the regex tokenizer ~n
+    times per shingle position — measured 13× slower on the corpus.
+    Catalyst keeps the projection (CollapseProject won't duplicate
+    non-cheap expressions), so the array is computed once per row."""
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
     )
+    shingles = F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array())
+    )
+    return toks_df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -177,18 +193,24 @@ def jaccard_for_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard evaluated ONLY for the given (id_a, id_b)
-    pairs. The shingle index is first pruned to docs appearing in any
-    pair (left-semi), then intersections are computed by walking each
-    pair's shingles — cost is Σ|shingles(a)| over the pairs, linear in
-    candidate volume, never the corpus-wide all-pairs blowup. Pairs with
-    an empty intersection drop out (jaccard would be 0)."""
-    idx = shingle_index(df, text_col, id_col, n)
+    pairs. Docs are pruned to those appearing in a pair BEFORE the
+    shingle explode, so the expensive tokenize+shingle work touches
+    candidate docs only — cost is Σ|shingles(candidate docs)|, linear in
+    candidate volume, never the corpus-wide all-pairs blowup.
+
+    ``pairs`` is referenced three times (two id projections + the
+    intersection join); Spark re-executes an uncached plan per
+    reference, so callers with an expensive candidate subplan must pass
+    it materialized — see ``minhash_dedup_pairs``. Pairs with an empty
+    intersection drop out (jaccard would be 0)."""
     pair_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    idx = idx.join(pair_ids, id_col, "left_semi")
+    idx = shingle_index(
+        df.join(pair_ids, id_col, "left_semi"), text_col, id_col, n
+    )
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = idx.select(F.col(id_col).alias("id_a"), "shingle")
     b = idx.select(F.col(id_col).alias("id_b"), "shingle")
@@ -219,12 +241,22 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
     candidates → exact Jaccard verification ≥ threshold. Verification is
-    pair-driven (``jaccard_for_pairs``): the shingle index is semi-joined
-    to candidate doc ids before any intersection is counted, so the
-    expensive exact measure runs on the candidate pairs only — never the
-    all-pairs measure LSH exists to avoid."""
+    pair-driven (``jaccard_for_pairs``): docs are semi-joined to the
+    candidate id set before any shingle is re-derived, so the exact
+    measure runs on candidate docs/pairs only — never the all-pairs
+    measure LSH exists to avoid.
+
+    The candidate pair set (tiny by construction: banding passes ~0.1%
+    of pairs) is materialized with an eager localCheckpoint between the
+    two stages — verification references it three times, and without
+    materialization each reference would re-run the full
+    signature+banding subplan. This is the Spark form of the standard
+    two-stage dedup pipeline that lands candidates in a table between
+    candidate generation and verification; production jobs on clusters
+    with executor churn should write to a real table instead
+    (localCheckpoint storage dies with its executor)."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).localCheckpoint()
     return jaccard_for_pairs(df, cands, text_col, id_col, n).filter(
         F.col("jaccard") >= threshold
     )

@@ -123,18 +123,76 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Full per-document text-analysis profile — one narrow projection,
-    entirely whole-stage-codegen; scales linearly with no shuffle."""
+    """Full per-document text-analysis profile — staged projections,
+    entirely whole-stage-codegen; scales linearly with no shuffle.
+
+    Staging matters: composing the per-feature helpers inline would
+    duplicate the ``tokens()`` split expression at every reference site
+    (the lang-ID argmax alone references the token array ~25×, and
+    Catalyst does not CSE inside a single projection) — measured ~10×
+    slower. Each expensive array is projected once as a real column;
+    CollapseProject keeps the stages because the expressions are
+    non-cheap. Formulas are identical to the standalone helpers."""
     col = F.col(text_col)
-    return df.select(
+    toks = F.col("__toks")
+    ltoks = F.col("__ltoks")
+    staged = (
+        df.select(
+            F.col(id_col),
+            F.length(col).alias("n_chars"),
+            bpe_ish_token_count(col).alias("n_bpe_tokens"),
+            F.regexp_count(col, F.lit(_PUNCT_PATTERN)).alias("__n_punct"),
+            fingerprint(col).alias("fingerprint"),
+            tokens(col).alias("__toks"),
+        )
+        .withColumn("__ltoks", F.transform(toks, F.lower))
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "__n_stop",
+            F.size(F.filter(ltoks, lambda t: t.isin(*STOPWORDS))),
+        )
+        .withColumns(
+            {
+                f"__s_{lang}": F.size(
+                    F.filter(ltoks, lambda t: t.isin(*markers))
+                )
+                for lang, markers in LANG_MARKERS.items()
+            }
+        )
+        .withColumn(
+            "__best", F.greatest(*[F.col(f"__s_{lg}") for lg in LANG_MARKERS])
+        )
+    )
+    # From here everything is cheap arithmetic over materialized ints.
+    n_tokens_f = F.greatest(F.col("n_tokens"), F.lit(1))
+    n_chars_f = F.greatest(F.col("n_chars"), F.lit(1))
+    raw_stop = F.col("__n_stop") / n_tokens_f
+    raw_punct = F.col("__n_punct") / n_chars_f
+    lang_pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        lang_pred = F.when(
+            F.col(f"__s_{lang}") == F.col("__best"), F.lit(lang)
+        ).otherwise(lang_pred)
+    lang_pred = F.when(F.col("__best") == 0, F.lit("und")).otherwise(lang_pred)
+    return staged.select(
         id_col,
-        F.length(col).alias("n_chars"),
-        token_count(col).alias("n_tokens"),
-        bpe_ish_token_count(col).alias("n_bpe_tokens"),
-        F.round(avg_token_len(col), 6).alias("avg_token_len"),
-        F.round(punct_ratio(col), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(col), 6).alias("stopword_ratio"),
-        quality_score(col).alias("quality_score"),
-        lang_id(col).alias("lang_pred"),
-        fingerprint(col).alias("fingerprint"),
+        "n_chars",
+        "n_tokens",
+        "n_bpe_tokens",
+        F.round(
+            (F.col("n_chars") - (F.col("n_tokens") - 1)) / n_tokens_f, 6
+        ).alias("avg_token_len"),
+        F.round(raw_punct, 6).alias("punct_ratio"),
+        F.round(raw_stop, 6).alias("stopword_ratio"),
+        F.round(
+            (
+                F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+                + F.least(raw_stop * 4.0, F.lit(1.0))
+                + F.greatest(F.lit(1.0) - raw_punct * 10.0, F.lit(0.0))
+            )
+            / 3.0,
+            6,
+        ).alias("quality_score"),
+        lang_pred.alias("lang_pred"),
+        "fingerprint",
     )

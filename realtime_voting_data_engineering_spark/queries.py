@@ -531,6 +531,7 @@ def revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARTITION BY o_orderpriority
         ORDER BY o_totalprice DESC, o_orderkey) <= 5
     """,
+    headline=True,
     tags=("window", "topk"),
 )
 def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -136,7 +136,7 @@ FROM feat
 """
 
 
-@register("text_profile", _TEXT_PROFILE_ORACLE, tags=("text", "northstar"))
+@register("text_profile", _TEXT_PROFILE_ORACLE, headline=True, tags=("text", "northstar"))
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis: char/token/BPE-ish counts, punct and
     stopword ratios, composite quality score, marker-based language ID,
@@ -178,6 +178,7 @@ def ngram_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_lsh_dedup",
     _minhash_oracle(num_hashes=16, bands=4, threshold=0.5),
+    headline=True,
     tags=("dedup", "northstar"),
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -364,6 +364,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 20
     """,
+    headline=True,
     tags=("join", "semi", "agg", "tpch"),
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
