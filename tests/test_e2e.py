@@ -95,6 +95,45 @@ def test_full_pipeline(spark, world, tmp_path):
     assert served == expected_cand
 
 
+def test_results_page_matches_pandas_oracle_over_grid(spark):
+    """T2/T3 parity grid: results_page must equal the reference
+    dashboard's exact pandas semantics (sort_values then
+    iloc[(page-1)*size : page*size], streamlit-app.py:70-77) for every
+    (direction, page size, page) combination — including ties on the
+    sort column (broken by the unique key) and pages past the end."""
+    import pandas as pd
+
+    from realtime_voting_data_engineering_spark import serving as V
+
+    # 23 rows with heavy ties on the sort column to stress tiebreaks.
+    rows = [(f"cand-{i:02d}", i % 5) for i in range(23)]
+    totals = spark.createDataFrame(rows, "candidate_id string, total_votes int")
+    oracle = pd.DataFrame(rows, columns=["candidate_id", "total_votes"])
+
+    for ascending in (True, False):
+        expected_full = oracle.sort_values(
+            ["total_votes", "candidate_id"], ascending=[ascending, True]
+        ).reset_index(drop=True)
+        for page_size in (1, 3, 7, 50):
+            n_pages = (len(rows) + page_size - 1) // page_size
+            for page in range(1, n_pages + 2):  # +1: one page past the end
+                got = [
+                    (r.candidate_id, r.total_votes)
+                    for r in V.results_page(
+                        totals, "total_votes", ascending, page, page_size
+                    ).collect()
+                ]
+                exp = list(
+                    expected_full.iloc[
+                        (page - 1) * page_size : page * page_size
+                    ].itertuples(index=False, name=None)
+                )
+                assert got == exp, (
+                    f"asc={ascending} size={page_size} page={page}: "
+                    f"{got} != {exp}"
+                )
+
+
 def test_serving_views(spark, world):
     from realtime_voting_data_engineering_spark import serving as V
 
