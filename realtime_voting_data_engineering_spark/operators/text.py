@@ -108,6 +108,76 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best == 0, F.lit("und")).otherwise(result)
 
 
+def with_lang_pred(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Append the lang-ID argmax as a column via staged projections.
+    The composed ``lang_id`` expression references the token array ~25×
+    (once per language score per CASE branch) and Catalyst does not CSE
+    inside a projection — this computes the lowered token array and each
+    language score exactly once per row. Same formula/tiebreak as
+    ``lang_id``."""
+    ltoks = F.col("__ltoks")
+    staged = (
+        df.withColumn("__ltoks", F.transform(tokens(text_col), F.lower))
+        .withColumns(
+            {
+                f"__s_{lang}": F.size(
+                    F.filter(ltoks, lambda t: t.isin(*markers))
+                )
+                for lang, markers in LANG_MARKERS.items()
+            }
+        )
+        .withColumn(
+            "__best", F.greatest(*[F.col(f"__s_{lg}") for lg in LANG_MARKERS])
+        )
+    )
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(
+            F.col(f"__s_{lang}") == F.col("__best"), F.lit(lang)
+        ).otherwise(pred)
+    pred = F.when(F.col("__best") == 0, F.lit("und")).otherwise(pred)
+    return staged.withColumn(out_col, pred).drop(
+        "__ltoks", "__best", *[f"__s_{lg}" for lg in LANG_MARKERS]
+    )
+
+
+def with_quality_score(
+    df: DataFrame, text_col: str = "text", out_col: str = "quality_score"
+) -> DataFrame:
+    """Append the quality score as a column via staged projections —
+    the composed ``quality_score`` expression re-tokenizes per term.
+    Same formula as ``quality_score``."""
+    col = F.col(text_col)
+    toks = F.col("__toks_q")
+    staged = (
+        df.withColumn("__toks_q", tokens(text_col))
+        .withColumn(
+            "__n_stop_q",
+            F.size(
+                F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+            ),
+        )
+        .withColumn("__n_punct_q", F.regexp_count(col, F.lit(_PUNCT_PATTERN)))
+    )
+    n_tokens_f = F.greatest(F.size(toks), F.lit(1))
+    raw_stop = F.col("__n_stop_q") / n_tokens_f
+    raw_punct = F.col("__n_punct_q") / F.greatest(F.length(col), F.lit(1))
+    score = F.round(
+        (
+            F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+            + F.least(raw_stop * 4.0, F.lit(1.0))
+            + F.greatest(F.lit(1.0) - raw_punct * 10.0, F.lit(0.0))
+        )
+        / 3.0,
+        6,
+    )
+    return staged.withColumn(out_col, score).drop(
+        "__toks_q", "__n_stop_q", "__n_punct_q"
+    )
+
+
 def normalized_text(text: Column | str) -> Column:
     """Canonical form for exact-dup fingerprinting: lowercase, collapse
     whitespace runs, trim."""

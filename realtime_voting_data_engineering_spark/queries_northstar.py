@@ -349,7 +349,7 @@ def language_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions; group cardinality is |langs|²."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("lang", X.lang_id("text").alias("lang_pred"))
+        X.with_lang_pred(docs.select("lang", "text"))
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -390,9 +390,9 @@ def quality_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     is linear+clamp arithmetic (bit-portable), so bucket edges agree
     across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        F.col("n_chars"), X.quality_score("text").alias("q")
-    )
+    scored = X.with_quality_score(
+        docs.select("n_chars", "text"), out_col="q"
+    ).select("n_chars", "q")
     return (
         scored.groupBy(
             F.least(F.floor(F.col("q") * 10), F.lit(9)).cast("bigint").alias("bucket")
