@@ -293,11 +293,16 @@ def knn_ann(
     )
     qb = _banded(q, "sig", planes, bands).drop("sig")
     cb = _banded(c, "sig", planes, bands).drop("sig")
+    # Dedup bucket-mates on the id pair, NOT on rows carrying the two
+    # vectors — distinct() would shuffle-compare full float arrays as
+    # keys; grouping by the int pair keys the shuffle on 16 bytes and
+    # carries each vector once as a value (first() over identical
+    # per-id vectors is deterministic).
     cands = (
         qb.join(cb, ["band_idx", "chunk"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
-        .distinct()
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("q_vec").alias("q_vec"), F.first("c_vec").alias("c_vec"))
     )
     scored = cands.select(
         "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos")
