@@ -1,0 +1,55 @@
+"""Driver-contract simulation: the grading driver imports
+``__spark_entry__`` in its own process with a VANILLA SparkSession (none
+of our session confs) and hash-compares every oracled query against
+DuckDB. The rest of the suite runs under the configured session, which
+can mask session-dependent drift (timezone handling, legacy-parquet
+flags) — round 1's only red row was exactly such a gap. This test runs
+the same compare in a fresh subprocess with a vanilla session.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import importlib.util, sys
+sys.path.insert(0, "/root/repo")
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", "/root/repo/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+from pyspark.sql import SparkSession
+from realtime_voting_data_engineering_spark import queries as Q
+from tests.oracle_harness import compare_query
+
+spark = SparkSession.builder.master("local[8]").getOrCreate()  # vanilla
+spark.sparkContext.setLogLevel("ERROR")
+SF = "/root/testdata/sf0.001"
+fails = []
+for name, spec_ in Q.REGISTRY.items():
+    if spec_.oracle is None:
+        continue
+    try:
+        compare_query(spark, name, spec_.fn, spec_.oracle, SF)
+    except Exception as e:  # noqa: BLE001
+        fails.append(f"{name}: {e}")
+for f in fails:
+    print("FAIL", f)
+print("DRIVER_SIM_RESULT", len(fails))
+"""
+
+
+def test_all_oracles_match_under_vanilla_session():
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        cwd="/tmp",  # not the repo root — catches path-dependent imports
+        timeout=1800,
+    )
+    out = proc.stdout
+    assert "DRIVER_SIM_RESULT 0" in out, (
+        f"vanilla-session oracle compare failed:\n{out[-4000:]}\n"
+        f"stderr tail:\n{proc.stderr[-2000:]}"
+    )
