@@ -108,6 +108,48 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best == 0, F.lit("und")).otherwise(result)
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding token-window chunking — the standard LLM-ingest shape:
+    chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk is short rather than
+    padded, and every token is covered. Output one row per (doc, chunk):
+    (id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Pure expressions over a staged token projection (explode of a
+    sequence + array slice) — no shuffle, corpus-linear, and the row
+    amplification is bounded by ~n_tokens/stride. Arithmetic is small-int
+    exact so a DuckDB oracle replays it bit-for-bit. Empty/whitespace
+    text yields one empty chunk (SQL split semantics: the empty token)."""
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    toks = F.col("__toks")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - chunk_tokens) / F.lit(stride)).cast("int")
+    )
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    exploded = staged.select(
+        F.col(id_col),
+        toks,
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        toks, F.col("chunk_idx") * stride + 1, F.lit(chunk_tokens)
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )
+
+
 def with_lang_pred(
     df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
 ) -> DataFrame:

@@ -144,6 +144,46 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.text_profile(load_table(spark, sf_dir, "documents"))
 
 
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+_CHUNK_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+meta AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= {_CHUNK_TOKENS} THEN 1
+              ELSE 1 + CAST(ceil((len(w) - {_CHUNK_TOKENS}) * 1.0
+                                 / {_CHUNK_STRIDE}) AS INT) END AS n_chunks
+  FROM toks),
+idx AS (
+  SELECT doc_id, w, UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM meta)
+SELECT doc_id, chunk_idx,
+       array_to_string(
+         array_slice(w, chunk_idx * {_CHUNK_STRIDE} + 1,
+                        chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}), ' ')
+           AS chunk_text,
+       len(array_slice(w, chunk_idx * {_CHUNK_STRIDE} + 1,
+                          chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}))
+           AS n_chunk_tokens
+FROM idx
+"""
+
+
+@register("document_chunks", _CHUNK_ORACLE, tags=("text", "chunking", "northstar"))
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-token chunks, 8-token
+    overlap) — the LLM-ingest preprocessing step between cleaning and
+    embedding. One row per chunk; corpus-linear explode, no shuffle;
+    the DuckDB oracle replays the identical slice arithmetic."""
+    return X.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
 @register(
     "doc_fingerprint_clusters",
     r"""

@@ -69,6 +69,42 @@ def test_simhash_is_deterministic(spark, sf_dir):
     assert t1 == t2
 
 
+def test_chunking_covers_every_token_with_declared_overlap(spark, sf_dir):
+    """Reassembling chunks must reproduce the exact token sequence:
+    chunk i starts at i*stride, overlaps its predecessor by `overlap`
+    tokens, the last chunk is short (never padded), and dropping each
+    chunk's leading overlap (except the first) concatenates back to the
+    original tokens."""
+    from realtime_voting_data_engineering_spark.operators import text as X
+
+    chunk_tokens, overlap = 32, 8
+    stride = chunk_tokens - overlap
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    chunks = {}
+    for r in X.chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_idx] = (
+            r.chunk_text,
+            r.n_chunk_tokens,
+        )
+    originals = {r.doc_id: r.text.strip().split() for r in docs.collect()}
+    assert set(chunks) == set(originals)
+    for doc_id, toks in originals.items():
+        by_idx = chunks[doc_id]
+        assert sorted(by_idx) == list(range(len(by_idx)))
+        rebuilt: list[str] = []
+        for i in range(len(by_idx)):
+            text_i, n_i = by_idx[i]
+            piece = text_i.split(" ") if text_i else [""]
+            assert piece == toks[i * stride : i * stride + chunk_tokens] or (
+                toks == [] and piece == [""]
+            )
+            assert n_i == len(piece)
+            rebuilt.extend(piece if i == 0 else piece[overlap:])
+        assert rebuilt == (toks if toks else [""])
+
+
 def test_exact_dedup_keeps_one_row_per_key(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     deduped = D.exact_dedup(events, ["user_id", "event_type"])
