@@ -142,6 +142,62 @@ def near_dup_embeddings_srp(
     )
 
 
+def quantize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard 4×
+    storage/bandwidth reduction before indexing at scale: scale =
+    max|x|/127, q_i = round(x_i/scale) ∈ [-127, 127]. Returns
+    (id, scale, qvec array<tinyint>, max_abs_err) where max_abs_err is
+    the exact per-vector dequantization error (≤ scale/2 by
+    construction — asserted in tests).
+
+    Expression-only over staged projections (max-abs, scale, and qvec
+    each computed once — see the CSE note on ``text_profile``); all
+    arithmetic is IEEE double and round-half-away-from-zero in both
+    Spark and DuckDB, so the oracle replays it bit-for-bit. All-zero
+    vectors quantize to zeros with scale 0 and error 0."""
+    vec = F.col(vec_col)
+    scale = F.col("scale")
+    staged = (
+        corpus.select(F.col(id_col), vec)
+        .withColumn(
+            "__maxabs",
+            F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))),
+        )
+        .withColumn("scale", F.col("__maxabs") / F.lit(127.0))
+        .withColumn(
+            "qvec",
+            F.when(
+                F.col("__maxabs") == 0,
+                F.transform(vec, lambda x: F.lit(0).cast("tinyint")),
+            ).otherwise(
+                F.transform(
+                    vec,
+                    lambda x: F.round(x.cast("double") / scale).cast("tinyint"),
+                )
+            ),
+        )
+        .withColumn(
+            "max_abs_err",
+            F.when(F.col("__maxabs") == 0, F.lit(0.0)).otherwise(
+                F.array_max(
+                    F.zip_with(
+                        F.col("qvec"),
+                        vec,
+                        lambda q, x: F.abs(
+                            q.cast("double") * scale - x.cast("double")
+                        ),
+                    )
+                )
+            ),
+        )
+    )
+    return staged.select(id_col, "scale", "qvec", "max_abs_err")
+
+
 def srp_hyperplanes(dims: int, planes: int):
     """Deterministic pseudo-random hyperplane matrix (planes, dims), each
     component in [-0.5, 0.5): md5('<plane>:<dim>') first 8 hex chars as a

@@ -304,6 +304,42 @@ def embedding_near_dup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.near_dup_embeddings_srp(emb, dims=64, threshold=0.4)
 
 
+_QUANT_ORACLE = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+             AS maxabs
+  FROM embeddings),
+s AS (SELECT vec_id, embedding, maxabs, maxabs / 127.0 AS scale FROM m),
+q AS (
+  SELECT vec_id, embedding, maxabs, scale,
+         CASE WHEN maxabs = 0
+              THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+              ELSE list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) / scale) AS TINYINT))
+         END AS qvec
+  FROM s)
+SELECT vec_id, scale, qvec,
+       CASE WHEN maxabs = 0 THEN 0.0
+            ELSE list_max(list_transform(list_zip(qvec, embedding),
+                   p -> abs(CAST(p[1] AS DOUBLE) * scale
+                            - CAST(p[2] AS DOUBLE))))
+       END AS max_abs_err
+FROM q
+"""
+
+
+@register(
+    "embedding_quantization", _QUANT_ORACLE, tags=("similarity", "northstar")
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus
+    with exact dequantization error — the 4× storage-reduction step
+    before indexing. IEEE-exact in both engines → full oracle replay
+    including the int8 arrays."""
+    return S.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("knn_ann_srp", None, tags=("similarity", "northstar"))
 def knn_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via sign-random-projection LSH (16 planes, 4

@@ -94,6 +94,26 @@ def test_srp_candidates_are_symmetric_free(spark, sf_dir):
     assert len(seen) == len(pairs)
 
 
+def test_quantization_error_bound_and_range(spark, sf_dir):
+    """int8 symmetric quantization: every code in [-127, 127], the max
+    element maps to ±127 exactly, and the dequantization error is ≤
+    scale/2 (+fp eps) per construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = S.quantize_embeddings(emb).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        if r.scale > 0:
+            assert max(abs(q) for q in r.qvec) == 127
+            assert r.max_abs_err <= r.scale / 2 + 1e-12, (
+                r.vec_id,
+                r.max_abs_err,
+                r.scale,
+            )
+        else:
+            assert r.max_abs_err == 0.0
+
+
 def test_srp_near_dup_recall_and_precision(spark, sf_dir):
     """The SRP-fronted near-dup pipeline vs the all-pairs exact form:
     no false positives ever (verification is exact cosine), and recall
