@@ -92,12 +92,18 @@ def main() -> None:
         for fn in Q.headline_queries().values():
             fn(spark, warm_dir).collect()
 
+    # Min of 3 runs per query: steady-state latency, robust to GC/OS
+    # noise (a single noisy run must not read as a 2× regression).
     timings: dict[str, float] = {}
     for name, fn in Q.headline_queries().items():
-        start = time.perf_counter()
+        best = None
         try:
-            fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - start, 4)
+            for _ in range(3):
+                start = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                elapsed = time.perf_counter() - start
+                best = elapsed if best is None else min(best, elapsed)
+            timings[name] = round(best, 4)
         except Exception as exc:  # one broken query must not kill the bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
