@@ -22,6 +22,75 @@ from realtime_voting_data_engineering_spark.sources.tables import (
 
 
 @register(
+    "activation_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
+    s4 AS (
+      SELECT e.user_id, min(e.ts) AS t4
+      FROM events e JOIN s3 ON e.user_id = s3.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id)
+    SELECT 'signup' AS stage, count(*) AS n_users FROM s1
+    UNION ALL SELECT 'view', count(*) FROM s2
+    UNION ALL SELECT 'click', count(*) FROM s3
+    UNION ALL SELECT 'purchase', count(*) FROM s4
+    """,
+    tags=("funnel", "sequence", "join", "agg"),
+)
+def activation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users reaching each stage of
+    signup → view → click → purchase with strictly increasing event
+    times. Decorrelated to cascaded earliest-qualifying-time aggregates:
+    each stage joins the previous stage's (user, time) frame and takes
+    the min later timestamp — no per-row subqueries, and every shuffle
+    is keyed on user_id so the exchanges co-locate stage over stage.
+    The stage frames shrink monotonically; Catalyst/AQE broadcasts them
+    as they fall under the threshold."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+
+    def stage_after(prev: DataFrame, prev_t: str, etype: str, t: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(t))
+        )
+
+    s1 = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = stage_after(s1, "t1", "view", "t2")
+    s3 = stage_after(s2, "t2", "click", "t3")
+    s4 = stage_after(s3, "t3", "purchase", "t4")
+
+    def counted(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(stage).alias("stage"), "n_users"
+        )
+
+    return (
+        counted(s1, "signup")
+        .unionByName(counted(s2, "view"))
+        .unionByName(counted(s3, "click"))
+        .unionByName(counted(s4, "purchase"))
+    )
+
+
+@register(
     "distinct_counts",
     """
     SELECT count(DISTINCT user_id) AS n_users,

@@ -340,6 +340,16 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("knn_quantized", None, tags=("similarity", "northstar"))
+def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors scored directly against the int8-quantized corpus
+    (4× smaller scan, int-code matmul + per-row scale). Approximate only
+    by quantization error → rows-only driver check; pytest measures
+    recall vs the float brute-force path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_quantized(emb.filter(F.col("vec_id") < 10).limit(10), emb, k=5)
+
+
 @register("knn_ann_srp", None, tags=("similarity", "northstar"))
 def knn_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via sign-random-projection LSH (16 planes, 4

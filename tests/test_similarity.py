@@ -94,6 +94,23 @@ def test_srp_candidates_are_symmetric_free(spark, sf_dir):
     assert len(seen) == len(pairs)
 
 
+def test_quantized_knn_recall_vs_float_path(spark, sf_dir):
+    """int8 quantization perturbs each component by ≤ scale/2, so the
+    quantized top-k should almost always agree with the float top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).limit(10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_brute_force(queries, emb, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_quantized(queries, emb, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"quantized knn recall {recall:.3f}"
+
+
 def test_quantization_error_bound_and_range(spark, sf_dir):
     """int8 symmetric quantization: every code in [-127, 127], the max
     element maps to ±127 exactly, and the dequantization error is ≤
