@@ -71,6 +71,47 @@ def test_shingles_match_python_model(spark, text):
     assert sorted(set(got or [])) == expected
 
 
+def test_staged_text_features_equal_composed_spec(spark, sf_dir):
+    """The composed column helpers (lang_id, quality_score, ratios) are
+    the executable SPEC; the staged projections used in the hot paths
+    (text_profile, with_lang_pred, with_quality_score) are the fast
+    form. They must agree row-for-row on the corpus — this pins every
+    future staging refactor to the spec."""
+    from pyspark.sql import functions as F
+
+    from realtime_voting_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    spec_rows = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            X.lang_id("text").alias("lang_pred"),
+            X.quality_score("text").alias("quality_score"),
+            F.round(X.stopword_ratio("text"), 6).alias("stopword_ratio"),
+            F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+            F.round(X.avg_token_len("text"), 6).alias("avg_token_len"),
+        ).collect()
+    }
+    fast_rows = {r.doc_id: r for r in X.text_profile(docs).collect()}
+    lang_fast = {
+        r.doc_id: r.lang_pred
+        for r in X.with_lang_pred(docs.select("doc_id", "text")).collect()
+    }
+    q_fast = {
+        r.doc_id: r.quality_score
+        for r in X.with_quality_score(docs.select("doc_id", "text")).collect()
+    }
+    assert set(spec_rows) == set(fast_rows)
+    for doc_id, spec in spec_rows.items():
+        fast = fast_rows[doc_id]
+        assert spec.lang_pred == fast.lang_pred == lang_fast[doc_id], doc_id
+        assert spec.quality_score == fast.quality_score == q_fast[doc_id], doc_id
+        assert spec.stopword_ratio == fast.stopword_ratio, doc_id
+        assert spec.punct_ratio == fast.punct_ratio, doc_id
+        assert spec.avg_token_len == fast.avg_token_len, doc_id
+
+
 @given(rows=st.lists(
     st.tuples(st.integers(0, 5), st.sampled_from(["a", "b", "c"])),
     min_size=0, max_size=40))
