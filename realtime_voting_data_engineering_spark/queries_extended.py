@@ -49,44 +49,39 @@ from realtime_voting_data_engineering_spark.sources.tables import (
 def activation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel: users reaching each stage of
     signup → view → click → purchase with strictly increasing event
-    times. Decorrelated to cascaded earliest-qualifying-time aggregates:
-    each stage joins the previous stage's (user, time) frame and takes
-    the min later timestamp — no per-row subqueries, and every shuffle
-    is keyed on user_id so the exchanges co-locate stage over stage.
-    The stage frames shrink monotonically; Catalyst/AQE broadcasts them
-    as they fall under the threshold."""
-    events = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
+    times. ONE scan of events and ONE shuffle: four stacked per-user
+    window minima over the same partitioning (each stage's earliest
+    qualifying time references the previous stage's column, and the
+    shared ``partitionBy(user_id)`` means the later window passes reuse
+    the first exchange), then a per-user collapse and a global non-null
+    count per stage. The oracle states the same semantics as cascaded
+    join CTEs — same result, different (worse-at-scale) plan shape."""
+    stages = ["signup", "view", "click", "purchase"]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*stages))
+        .select("user_id", "event_type", "ts")
     )
-
-    def stage_after(prev: DataFrame, prev_t: str, etype: str, t: str) -> DataFrame:
-        return (
-            events.filter(F.col("event_type") == etype)
-            .join(prev, "user_id")
-            .filter(F.col("ts") > F.col(prev_t))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(t))
+    w = Window.partitionBy("user_id")
+    t_prev = None
+    staged = ev
+    for i, etype in enumerate(stages, start=1):
+        qual = F.col("event_type") == etype
+        if t_prev is not None:
+            qual = qual & (F.col("ts") > F.col(t_prev))
+        staged = staged.withColumn(
+            f"t{i}", F.min(F.when(qual, F.col("ts"))).over(w)
         )
-
-    s1 = (
-        events.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        t_prev = f"t{i}"
+    per_user = staged.groupBy("user_id").agg(
+        *[F.max(f"t{i}").alias(f"t{i}") for i in range(1, 5)]
     )
-    s2 = stage_after(s1, "t1", "view", "t2")
-    s3 = stage_after(s2, "t2", "click", "t3")
-    s4 = stage_after(s3, "t3", "purchase", "t4")
-
-    def counted(df: DataFrame, stage: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(stage).alias("stage"), "n_users"
-        )
-
-    return (
-        counted(s1, "signup")
-        .unionByName(counted(s2, "view"))
-        .unionByName(counted(s3, "click"))
-        .unionByName(counted(s4, "purchase"))
+    counts = per_user.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(1, 5)]
+    )
+    return counts.selectExpr(
+        "stack(4, 'signup', n1, 'view', n2, 'click', n3, 'purchase', n4) "
+        "AS (stage, n_users)"
     )
 
 
