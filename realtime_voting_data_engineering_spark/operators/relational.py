@@ -15,6 +15,52 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def hash_fraction(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform fraction in [0, 1) from a key: the first 8
+    hex chars of md5(salt|key) as a 32-bit fraction. Unlike Spark's
+    seed-based ``.sample()`` (whose output depends on partitioning),
+    hash-based selection is stable under repartitioning, reproducible
+    across engines (md5 is portable → SQL oracles replay it), and
+    consistent across tables sharing the key — the properties a
+    training-data pipeline needs from its sampling."""
+    col = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))), 1, 8),
+        16,
+        10,
+    )
+    return h.cast("double") / F.lit(float(2**32))
+
+
+def deterministic_sample(
+    df: DataFrame, key: Column | str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose ``hash_fraction(key)`` < fraction — a stable,
+    engine-portable row sample. Pure filter: pushes below joins when the
+    key is scan-side, costs no shuffle."""
+    return df.filter(hash_fraction(key, salt) < fraction)
+
+
+def hash_split(
+    df: DataFrame,
+    key: Column | str,
+    bounds: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label each row with a deterministic split (e.g. train/val/test)
+    by where its hash fraction falls among cumulative ``bounds`` (upper
+    bounds in (0, 1], ordered dict, last must be 1.0). Same key → same
+    split, forever, on any engine or partitioning."""
+    ordered = list(bounds.items())
+    assert abs(ordered[-1][1] - 1.0) < 1e-12, "last bound must be 1.0"
+    frac = hash_fraction(key, salt)
+    expr = F.lit(ordered[-1][0])
+    for name, upper in reversed(ordered[:-1]):
+        expr = F.when(frac < upper, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def grouped_sum(
     df: DataFrame,
     keys: Sequence[str],

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from realtime_voting_data_engineering_spark.operators import dedup as D
 from realtime_voting_data_engineering_spark.operators import multimodal as M
+from realtime_voting_data_engineering_spark.operators import relational as R
 from realtime_voting_data_engineering_spark.operators import similarity as S
 from realtime_voting_data_engineering_spark.operators import text as X
 from realtime_voting_data_engineering_spark.queries import register
@@ -302,6 +303,64 @@ def embedding_near_dup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures recall against the all-pairs form."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.near_dup_embeddings_srp(emb, dims=64, threshold=0.4)
+
+
+_HASH_FRAC_SQL = (
+    "CAST(CAST(concat('0x', substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)),"
+    " 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0"
+)
+
+
+@register(
+    "deterministic_doc_sample",
+    f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE {_HASH_FRAC_SQL.format(salt='sample')} < 0.1
+    """,
+    tags=("sampling", "northstar"),
+)
+def deterministic_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic document sample by md5(doc_id) fraction —
+    stable under repartitioning and identical in any engine (unlike
+    seed-based .sample(), whose output depends on physical
+    partitioning). Pure pushdown-friendly filter, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.deterministic_sample(docs, "doc_id", 0.1, salt="sample").select(
+        "doc_id", "n_chars"
+    )
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    WITH labeled AS (
+      SELECT n_chars,
+             CASE WHEN {_HASH_FRAC_SQL.format(salt='split')} < 0.8 THEN 'train'
+                  WHEN {_HASH_FRAC_SQL.format(salt='split')} < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM labeled GROUP BY split
+    """,
+    tags=("sampling", "northstar"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hashed key:
+    same doc_id → same split forever, on any engine or partitioning —
+    the reproducibility contract a training pipeline needs. Output is
+    the per-split count/volume summary."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = R.hash_split(
+        docs,
+        "doc_id",
+        {"train": 0.8, "val": 0.9, "test": 1.0},
+        salt="split",
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
 
 
 _QUANT_ORACLE = """

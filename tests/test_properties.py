@@ -71,6 +71,39 @@ def test_shingles_match_python_model(spark, text):
     assert sorted(set(got or [])) == expected
 
 
+def test_hash_sampling_is_partition_stable_and_split_is_total(spark, sf_dir):
+    """The sampling contract: hash-based selection must not change under
+    repartitioning (seed-based .sample() does); splits must be disjoint,
+    exhaustive, and within loose tolerance of the 80/10/10 design."""
+    from realtime_voting_data_engineering_spark.operators import relational as R
+    from realtime_voting_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = {r.doc_id for r in R.deterministic_sample(docs, "doc_id", 0.1).collect()}
+    s2 = {
+        r.doc_id
+        for r in R.deterministic_sample(
+            docs.repartition(13, "source"), "doc_id", 0.1
+        ).collect()
+    }
+    assert s1 == s2 and s1, "sample must be identical under repartitioning"
+
+    labeled = R.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.9, "test": 1.0}
+    )
+    counts = {
+        r.split: r.n
+        for r in labeled.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = docs.count()
+    assert sum(counts.values()) == total  # exhaustive + disjoint by construction
+    assert abs(counts["train"] / total - 0.8) < 0.05
+    assert abs(counts.get("val", 0) / total - 0.1) < 0.04
+    assert abs(counts.get("test", 0) / total - 0.1) < 0.04
+
+
 def test_staged_text_features_equal_composed_spec(spark, sf_dir):
     """The composed column helpers (lang_id, quality_score, ratios) are
     the executable SPEC; the staged projections used in the hot paths
