@@ -86,6 +86,113 @@ def activation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weekly_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                            CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                  AS BIGINT) AS weeks_since
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_week, weeks_since, count(*) AS n_active_users
+    FROM activity GROUP BY cohort_week, weeks_since
+    """,
+    tags=("cohort", "window-time", "agg"),
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the week of their first event,
+    counted in each subsequent week they were active — the classic
+    retention triangle. Two shuffles, both on user_id (first-week
+    aggregate, then dedup of (user, week)); the final rollup groups a
+    frame of |users|·|weeks| at most. weeks_since is exact integer date
+    arithmetic, portable to the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
+@register(
+    "data_quality_report",
+    """
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+             count(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_custkey,
+             count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS null_orderdate,
+             count(CASE WHEN o_totalprice <= 0 THEN 1 END)
+                 AS nonpositive_totalprice,
+             count(*) - count(DISTINCT o_orderkey) AS duplicate_pk
+      FROM orders),
+    orph AS (
+      SELECT count(*) AS fk_orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL)
+    SELECT 'n_rows' AS check_name, n_rows AS value FROM agg
+    UNION ALL SELECT 'null_custkey', null_custkey FROM agg
+    UNION ALL SELECT 'null_orderdate', null_orderdate FROM agg
+    UNION ALL SELECT 'nonpositive_totalprice', nonpositive_totalprice FROM agg
+    UNION ALL SELECT 'duplicate_pk', duplicate_pk FROM agg
+    UNION ALL SELECT 'fk_orphans', fk_orphans FROM orph
+    """,
+    tags=("quality", "agg", "anti"),
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality report over the orders table:
+    null checks, domain check, primary-key uniqueness, and foreign-key
+    orphans vs customer — the validation pass a pipeline runs before
+    training/serving consumes a table. Row-local checks share ONE
+    aggregate pass (conditional counts — count(when(...)) stays BIGINT
+    in both engines, avoiding DuckDB's SUM→HUGEINT widening); the FK
+    check is a left-anti count; output is long-format (check, value)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias(
+            "null_orderdate"
+        ),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "nonpositive_totalprice"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "duplicate_pk"
+        ),
+    )
+    orphans = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("fk_orphans"))
+    return agg.crossJoin(orphans).selectExpr(
+        "stack(6, 'n_rows', n_rows, 'null_custkey', null_custkey, "
+        "'null_orderdate', null_orderdate, "
+        "'nonpositive_totalprice', nonpositive_totalprice, "
+        "'duplicate_pk', duplicate_pk, 'fk_orphans', fk_orphans) "
+        "AS (check_name, value)"
+    )
+
+
+@register(
     "distinct_counts",
     """
     SELECT count(DISTINCT user_id) AS n_users,
