@@ -79,6 +79,32 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, two_tables):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_ivf_index_at_rest_prunes_probed_clusters(spark, sf_dir, tmp_path):
+    """The IVF index as an at-rest layout: vectors written partitioned
+    by their inverted-list id. A probe query filtering on the nprobe
+    nearest clusters must prune the other partitions at planning time —
+    at 100 TB a probe reads nprobe/n_centroids of the corpus off disk,
+    not all of it."""
+    from realtime_voting_data_engineering_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = S.ivf_train_centroids(emb, n_centroids=8)
+    assigned = S.ivf_assign(emb, cent)
+    path = str(tmp_path / "ivf_index")
+    L.write_partitioned(assigned, path, ("cluster",))
+
+    probes = [0, 3]
+    df = spark.read.parquet(path).filter(F.col("cluster").isin(probes))
+    plan = plan_of(df)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and any("cluster" in l for l in part_lines), plan[:800]
+    expected = {
+        r.vec_id for r in assigned.filter(F.col("cluster").isin(probes)).collect()
+    }
+    got = {r.vec_id for r in df.collect()}
+    assert got == expected and got
+
+
 def test_partitioned_write_prunes_at_plan_time(spark, sf_dir, tmp_path):
     events = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.to_date("ts")
