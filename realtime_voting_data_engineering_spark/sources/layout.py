@@ -55,3 +55,90 @@ def bucketed_join_ready(spark: SparkSession, left: str, right: str) -> bool:
     enforced by Spark at plan time — matching keys and bucket counts
     yield exchange-free joins)."""
     return spark.catalog.tableExists(left) and spark.catalog.tableExists(right)
+
+
+# --- staged-swap maintenance (crash-safe in-place rewrites) -----------------
+
+
+def _hadoop(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    mk = jvm.org.apache.hadoop.fs.Path
+    fs = mk(path).getFileSystem(conf)
+    return fs, mk
+
+
+def read_current(spark: SparkSession, target_path: str) -> DataFrame | None:
+    """Current state of a staged-swap-maintained parquet dir: the target,
+    or — if a previous rewrite crashed mid-swap — the newest __old/__stage
+    snapshot left behind. None if nothing readable exists yet."""
+    fs, mk = _hadoop(spark, target_path)
+    candidates = [target_path]
+    for suffix in ("__old_epoch", "__stage_epoch"):
+        stats = fs.globStatus(mk(f"{target_path}{suffix}*"))
+        if stats:
+            paths = sorted(
+                (s.getPath().toString() for s in stats),
+                key=lambda p: int(p.rsplit("epoch", 1)[1]),
+            )
+            candidates.append(paths[-1])
+    for path in candidates:
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            continue
+    return None
+
+
+def staged_swap_write(df: DataFrame, target_path: str, epoch_id: int) -> None:
+    """Rewrite ``target_path`` with ``df`` WITHOUT overwriting files the
+    plan may still be reading: fully materialize to a stage path (its
+    scan reads the OLD target, which nothing is deleting), then swap
+    directories with two renames — atomic on HDFS/local filesystems; on
+    object stores use a transactional table format instead. Leftover
+    snapshots from this or earlier crashed rewrites are cleaned on
+    success; ``read_current`` recovers from a crash between the renames."""
+    spark = df.sparkSession
+    fs, mk = _hadoop(spark, target_path)
+    stage = f"{target_path}__stage_epoch{epoch_id}"
+    old = f"{target_path}__old_epoch{epoch_id}"
+    df.write.mode("overwrite").parquet(stage)
+    if fs.exists(mk(target_path)):
+        fs.rename(mk(target_path), mk(old))
+    fs.rename(mk(stage), mk(target_path))
+    for suffix in ("__old_epoch", "__stage_epoch"):
+        for s in fs.globStatus(mk(f"{target_path}{suffix}*")):
+            fs.delete(s.getPath(), True)
+
+
+def dataset_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes of the parquet files under ``path`` (recursive)."""
+    fs, mk = _hadoop(spark, path)
+    total = 0
+    it = fs.listFiles(mk(path), True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    return total
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    epoch_id: int = 0,
+) -> int:
+    """Small-file compaction — the maintenance pass every streaming sink
+    needs: micro-batches fragment a dataset into files far smaller than
+    a scan-efficient split, and at 100 TB file-count, not byte-count,
+    becomes the scan/list bottleneck. Rewrites the dataset into
+    ``ceil(bytes / target_file_bytes)`` files via the crash-safe staged
+    swap. Returns the output file count. Row-group-aligned ~128 MB files
+    are the parquet sweet spot for both scan parallelism and footer
+    overhead."""
+    total = dataset_bytes(spark, path)
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    staged_swap_write(df.repartition(n_files), path, epoch_id)
+    return n_files

@@ -244,62 +244,25 @@ def foreach_batch_upsert(
 ):
     """S6-equivalent idempotent sink: a ``foreachBatch`` function that
     MERGEs each micro-batch into a parquet table as latest-per-key
-    (read-union-compact-overwrite; with a transactional table format
-    this becomes a real MERGE INTO — the pattern is the deliverable).
+    (read-union-compact-rewrite; with a transactional table format this
+    becomes a real MERGE INTO — the pattern is the deliverable).
     Idempotent under micro-batch replay, so exactly-once end-to-end with
-    checkpointed source offsets."""
-
-    def _hadoop(spark):
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        mk = jvm.org.apache.hadoop.fs.Path
-        fs = mk(target_path).getFileSystem(conf)
-        return fs, mk
-
-    def _read_existing(spark) -> DataFrame | None:
-        """Current state: the target, or — if a previous batch crashed
-        mid-swap — the newest __old/__stage snapshot left behind."""
-        fs, mk = _hadoop(spark)
-        candidates = [target_path]
-        for suffix in ("__old_epoch", "__stage_epoch"):
-            stats = fs.globStatus(mk(f"{target_path}{suffix}*"))
-            if stats:
-                paths = sorted(
-                    (s.getPath().toString() for s in stats),
-                    key=lambda p: int(p.rsplit("epoch", 1)[1]),
-                )
-                candidates.append(paths[-1])
-        for path in candidates:
-            try:
-                return spark.read.parquet(path)
-            except Exception:
-                continue
-        return None
+    checkpointed source offsets. The rewrite goes through the crash-safe
+    staged swap (``sources.layout.staged_swap_write``): the plan never
+    overwrites files it may still be reading, and a crash between the
+    swap renames is recovered by ``read_current`` on the next batch."""
+    from realtime_voting_data_engineering_spark.sources.layout import (
+        read_current,
+        staged_swap_write,
+    )
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        existing = _read_existing(spark)
+        existing = read_current(spark, target_path)
         merged = (
             existing.unionByName(batch_df) if existing is not None else batch_df
         )
         compacted = compact_latest_per_key(merged, keys, order_col)
-        # Never overwrite the path a live plan is still reading: a lost
-        # executor or evicted cache would recompute partitions from files
-        # the overwrite is concurrently deleting. Instead, fully
-        # materialize to a stage path (its scan reads the OLD target,
-        # which nothing is deleting), then swap directories with two
-        # renames — atomic on HDFS/local; on object stores use a
-        # transactional table format (Delta/Iceberg) for a real MERGE.
-        fs, mk = _hadoop(spark)
-        stage = f"{target_path}__stage_epoch{epoch_id}"
-        old = f"{target_path}__old_epoch{epoch_id}"
-        compacted.write.mode("overwrite").parquet(stage)
-        if fs.exists(mk(target_path)):
-            fs.rename(mk(target_path), mk(old))
-        fs.rename(mk(stage), mk(target_path))
-        # Success — clear this and any earlier crash's leftovers.
-        for suffix in ("__old_epoch", "__stage_epoch"):
-            for s in fs.globStatus(mk(f"{target_path}{suffix}*")):
-                fs.delete(s.getPath(), True)
+        staged_swap_write(compacted, target_path, epoch_id)
 
     return upsert

@@ -79,6 +79,33 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, two_tables):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_compact_files_reduces_file_count_preserving_rows(spark, sf_dir, tmp_path):
+    """Small-file maintenance: a fragmented dataset (one file per
+    micro-batch) compacts to ceil(bytes/target) files via the crash-safe
+    staged swap, with identical rows and no leftover snapshot dirs."""
+    import os
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "fragmented")
+    events.repartition(40).write.parquet(path)  # simulate 40 micro-batches
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 40
+    before_rows = events.count()
+
+    n_target = L.compact_files(spark, path, target_file_bytes=512 * 1024)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after == n_target < n_before
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert {r.event_id for r in after.select("event_id").collect()} == {
+        r.event_id for r in events.select("event_id").collect()
+    }
+    leftovers = [p for p in os.listdir(tmp_path) if "epoch" in p]
+    assert leftovers == []
+
+
 def test_ivf_index_at_rest_prunes_probed_clusters(spark, sf_dir, tmp_path):
     """The IVF index as an at-rest layout: vectors written partitioned
     by their inverted-list id. A probe query filtering on the nprobe
