@@ -87,6 +87,48 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "Final Plan" in plan
 
 
+def test_text_profile_is_shuffle_free_scan(spark, sf_dir):
+    """text_profile must stay a scan→project pipeline: staged
+    projections, no exchange, no aggregation — corpus-linear at any SF."""
+    plan = _q(spark, sf_dir, "text_profile")
+    assert "Exchange" not in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema and "embedding" not in read_schema
+
+
+def test_document_chunks_is_shuffle_free_explode(spark, sf_dir):
+    plan = _q(spark, sf_dir, "document_chunks")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the sequence explode
+
+
+def test_deterministic_sample_filter_reaches_scan_stage(spark, sf_dir):
+    """The hash-fraction sample is a pure filter — no exchange, no
+    aggregation; the scan reads only the projected columns."""
+    plan = _q(spark, sf_dir, "deterministic_doc_sample")
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_funnel_single_exchange_on_user(spark, sf_dir):
+    """activation_funnel's contract: one scan, one hashpartitioning
+    exchange (user_id), four window passes sharing it."""
+    import contextlib
+    import io
+
+    df = Q.REGISTRY["activation_funnel"].fn(spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()  # simple mode: one tree, no initial/final duplication
+    plan = buf.getvalue().split("== Initial Plan ==")[0]  # final plan only
+    assert plan.count("Scan parquet") == 1, plan
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) == 1 and "user_id" in exchanges[0], exchanges
+
+
 # Map a relation's full column set to its corpus table name (analyzed-plan
 # LogicalRelation nodes expose the un-pruned table schema).
 _TABLE_BY_COLS = {
