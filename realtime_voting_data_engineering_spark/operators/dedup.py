@@ -262,6 +262,65 @@ def minhash_dedup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph — the dedup
+    endgame: transitive closure turns pairs into clusters so a pipeline
+    can keep one canonical doc per cluster. Iterative min-label
+    propagation: every node starts labeled with itself; each round every
+    node takes the min of its own and its neighbors' labels; fixpoint in
+    O(component diameter) rounds (near-dup clusters are shallow).
+
+    Spark-native iteration discipline: each round localCheckpoints the
+    label frame (truncating lineage that would otherwise grow per
+    round) and the convergence check is the round's one action. Shuffle
+    per round is |edges| + |nodes| keyed by id. Raises if max_iter
+    rounds don't converge (pathological graph diameter).
+
+    Output: (id_a-named column, cluster_id) for every node appearing in
+    a pair; cluster_id = min doc id of the component."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_labels = edges.join(
+            labels.select(F.col("id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        new_labels = (
+            labels.union(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("id").alias(id_a), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
 def simhash_table(
     df: DataFrame,
     text_col: str = "text",

@@ -232,6 +232,34 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE p AS (
+  SELECT * FROM ({_minhash_oracle(num_hashes=16, bands=4, threshold=0.5)}) t),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS id_a, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+@register("near_dup_clusters", _CLUSTER_ORACLE, tags=("dedup", "northstar"))
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: MinHash-LSH verified pairs → connected
+    components → one cluster id (min doc id) per near-dup doc, so a
+    pipeline keeps one canonical doc per cluster. Iterative min-label
+    propagation on Spark; the oracle computes the same transitive
+    closure with a recursive CTE."""
+    pairs = D.minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.5
+    )
+    return D.connected_components(pairs)
+
+
 @register("simhash_near_dup", None, tags=("dedup", "northstar"))
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs, Hamming ≤ 8, banded by 16-bit

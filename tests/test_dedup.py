@@ -69,6 +69,36 @@ def test_simhash_is_deterministic(spark, sf_dir):
     assert t1 == t2
 
 
+def test_connected_components_match_union_find(spark):
+    """Min-label propagation vs a plain-Python union-find on a graph
+    with chains (exercises multi-round propagation), a triangle, an
+    isolated pair, and two disjoint long paths."""
+    pairs = [
+        (1, 2), (2, 3), (3, 4), (4, 5),      # chain of 5
+        (10, 11), (11, 12), (10, 12),        # triangle
+        (20, 21),                            # isolated pair
+        (30, 31), (31, 32), (32, 33),        # path of 4
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.id_a: r.cluster_id for r in D.connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    assert got == expected
+
+
 def test_chunking_covers_every_token_with_declared_overlap(spark, sf_dir):
     """Reassembling chunks must reproduce the exact token sequence:
     chunk i starts at i*stride, overlaps its predecessor by `overlap`
