@@ -52,14 +52,12 @@ def streaming_events_per_sec(spark, n_events: int = 100_000) -> float:
         voters = G.generate_voters(spark, max(n_events // 100, 1))
         candidates = G.generate_candidates(spark, 3)
         events = G.generate_vote_events(spark, voters, candidates)
-        # 100 copies of the voter set → n_events total rows on the wire.
+        # ~n_events rows on the wire: replicate via crossJoin(range(copies))
+        # — a 2-node plan, vs a copies-deep unionByName tree.
         wire = G.vote_events_as_json(events)
         copies = n_events // max(wire.count(), 1)
         if copies > 1:
-            out = wire
-            for _ in range(copies - 1):
-                out = out.unionByName(wire)
-            wire = out
+            wire = wire.crossJoin(spark.range(copies).toDF("_replica")).drop("_replica")
         wire_dir = os.path.join(workdir, "wire")
         wire.write.mode("overwrite").json(wire_dir)
         total = spark.read.json(wire_dir).count()
@@ -71,8 +69,11 @@ def streaming_events_per_sec(spark, n_events: int = 100_000) -> float:
         q = P.start_update_aggregate(
             agg, "bench_stream", os.path.join(workdir, "ckpt")
         )
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
         elapsed = time.perf_counter() - start
+        if not finished:  # timeout: partial count ⇒ rate would be fiction
+            q.stop()
+            return -1.0
         return round(total / elapsed, 1)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -158,12 +158,19 @@ def generate_vote_events(
     - ``late_fraction_mod``: every Nth voter's event is shifted
       ``late_by_seconds`` into the past to exercise watermarks (W1).
     """
-    n_cand = candidates.count()  # tiny dim; the count is metadata, not data
-    # Candidate ordinal: tiny-dim window is fine (3 rows, broadcast later).
-    cand_idx = candidates.withColumn(
-        "cand_idx",
-        (F.row_number().over(Window.orderBy("candidate_id")) - 1).cast("int"),
+    # Candidate ordinal: the dim is tiny by contract, so collect the sorted
+    # ids once on the driver and broadcast-join the ordinal back — no
+    # global window (whose empty partition spec would WARN on every run).
+    cand_ids = [
+        r[0] for r in candidates.select("candidate_id").orderBy("candidate_id").collect()
+    ]
+    n_cand = len(cand_ids)
+    spark = candidates.sparkSession
+    ordinals = spark.createDataFrame(
+        [(cid, i) for i, cid in enumerate(cand_ids)],
+        "candidate_id string, cand_idx int",
     )
+    cand_idx = candidates.join(F.broadcast(ordinals), "candidate_id")
     # Voter sequence: use the generation ordinal when present (scales with
     # no shuffle); fall back to a global window only for ad-hoc inputs.
     if "voter_seq" in voters.columns:

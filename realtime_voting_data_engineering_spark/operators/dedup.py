@@ -267,22 +267,37 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    method: str = "propagate",
 ) -> DataFrame:
     """Connected components over the near-dup pair graph — the dedup
     endgame: transitive closure turns pairs into clusters so a pipeline
-    can keep one canonical doc per cluster. Iterative min-label
-    propagation: every node starts labeled with itself; each round every
-    node takes the min of its own and its neighbors' labels; fixpoint in
-    O(component diameter) rounds (near-dup clusters are shallow).
+    can keep one canonical doc per cluster.
 
-    Spark-native iteration discipline: each round localCheckpoints the
-    label frame (truncating lineage that would otherwise grow per
-    round) and the convergence check is the round's one action. Shuffle
-    per round is |edges| + |nodes| keyed by id. Raises if max_iter
-    rounds don't converge (pathological graph diameter).
+    Two engines behind one signature (identical output):
+
+    - ``method="propagate"`` — iterative min-label propagation: every
+      node starts labeled with itself; each round every node takes the
+      min of its own and its neighbors' labels; fixpoint in O(component
+      diameter) rounds. Right default for near-dup graphs, whose
+      clusters are shallow (diameter ~2-4).
+    - ``method="star"`` — alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+      each round rewires edges toward each neighborhood's minimum, so
+      component diameter shrinks multiplicatively and chain-shaped
+      components converge in O(log n) rounds where propagation needs
+      O(n). Use for adversarial/unknown graph shapes.
+
+    Spark-native iteration discipline (both engines): each round
+    localCheckpoints the working frame (truncating lineage that would
+    otherwise grow per round) with one convergence action per round.
+    Raises if max_iter rounds don't converge.
 
     Output: (id_a-named column, cluster_id) for every node appearing in
     a pair; cluster_id = min doc id of the component."""
+    if method == "star":
+        return _connected_components_star(pairs, id_a, id_b, max_iter)
+    if method != "propagate":
+        raise ValueError(f"unknown method {method!r}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -318,6 +333,84 @@ def connected_components(
             )
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def _cc_canonical_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Distinct (u > v) edges, self-loops dropped."""
+    raw = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+    return (
+        raw.filter(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .distinct()
+    )
+
+
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: for every node n, connect its strictly-larger
+    neighbors to m = min(neighborhood ∪ {n})."""
+    adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        adj.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    # emitted (v, m) has v > u >= m, so the u>v canonical form holds.
+    return (
+        adj.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: for every node n, connect its smaller neighbors (and n
+    itself) to m = min of the smaller neighborhood."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    joined = edges.join(mins, "u")
+    rewired = (
+        joined.filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = joined.select("u", F.col("m").alias("v"))
+    return rewired.union(self_edges).distinct()
+
+
+def _connected_components_star(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star edge contraction; converges when
+    the edge set is a fixpoint, at which point every component is a star
+    rooted at its minimum node. O(log n) rounds on chain graphs."""
+    edges = _cc_canonical_edges(pairs, id_a, id_b).localCheckpoint()
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        new_edges = _cc_small_star(_cc_large_star(edges)).localCheckpoint()
+        # fixpoint ⇔ same edge set: sizes equal and nothing new appears
+        # (one count action per frame; both frames are checkpointed).
+        if (
+            new_edges.count() == edges.count()
+            and new_edges.subtract(edges).count() == 0
+        ):
+            star = new_edges
+            roots = nodes.join(
+                star.select(F.col("u").alias("id")), "id", "left_anti"
+            ).select("id", F.col("id").alias("label"))
+            members = star.select(F.col("u").alias("id"), F.col("v").alias("label"))
+            return (
+                roots.union(members)
+                .distinct()
+                .select(F.col("id").alias(id_a), F.col("label").alias("cluster_id"))
+            )
+        edges = new_edges
+    raise RuntimeError(
+        f"connected_components(star) did not converge in {max_iter} rounds"
     )
 
 

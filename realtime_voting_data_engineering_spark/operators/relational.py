@@ -54,6 +54,10 @@ def hash_split(
     split, forever, on any engine or partitioning."""
     ordered = list(bounds.items())
     assert abs(ordered[-1][1] - 1.0) < 1e-12, "last bound must be 1.0"
+    uppers = [u for _, u in ordered]
+    assert all(
+        lo < hi for lo, hi in zip(uppers, uppers[1:])
+    ), f"bounds must be strictly increasing in dict order, got {uppers}"
     frac = hash_fraction(key, salt)
     expr = F.lit(ordered[-1][0])
     for name, upper in reversed(ordered[:-1]):

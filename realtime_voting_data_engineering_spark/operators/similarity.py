@@ -513,6 +513,7 @@ def knn_quantized(
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = np.inf  # zero queries match nothing (0/0 NaN sorts first)
 
     quant = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
 
@@ -572,6 +573,7 @@ def knn_brute_force_pandas(
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = np.inf  # zero queries match nothing (0/0 NaN sorts first)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -579,6 +581,7 @@ def knn_brute_force_pandas(
             if len(c_mat) == 0:
                 continue
             c_norm = np.linalg.norm(c_mat, axis=1)
+            c_norm[c_norm == 0] = np.inf  # zero vectors match nothing
             sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
             n_c, n_q = sims.shape
             yield pd.DataFrame(

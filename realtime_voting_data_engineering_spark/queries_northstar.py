@@ -247,7 +247,12 @@ SELECT src AS id_a, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
-@register("near_dup_clusters", _CLUSTER_ORACLE, tags=("dedup", "northstar"))
+@register(
+    "near_dup_clusters",
+    _CLUSTER_ORACLE,
+    headline=True,  # most expensive new operator class — track round over round
+    tags=("dedup", "northstar"),
+)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup endgame: MinHash-LSH verified pairs → connected
     components → one cluster id (min doc id) per near-dup doc, so a

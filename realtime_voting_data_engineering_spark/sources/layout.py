@@ -102,10 +102,20 @@ def staged_swap_write(df: DataFrame, target_path: str, epoch_id: int) -> None:
     fs, mk = _hadoop(spark, target_path)
     stage = f"{target_path}__stage_epoch{epoch_id}"
     old = f"{target_path}__old_epoch{epoch_id}"
+    # A crashed earlier attempt at THIS epoch may have left old/stage dirs;
+    # Hadoop rename into an existing dir nests instead of replacing and
+    # reports failure only via a False return, so clear them up front and
+    # treat any False rename as fatal rather than silently proceeding to
+    # the cleanup loop (which would delete the snapshots we rely on).
+    for leftover in (old, stage):
+        if fs.exists(mk(leftover)):
+            fs.delete(mk(leftover), True)
     df.write.mode("overwrite").parquet(stage)
     if fs.exists(mk(target_path)):
-        fs.rename(mk(target_path), mk(old))
-    fs.rename(mk(stage), mk(target_path))
+        if not fs.rename(mk(target_path), mk(old)):
+            raise IOError(f"rename {target_path} -> {old} failed")
+    if not fs.rename(mk(stage), mk(target_path)):
+        raise IOError(f"rename {stage} -> {target_path} failed")
     for suffix in ("__old_epoch", "__stage_epoch"):
         for s in fs.globStatus(mk(f"{target_path}{suffix}*")):
             fs.delete(s.getPath(), True)

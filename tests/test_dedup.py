@@ -142,3 +142,35 @@ def test_exact_dedup_keeps_one_row_per_key(spark, sf_dir):
         deduped.groupBy("user_id", "event_type").count().filter(F.col("count") > 1).count()
         == 0
     )
+
+
+def test_connected_components_star_matches_propagate(spark):
+    """Star contraction and min-label propagation produce identical
+    clusters on a mixed-shape graph (chains, triangle, isolated pair)."""
+    pairs = [
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        (10, 11), (11, 12), (10, 12),
+        (20, 21),
+        (30, 31), (31, 32), (32, 33),
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    prop = {(r.id_a, r.cluster_id) for r in D.connected_components(df).collect()}
+    star = {
+        (r.id_a, r.cluster_id)
+        for r in D.connected_components(df, method="star").collect()
+    }
+    assert star == prop
+
+
+def test_connected_components_star_converges_logarithmically_on_path(spark):
+    """Planted 1000-node path graph: diameter 999, so min-label
+    propagation would need ~999 rounds, while large-star/small-star
+    contraction must finish within ~log2(n) alternating rounds — pinned
+    by max_iter=15 (2**15 >> 1000; propagation at 15 rounds would
+    raise). All nodes collapse to cluster 0."""
+    n = 1000
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                               "id_a long, id_b long")
+    got = {r.id_a: r.cluster_id for r in
+           D.connected_components(df, method="star", max_iter=15).collect()}
+    assert got == {i: 0 for i in range(n)}

@@ -25,7 +25,8 @@ from tests.oracle_harness import compare_query
 
 spark = SparkSession.builder.master("local[8]").getOrCreate()  # vanilla
 spark.sparkContext.setLogLevel("ERROR")
-SF = "/root/testdata/sf0.001"
+SF = "/root/testdata/sf0.01"  # the driver's grading SF — hash agreement at
+# sf0.001 does not imply it at sf0.01 (more rows -> more rounding edges)
 fails = []
 for name, spec_ in Q.REGISTRY.items():
     if spec_.oracle is None:
