@@ -131,6 +131,33 @@ def ngram_jaccard_pairs(
     )
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1; perm domain, fits all arithmetic in int64
+
+
+def minhash_perm_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the linear permutation family
+    h_i = (a_i * base + b_i) mod MINHASH_PRIME — the classic one-base-hash
+    MinHash construction (same family as Spark ML's MinHashLSH). Derived
+    from a fixed LCG so the DuckDB oracle can embed identical literals.
+    a_i < 2^30 keeps a_i * base < 2^62 for a 32-bit base: no int64
+    overflow in Spark (which would wrap) or DuckDB (which would error)."""
+    state, consts = 0x5EED, []
+    for _ in range(num_hashes):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = state % ((1 << 30) - 1) + 1
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state % MINHASH_PRIME
+        consts.append((a, b))
+    return consts
+
+
+def minhash_base_hash(col: Column | str) -> Column:
+    """32-bit engine-portable base hash: first 8 hex chars of md5, as a
+    bigint. DuckDB replays it as CAST('0x' || substr(md5(s),1,8) AS
+    BIGINT) — bit-identical (pytest + oracle-verified)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -138,14 +165,27 @@ def minhash_signatures(
     num_hashes: int = 16,
     n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: h_i = min over shingles of
-    md5('<i>|' + shingle). Any uniform hash family works; md5 keeps the
-    signature replayable in any engine (oracle parity). One aggregation
-    over the exploded shingle index → constant-size signature row."""
-    idx = shingle_index(df, text_col, id_col, n)
+    """MinHash signature per document: ONE md5 per shingle (the 32-bit
+    base hash), then ``num_hashes`` linear permutations
+    (a_i*base + b_i) mod 2^31-1, min-aggregated per doc. The permutation
+    family is Spark ML MinHashLSH's construction; md5 as the base keeps
+    every value replayable in the DuckDB oracle.
+
+    The base hash is projected as a real column BEFORE the aggregation:
+    inlining it into all ``num_hashes`` min() sites would re-run
+    md5+conv per site (Catalyst does not CSE non-cheap expressions
+    across a projection — the 13× shingle_index lesson). With the staged
+    select the expensive hash runs once per shingle and each permutation
+    is three int64 ops — measured ~2.3× faster than the previous
+    16-md5-per-shingle form at sf0.1."""
+    idx = shingle_index(df, text_col, id_col, n).select(
+        F.col(id_col), minhash_base_hash(F.col("shingle")).alias("__base")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("__base") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(minhash_perm_constants(num_hashes))
     ]
     return idx.groupBy(id_col).agg(*aggs)
 
@@ -164,7 +204,11 @@ def lsh_candidate_pairs(
     band_cols = [
         F.md5(
             F.concat_ws(
-                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                "|",
+                *[
+                    F.col(f"h{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
         ).alias(f"band{b}")
         for b in range(bands)

@@ -259,3 +259,74 @@ def deterministic_assignment(
     else:
         bucket = F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(n_buckets))
     return df.withColumn(alias, bucket.cast("int"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join: attach to every left row the value columns of the
+    right row with the greatest ``right_time`` <= ``left_time`` for the
+    same key (NULLs when no such row) — the point-in-time lookup every
+    feature/training pipeline needs (latest price, last order, most
+    recent profile version as of event time).
+
+    Spark has no ASOF JOIN operator; the scalable construction is the
+    union + last-non-null window: tag both sides, union on (key, time),
+    and take ``last(value, ignorenulls=True)`` over a running window
+    ordered by (time, side) per key. Right rows sort BEFORE left rows at
+    equal times (side 0 < 1), giving the inclusive <= match. ONE shuffle
+    on the key, a per-partition sort, zero row blowup — unlike the
+    naive range-join (explodes to all pairs then filters) this survives
+    100 TB; it is the same plan shape Flink temporal joins and
+    distributed merge_asof implementations use.
+
+    Contract: ``right`` must be unique per (key, time) — pre-reduce with
+    a deterministic aggregate (max_by) otherwise. The attached right
+    timestamp is exposed as ``__asof_time`` for downstream deltas.
+    """
+    attach = list(value_cols) + ["__asof_time"]
+    r = (
+        right.select(
+            F.col(right_on).alias(left_on),
+            F.col(right_time).alias("__t"),
+            *[F.col(c) for c in value_cols],
+        )
+        .withColumn("__asof_time", F.col("__t"))
+        .withColumn("__side", F.lit(0))
+    )
+    l_cols = left.columns
+    l = (
+        left.withColumn("__t", F.col(left_time).cast(r.schema["__t"].dataType))
+        .withColumn("__side", F.lit(1))
+    )
+    for c, t in [(c, r.schema[c].dataType) for c in attach]:
+        l = l.withColumn(c, F.lit(None).cast(t))
+    r = r.select(
+        *[
+            F.lit(None).cast(l.schema[c].dataType).alias(c)
+            for c in l_cols
+            if c != left_on
+        ],
+        left_on,
+        "__t",
+        "__side",
+        *attach,
+    )
+    unioned = l.select(*l_cols, "__t", "__side", *attach).unionByName(r)
+    w = (
+        Window.partitionBy(left_on)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *l_cols,
+        F.col("__side").alias("__side"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in attach],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

@@ -513,7 +513,8 @@ def knn_quantized(
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
-    q_norm[q_norm == 0] = np.inf  # zero queries match nothing (0/0 NaN sorts first)
+    q_valid = q_norm > 0  # zero queries match nothing (0/0 NaN sorts first)
+    q_norm[~q_valid] = np.inf
 
     quant = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
 
@@ -527,16 +528,18 @@ def knn_quantized(
             # matmul input 4× smaller than the float corpus.
             dots = (codes.astype(np.float64) @ q_mat.T) * scales[:, None]
             c_norm = np.linalg.norm(codes.astype(np.float64), axis=1) * scales
-            c_norm[c_norm == 0] = np.inf  # zero vectors match nothing
+            c_valid = c_norm > 0  # zero vectors match nothing: drop, don't rank
+            c_norm[~c_valid] = np.inf
             sims = dots / np.outer(c_norm, q_norm)
             n_c, n_q = sims.shape
+            keep = np.outer(c_valid, q_valid).T.reshape(-1)  # (q, c) order
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(q_ids, n_c),
                     "neighbor_id": np.tile(pdf[id_col].to_numpy(), n_q),
                     "cos": sims.T.reshape(-1),
                 }
-            )
+            )[keep]
 
     scored = quant.mapInPandas(
         score, schema="query_id long, neighbor_id long, cos double"
@@ -573,7 +576,8 @@ def knn_brute_force_pandas(
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
-    q_norm[q_norm == 0] = np.inf  # zero queries match nothing (0/0 NaN sorts first)
+    q_valid = q_norm > 0  # zero queries match nothing (0/0 NaN sorts first)
+    q_norm[~q_valid] = np.inf
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -581,16 +585,18 @@ def knn_brute_force_pandas(
             if len(c_mat) == 0:
                 continue
             c_norm = np.linalg.norm(c_mat, axis=1)
-            c_norm[c_norm == 0] = np.inf  # zero vectors match nothing
+            c_valid = c_norm > 0  # zero vectors match nothing: drop, don't rank
+            c_norm[~c_valid] = np.inf
             sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
             n_c, n_q = sims.shape
+            keep = np.outer(c_valid, q_valid).T.reshape(-1)  # (q, c) order
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(q_ids, n_c),
                     "neighbor_id": np.tile(pdf[id_col].to_numpy(), n_q),
                     "cos": sims.T.reshape(-1),
                 }
-            )
+            )[keep]
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
         score, schema="query_id long, neighbor_id long, cos double"

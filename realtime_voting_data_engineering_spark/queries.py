@@ -618,11 +618,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "language_histogram",
     "media_feature_stats",
     "media_frame_sample_plan",
-    # Headline anchors — 4
+    # Headline anchors — 3
     "minhash_lsh_dedup",
     "text_profile",
     "near_dup_clusters",
-    "activation_funnel",
+    # New in r3 (never had a driver row; activation_funnel rotated out
+    # on its green r2 row to make the slot) — 1
+    "asof_last_click",
 )
 
 

@@ -792,3 +792,61 @@ def approx_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", 0.5, 10_000).alias("median"),
         F.approx_percentile("value", 0.75, 10_000).alias("q3"),
     )
+
+
+@register(
+    "asof_last_click",
+    """
+    WITH rc AS (
+      SELECT user_id, ts AS cts, max(event_id) AS last_click_id,
+             arg_max(value, event_id) AS last_click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, e.ts,
+           r.last_click_id, r.last_click_value,
+           epoch_us(e.ts) - epoch_us(r.cts) AS micros_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    ASOF LEFT JOIN rc r ON e.user_id = r.user_id AND e.ts >= r.cts
+    """,
+    tags=("join", "asof"),
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General TWO-TABLE as-of join via ``relational.asof_join`` (union +
+    last-non-null window; one shuffle, no range blowup): every purchase
+    picks up the most recent click at-or-before it for the same user.
+    The right side is pre-reduced to one row per (user, ts) with
+    deterministic max_by, the asof_join uniqueness contract. The oracle
+    is DuckDB's NATIVE ASOF LEFT JOIN — two independent as-of
+    implementations agreeing value-for-value."""
+    from realtime_voting_data_engineering_spark.operators import relational as R
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("last_click_id"),
+            F.max_by("value", "event_id").alias("last_click_value"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = R.asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["last_click_id", "last_click_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_click_id",
+        "last_click_value",
+        (F.unix_micros("ts") - F.unix_micros("__asof_time")).alias(
+            "micros_since_click"
+        ),
+    )

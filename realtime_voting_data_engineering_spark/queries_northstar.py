@@ -60,20 +60,30 @@ _COS_SQL = (
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """Replays minhash_dedup_pairs exactly: one 32-bit md5-prefix base
+    hash per shingle, ``num_hashes`` linear permutations with the SAME
+    (a_i, b_i) literals the Spark side derives (dedup.minhash_perm_constants),
+    identical banding, exact-Jaccard verification."""
     rows = num_hashes // bands
+    base = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
+    perms = D.minhash_perm_constants(num_hashes)
     mh_cols = ", ".join(
-        f"min(md5('{i}|' || s)) AS h{i}" for i in range(num_hashes)
+        f"min(({a} * base + {b}) % {D.MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(perms)
     )
     band_selects = []
     for b in range(bands):
-        key = " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        key = " || '|' || ".join(
+            f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
         band_selects.append(
             f"SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key FROM mh"
         )
     bands_sql = "\nUNION ALL\n".join(band_selects)
     return f"""
     WITH {_SHINGLES_CTE},
-    mh AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+    mhb AS (SELECT doc_id, {base} AS base FROM sh),
+    mh AS (SELECT doc_id, {mh_cols} FROM mhb GROUP BY doc_id),
     bands AS ({bands_sql}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -145,3 +145,21 @@ def test_partitioned_write_prunes_at_plan_time(spark, sf_dir, tmp_path):
     # pruning is semantic too: only the one partition's rows
     n_click = events.filter(F.col("event_type") == "click").count()
     assert df.count() == n_click
+
+
+def test_staged_swap_replay_with_leftover_epoch_dirs(spark, tmp_path):
+    """Crash-replay scenario: a previous attempt at the SAME epoch left
+    __old/__stage dirs behind (e.g. crash after the swap, before
+    cleanup). Hadoop's rename-into-existing-dir would silently NEST and
+    report failure only via a False return; the writer must clear the
+    leftovers and still land the new snapshot."""
+    target = str(tmp_path / "ds")
+    L.staged_swap_write(spark.range(5).toDF("v"), target, epoch_id=1)
+    # plant leftovers as a crashed epoch-2 attempt would leave them
+    spark.range(99).toDF("v").write.parquet(f"{target}__old_epoch2")
+    spark.range(98).toDF("v").write.parquet(f"{target}__stage_epoch2")
+    L.staged_swap_write(spark.range(7).toDF("v"), target, epoch_id=2)
+    assert spark.read.parquet(target).count() == 7
+    import os
+    leftovers = [d for d in os.listdir(tmp_path) if "__old" in d or "__stage" in d]
+    assert leftovers == []

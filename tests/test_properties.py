@@ -155,3 +155,41 @@ def test_exact_dedup_is_set_semantics(spark, rows):
     df = spark.createDataFrame(rows, "user_id int, event_type string")
     got = {(r.user_id, r.event_type) for r in D.exact_dedup(df, ["user_id", "event_type"]).collect()}
     assert got == set(rows)
+
+
+def test_hash_split_rejects_out_of_order_bounds(spark):
+    """Mis-ordered cumulative bounds would silently mislabel rows via the
+    reversed CASE chain — must be rejected up front."""
+    import pytest
+
+    from realtime_voting_data_engineering_spark.operators import relational as R
+
+    df = spark.range(10).toDF("doc_id")
+    with pytest.raises(AssertionError, match="strictly increasing"):
+        R.hash_split(df, "doc_id", {"val": 0.9, "train": 0.8, "test": 1.0})
+
+
+def test_asof_join_edge_semantics(spark):
+    """Inclusive tie (right row AT the left time matches), most-recent
+    selection among multiple updates, and NULL fill when no right row
+    precedes the left row."""
+    from realtime_voting_data_engineering_spark.operators import relational as R
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 50), (4, 99, 100)],
+        "eid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 1.0), (10, 200, 2.0), (10, 300, 3.0), (77, 1, 9.9)],
+        "k long, t long, v double",
+    )
+    got = {
+        r.eid: (r.v, r["__asof_time"])
+        for r in R.asof_join(
+            left, right, "k", "k", "t", "t", value_cols=["v"]
+        ).collect()
+    }
+    assert got[1] == (1.0, 100)   # tie at t=100 matches inclusively
+    assert got[2] == (2.0, 200)   # most recent of the two preceding updates
+    assert got[3] == (None, None)  # nothing at-or-before t=50
+    assert got[4] == (None, None)  # key with no right rows at all

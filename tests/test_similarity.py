@@ -152,3 +152,31 @@ def test_srp_near_dup_recall_and_precision(spark, sf_dir):
     assert recall >= 0.75, f"SRP near-dup recall {recall:.3f}"
     # Verified cosines are the exact measure, bit-identical to all-pairs.
     assert all(exact[p] == c for p, c in srp.items())
+
+
+def test_zero_norm_query_and_corpus_vectors_match_nothing(spark):
+    """A zero query vector must return NO neighbors (0/0 NaN would sort
+    above every real cosine in descending order), and zero corpus
+    vectors must never appear as neighbors — in both the quantized and
+    brute-force pandas paths."""
+    import math
+
+    rows = [(0, [0.0] * 4), (1, [1.0, 2.0, 3.0, 4.0]), (2, [2.0, 4.0, 6.0, 8.0]),
+            (3, [0.0] * 4), (4, [1.0, 0.0, 0.0, 1.0])]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    corpus = spark.createDataFrame(rows, schema)
+    queries = corpus.filter(F.col("vec_id").isin(0, 1))
+    for fn in (S.knn_quantized, S.knn_brute_force_pandas):
+        got = fn(queries, corpus, k=3).collect()
+        by_q = {}
+        for r in got:
+            assert not math.isnan(r.cos), (fn.__name__, r)
+            by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        assert 3 not in {n for ns in by_q.values() for n in ns}, fn.__name__
+        # the zero query keeps rank order defined: all its cosines are 0,
+        # never NaN-above-everything
+        for n in by_q.get(0, []):
+            assert n in (1, 2, 4)
