@@ -229,3 +229,18 @@ def test_no_python_udfs_or_cartesian_in_oracled_queries(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_asof_join_is_union_window_not_range_join(spark, sf_dir):
+    """The as-of join must plan as union + single-key window — NEVER a
+    join node (a range/theta join would explode to all pairs and a
+    BroadcastNestedLoop/Cartesian would be the 100 TB killer). Exactly
+    two exchanges: the right-side (user, ts) pre-reduce and the window's
+    key partitioning."""
+    plan = _q(spark, sf_dir, "asof_last_click")
+    for bad in ("Join", "CartesianProduct"):  # matches *Join node names too
+        assert bad not in plan, f"as-of planned a {bad}"
+    assert "Window" in plan
+    exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert len(exchanges) == 2, exchanges
+    assert any("hashpartitioning(user_id" in l for l in exchanges)
