@@ -421,7 +421,8 @@ q AS (
                      x -> CAST(round(CAST(x AS DOUBLE) / scale) AS TINYINT))
          END AS qvec
   FROM s)
-SELECT vec_id, scale, qvec,
+SELECT vec_id, scale,
+       array_to_string(qvec, ',') AS qvec_csv,
        CASE WHEN maxabs = 0 THEN 0.0
             ELSE list_max(list_transform(list_zip(qvec, embedding),
                    p -> abs(CAST(p[1] AS DOUBLE) * scale
@@ -438,8 +439,18 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding corpus
     with exact dequantization error — the 4× storage-reduction step
     before indexing. IEEE-exact in both engines → full oracle replay
-    including the int8 arrays."""
-    return S.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    including the int8 codes. The codes are emitted CSV-serialized
+    (``qvec_csv``) because the driver's pandas canonicalizer cannot
+    sort raw array columns (r3 row: ``unhashable type: 'list'``);
+    the in-repo operator ``quantize_embeddings`` still returns the
+    real ``array<tinyint>`` for programmatic use."""
+    q = S.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec_csv"),
+        "max_abs_err",
+    )
 
 
 @register("knn_quantized", None, tags=("similarity", "northstar"))

@@ -114,8 +114,30 @@ def normalize(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return out
 
 
+def assert_driver_canonicalizable(name: str, spark_schema) -> None:
+    """The REAL driver canonicalizes via pandas ``sort_values`` over the
+    whole frame; array/map/struct columns raise ``unhashable type`` there
+    (r3 red row for ``embedding_quantization``). The local harness used
+    to stringify lists before sorting and so green-lit output the driver
+    can never hash — reject non-scalar output columns up front instead."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in spark_schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name}: oracled query returns non-scalar columns {bad} — the "
+        "driver's pandas canonicalizer cannot sort these ('unhashable "
+        "type: list'); serialize to string (concat_ws / to_json) in both "
+        "the query and the oracle SQL"
+    )
+
+
 def compare_query(spark, name: str, fn, oracle: str, sf_dir: str) -> None:
     sdf = fn(spark, sf_dir)
+    assert_driver_canonicalizable(name, sdf.schema)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
     duck_cols, duck_rows, duck_schema = duckdb_run_typed(oracle, sf_dir)
