@@ -426,11 +426,16 @@ def _connected_components_star(
 ) -> DataFrame:
     """Alternating large-star/small-star edge contraction; converges when
     the edge set is a fixpoint, at which point every component is a star
-    rooted at its minimum node. O(log n) rounds on chain graphs."""
+    rooted at its minimum node. O(log n) rounds on chain graphs.
+
+    Node set comes from the RAW pairs (before the self-loop filter) so a
+    node appearing only in an (x, x) pair is still emitted as its own
+    singleton cluster — identical to the propagate engine, which keeps
+    self-loop edges and therefore labels such nodes naturally."""
     edges = _cc_canonical_edges(pairs, id_a, id_b).localCheckpoint()
     nodes = (
-        edges.select(F.col("u").alias("id"))
-        .union(edges.select(F.col("v").alias("id")))
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
         .distinct()
         .localCheckpoint()
     )

@@ -560,11 +560,16 @@ from realtime_voting_data_engineering_spark import queries_tpch  # noqa: E402,F4
 # which queries get a driver-side correctness row each round. We order
 # explicitly rather than leaning on import side-effect order.
 #
-# Round-3 window = the SURVEY-§2 voting core (kept in-window every round)
-# + all 18 TPC-H batch-2 shapes + the 6 training-data operators that had
-# never had a driver row + the 5 queries whose r1 rows were evicted in r2
-# + 4 headline anchors. Every query OUTSIDE the window has a green row in
-# CORRECTNESS_r02.json, so no component's driver evidence is more than
+# Round-4 window = the SURVEY-§2 voting core (kept in-window every round)
+# + the 30 queries that sat OUT of the r3 window (their driver evidence
+# is CORRECTNESS_r02 and the invariant forces them back in before it
+# goes two rounds stale) + embedding_quantization (red r3 row — the
+# array-column canonicalizer crash, now fixed by CSV-encoding qvec —
+# must re-check) + the 2 queries whose evidence class changed this
+# round: embedding_near_dup_srp (graduated from rows-only to a full
+# SRP-replay oracle) and near_dup_clusters_star (new registration).
+# Every query OUTSIDE this window has a green row in
+# CORRECTNESS_r03.json, so no component's driver evidence is more than
 # one round stale (rotation policy: PARITY.md "Driver-window rotation";
 # invariant pinned by tests/test_registry_order.py).
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -586,45 +591,42 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q5_revenue_by_nation",
     "revenue_by_brand",
     "top_orders_per_priority",
-    # TPC-H batch 2 (queries_tpch.py) — 18, never driver-checked before r3
-    "q2_min_cost_supplier",
-    "q4_late_ship_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_margin_by_nation_year",
-    "q10_returned_items",
-    "q12_priority_lines",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_promo_heavy_suppliers",
-    "q21_sole_late_supplier",
-    "q22_idle_high_balance",
-    # Training-data ops never driver-checked before r3 — 6
-    "quality_score_buckets",
-    "embedding_near_dup_srp",
-    "deterministic_doc_sample",
-    "train_val_test_split",
+    # Out of the r3 window (last driver row: r2) — 30
+    "activation_funnel",
+    "weekly_retention_cohorts",
+    "data_quality_report",
+    "distinct_counts",
+    "order_status_rollup",
+    "event_type_cube",
+    "grouping_sets_revenue",
+    "customers_with_orders_by_segment",
+    "customers_without_orders",
+    "high_balance_accounts_union",
+    "purchase_and_error_users",
+    "purchase_only_users",
+    "event_counts_pivot",
+    "user_sessions",
+    "purchase_with_prior_view",
+    "running_revenue_per_customer",
+    "scalar_function_profile",
+    "order_date_parts",
+    "value_quartiles_by_type",
+    "approx_distinct_users",
+    "event_window_suite",
+    "embedding_array_profile",
+    "top_words",
+    "approx_value_quartiles",
+    "document_chunks",
+    "doc_fingerprint_clusters",
+    "ngram_near_dup_pairs",
+    "simhash_near_dup",
+    "knn_cosine_topk",
+    "embedding_near_dup_pairs",
+    # Red r3 row (canonicalizer crash on array output; fixed) — 1
     "embedding_quantization",
-    "knn_quantized",
-    # Evicted from the r2 window (last driver row: r1) — 5
-    "knn_ann_srp",
-    "knn_ann_ivf",
-    "language_histogram",
-    "media_feature_stats",
-    "media_frame_sample_plan",
-    # Headline anchors — 3
-    "minhash_lsh_dedup",
-    "text_profile",
-    "near_dup_clusters",
-    # New in r3 (never had a driver row; activation_funnel rotated out
-    # on its green r2 row to make the slot) — 1
-    "asof_last_click",
+    # Evidence class changed this round — 2
+    "embedding_near_dup_srp",  # rows-only → full SRP-replay oracle
+    "near_dup_clusters_star",  # new: star-contraction CC twin
 )
 
 

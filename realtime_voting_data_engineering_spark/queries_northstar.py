@@ -275,6 +275,20 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+@register("near_dup_clusters_star", _CLUSTER_ORACLE, tags=("dedup", "northstar"))
+def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twin of ``near_dup_clusters`` running the alternating
+    large-star/small-star contraction engine (Kiveris et al.) instead of
+    min-label propagation. Cluster output is implementation-independent,
+    so both engines are checked against the same recursive-CTE closure
+    oracle — O(log n)-round convergence on chain-shaped components is
+    separately pytest-proven on a planted 1000-node path."""
+    pairs = D.minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.5
+    )
+    return D.connected_components(pairs, method="star")
+
+
 @register("simhash_near_dup", None, tags=("dedup", "northstar"))
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs, Hamming ≤ 8, banded by 16-bit
@@ -335,15 +349,68 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.near_dup_embeddings(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-@register("embedding_near_dup_srp", None, tags=("similarity", "dedup", "northstar"))
+def _srp_oracle(
+    dims: int = 64, planes: int = 32, bands: int = 8, threshold: float = 0.4
+) -> str:
+    """Replays near_dup_embeddings_srp end to end: per-plane sign bits
+    against the SAME md5-derived hyperplane literals the Spark side
+    builds (similarity.srp_hyperplanes), identical 4-bit band chunking,
+    candidate join on (band_idx, chunk), exact-cosine verification of
+    candidates only. Spark computes the dots with a numpy matmul and
+    DuckDB with a sequential list_sum, so the two can disagree only if a
+    dot product lands within float-reassociation distance (~1e-13
+    relative) of exactly 0 — measure-zero on real embeddings; the verify
+    stage's cosine replay is the already-proven-portable _COS_SQL."""
+    h = S.srp_hyperplanes(dims, planes)
+    bits_per_band = planes // bands
+    bit_cols = ", ".join(
+        "CASE WHEN list_sum(list_transform(list_zip(embedding, ["
+        + ", ".join(repr(float(w)) for w in h[p])
+        + "]), x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN 1 ELSE 0 END"
+        f" AS b{p}"
+        for p in range(planes)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band_idx, "
+        + " + ".join(
+            f"{1 << r} * b{b * bits_per_band + r}" for r in range(bits_per_band)
+        )
+        + " AS chunk FROM sig"
+        for b in range(bands)
+    )
+    cos = _COS_SQL.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+    WITH sig AS (SELECT vec_id, {bit_cols} FROM embeddings),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.chunk = b.chunk
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, round({cos}, 6) AS cos
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE round({cos}, 6) >= {threshold}
+    """
+
+
+@register(
+    "embedding_near_dup_srp",
+    _srp_oracle(dims=64, planes=32, bands=8, threshold=0.4),
+    tags=("similarity", "dedup", "northstar"),
+)
 def embedding_near_dup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path in front of ``embedding_near_dup_pairs``: SRP-LSH
     candidate generation (32 planes, 8 bands, corpus-linear band-key
     shuffle) followed by exact cosine verification of candidates only.
-    Approximate by design (recall ≈0.8 at this corpus's loose 0.4
-    threshold, ≈0.995 at production ≥0.9 thresholds; false-positive-free
-    because verification is exact) → rows-only driver check; pytest
-    measures recall against the all-pairs form."""
+    Approximate vs the all-pairs form (recall ≈0.8 at this corpus's
+    loose 0.4 threshold, ≈0.995 at production ≥0.9 thresholds;
+    false-positive-free because verification is exact; pytest measures
+    recall) — but fully DETERMINISTIC given the md5-derived hyperplanes,
+    so the oracle replays the whole candidate→verify pipeline and the
+    driver hash-checks it like minhash's."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.near_dup_embeddings_srp(emb, dims=64, threshold=0.4)
 

@@ -146,12 +146,15 @@ def test_exact_dedup_keeps_one_row_per_key(spark, sf_dir):
 
 def test_connected_components_star_matches_propagate(spark):
     """Star contraction and min-label propagation produce identical
-    clusters on a mixed-shape graph (chains, triangle, isolated pair)."""
+    clusters on a mixed-shape graph (chains, triangle, isolated pair,
+    and a node appearing only in a self-loop pair — both engines must
+    emit it as its own singleton cluster)."""
     pairs = [
         (1, 2), (2, 3), (3, 4), (4, 5),
         (10, 11), (11, 12), (10, 12),
         (20, 21),
         (30, 31), (31, 32), (32, 33),
+        (40, 40),
     ]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     prop = {(r.id_a, r.cluster_id) for r in D.connected_components(df).collect()}
