@@ -289,6 +289,14 @@ def asof_join(
     Contract: ``right`` must be unique per (key, time) — pre-reduce with
     a deterministic aggregate (max_by) otherwise. The attached right
     timestamp is exposed as ``__asof_time`` for downstream deltas.
+
+    All attach columns (values + ``__asof_time``) ride the window in ONE
+    struct — NULL struct on left rows, whole-row struct on right rows —
+    so ``last(..., ignorenulls=True)`` skips only *missing right rows*,
+    never an individual value that is legitimately NULL. (Per-column
+    last() would attach an OLDER row's value while ``__asof_time``
+    reported the newer match; DuckDB's native ASOF JOIN returns the
+    matched row's NULL, and so do we.)
     """
     attach = list(value_cols) + ["__asof_time"]
     r = (
@@ -299,14 +307,17 @@ def asof_join(
         )
         .withColumn("__asof_time", F.col("__t"))
         .withColumn("__side", F.lit(0))
+        .select(
+            left_on, "__t", "__side", F.struct(*attach).alias("__attach")
+        )
     )
+    attach_type = r.schema["__attach"].dataType
     l_cols = left.columns
     l = (
         left.withColumn("__t", F.col(left_time).cast(r.schema["__t"].dataType))
         .withColumn("__side", F.lit(1))
+        .withColumn("__attach", F.lit(None).cast(attach_type))
     )
-    for c, t in [(c, r.schema[c].dataType) for c in attach]:
-        l = l.withColumn(c, F.lit(None).cast(t))
     r = r.select(
         *[
             F.lit(None).cast(l.schema[c].dataType).alias(c)
@@ -316,9 +327,9 @@ def asof_join(
         left_on,
         "__t",
         "__side",
-        *attach,
+        "__attach",
     )
-    unioned = l.select(*l_cols, "__t", "__side", *attach).unionByName(r)
+    unioned = l.select(*l_cols, "__t", "__side", "__attach").unionByName(r)
     w = (
         Window.partitionBy(left_on)
         .orderBy("__t", "__side")
@@ -327,6 +338,9 @@ def asof_join(
     filled = unioned.select(
         *l_cols,
         F.col("__side").alias("__side"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in attach],
+        F.last("__attach", ignorenulls=True).over(w).alias("__attach"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *l_cols,
+        *[F.col("__attach").getField(c).alias(c) for c in attach],
+    )

@@ -171,16 +171,20 @@ def test_hash_split_rejects_out_of_order_bounds(spark):
 
 def test_asof_join_edge_semantics(spark):
     """Inclusive tie (right row AT the left time matches), most-recent
-    selection among multiple updates, and NULL fill when no right row
-    precedes the left row."""
+    selection among multiple updates, NULL fill when no right row
+    precedes the left row, and — the subtle one — a matched right row
+    whose VALUE is legitimately NULL must attach its NULL (with its own
+    __asof_time), not fall back to an older row's value. DuckDB's native
+    ASOF JOIN has the same semantics."""
     from realtime_voting_data_engineering_spark.operators import relational as R
 
     left = spark.createDataFrame(
-        [(1, 10, 100), (2, 10, 205), (3, 10, 50), (4, 99, 100)],
+        [(1, 10, 100), (2, 10, 205), (3, 10, 50), (4, 99, 100), (5, 10, 260)],
         "eid long, k long, t long",
     )
     right = spark.createDataFrame(
-        [(10, 100, 1.0), (10, 200, 2.0), (10, 300, 3.0), (77, 1, 9.9)],
+        [(10, 100, 1.0), (10, 200, 2.0), (10, 250, None), (10, 300, 3.0),
+         (77, 1, 9.9)],
         "k long, t long, v double",
     )
     got = {
@@ -193,3 +197,4 @@ def test_asof_join_edge_semantics(spark):
     assert got[2] == (2.0, 200)   # most recent of the two preceding updates
     assert got[3] == (None, None)  # nothing at-or-before t=50
     assert got[4] == (None, None)  # key with no right rows at all
+    assert got[5] == (None, 250)  # matched row's NULL value, ITS time
