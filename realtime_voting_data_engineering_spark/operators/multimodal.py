@@ -106,12 +106,16 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 def _fake_decode(content: bytes, n_values: int = 64) -> np.ndarray:
     """Deterministic stand-in for a codec: expand bytes into ``n_values``
-    uint8 samples via an md5 chain. Replace with PIL/libav in production."""
-    out = []
-    seed = content or b""
+    uint8 samples via an md5 chain. The chain advances over HEX STRINGS
+    (``md5(hexdigest.encode())``), not raw digest bytes, so an engine
+    whose md5 only accepts strings (DuckDB) can replay it — this is what
+    lets ``media_feature_stats`` graduate to a full hash-checked oracle.
+    Replace with PIL/libav in production."""
+    out: list[int] = []
+    seed = hashlib.md5(content or b"").hexdigest()
     while len(out) < n_values:
-        seed = hashlib.md5(seed).digest()
-        out.extend(seed)
+        out.extend(bytes.fromhex(seed))
+        seed = hashlib.md5(seed.encode()).hexdigest()
     return np.frombuffer(bytes(out[:n_values]), dtype=np.uint8)
 
 

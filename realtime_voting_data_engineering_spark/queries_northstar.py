@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realtime_voting_data_engineering_spark.functions.scalar import dec
 from realtime_voting_data_engineering_spark.operators import dedup as D
 from realtime_voting_data_engineering_spark.operators import multimodal as M
 from realtime_voting_data_engineering_spark.operators import relational as R
@@ -552,19 +553,73 @@ def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_feature_stats", None, tags=("multimodal", "northstar"))
+_MEDIA_STATS_ORACLE = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         md5(text) AS h1
+  FROM documents),
+chain AS (
+  SELECT media_id, kind,
+         h1 || md5(h1) || md5(md5(h1)) || md5(md5(md5(h1))) AS H
+  FROM h),
+vals AS (
+  SELECT media_id, kind,
+         list_transform(generate_series(0, 63),
+                        i -> CAST(('0x' || substr(H, 2*i + 1, 2)) AS INT))
+             AS v
+  FROM chain),
+px AS (
+  SELECT media_id, kind, v,
+         CAST(list_sum(v) AS DOUBLE) / 64 AS mean_px
+  FROM vals),
+doc AS (
+  SELECT kind,
+         mean_px / 255.0 AS mean_value,
+         sqrt(list_sum(list_transform(v,
+                x -> (CAST(x AS DOUBLE) - mean_px)
+                     * (CAST(x AS DOUBLE) - mean_px))) / 64) / 255.0
+             AS std_value
+  FROM px)
+SELECT kind, count(*) AS n_media,
+       round(CAST(SUM(CAST(mean_value AS DECIMAL(18,12))) AS DOUBLE)
+             / count(*), 6) AS avg_mean_value,
+       round(CAST(SUM(CAST(std_value AS DECIMAL(18,12))) AS DOUBLE)
+             / count(*), 6) AS avg_std_value
+FROM doc GROUP BY kind
+"""
+
+
+@register(
+    "media_feature_stats", _MEDIA_STATS_ORACLE, tags=("multimodal", "northstar")
+)
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode → feature-extract over corpus-derived media
     (documents' bytes as opaque blobs): Arrow-batched mapInPandas kernel
-    with the deterministic stand-in decoder, then per-kind feature stats.
-    mapInPandas is not SQL-expressible → rows-only driver check; pytest
-    covers kernel determinism and schema."""
+    with the deterministic stand-in decoder, then per-kind feature stats
+    under the decimal-avg determinism contract.
+
+    Fully oracled as of r4: the fake decoder's md5 chain advances over
+    hex STRINGS (multimodal._fake_decode), so DuckDB replays decode →
+    per-doc mean/std → corpus aggregate bit-for-bit. The per-doc stats
+    are exact by construction — byte values and squared deviations are
+    integer-derived multiples of 1/4096 whose sums stay under 2^53, so
+    numpy's pairwise and DuckDB's sequential summation cannot differ;
+    the only reassociation-sensitive step (the cross-doc average) goes
+    through the exact-decimal sum. A REAL codec is not replayable, of
+    course — the oracle certifies the Spark-side plumbing (batching,
+    schema, aggregation), which is the deliverable."""
     docs = load_table(spark, sf_dir, "documents")
     feats = M.decode_features(M.media_from_documents(docs), fake=True)
+    n = F.count(F.lit(1))
     return feats.groupBy("kind").agg(
-        F.count(F.lit(1)).alias("n_media"),
-        F.round(F.avg("mean_value"), 6).alias("avg_mean_value"),
-        F.round(F.avg("std_value"), 6).alias("avg_std_value"),
+        n.alias("n_media"),
+        F.round(F.sum(dec("mean_value", 18, 12)).cast("double") / n, 6).alias(
+            "avg_mean_value"
+        ),
+        F.round(F.sum(dec("std_value", 18, 12)).cast("double") / n, 6).alias(
+            "avg_std_value"
+        ),
     )
 
 
