@@ -355,22 +355,25 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
+        # Each node's OLD label rides the union (non-null only on the
+        # self row, exactly one per id), so convergence is read off the
+        # aggregated frame itself — no per-round labels⨝new_labels join.
         neighbor_labels = edges.join(
             labels.select(F.col("id").alias("dst"), "label"), "dst"
-        ).select(F.col("src").alias("id"), "label")
+        ).select(
+            F.col("src").alias("id"),
+            "label",
+            F.lit(None).cast(labels.schema["label"].dataType).alias("old"),
+        )
+        own = labels.select("id", "label", F.col("label").alias("old"))
         new_labels = (
-            labels.union(neighbor_labels)
+            own.union(neighbor_labels)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             return labels.select(
                 F.col("id").alias(id_a), F.col("label").alias("cluster_id")

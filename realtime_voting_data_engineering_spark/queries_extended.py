@@ -807,6 +807,7 @@ def approx_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT * FROM events WHERE event_type = 'purchase') e
     ASOF LEFT JOIN rc r ON e.user_id = r.user_id AND e.ts >= r.cts
     """,
+    headline=True,  # window-heavy union over full events — track its cost
     tags=("join", "asof"),
 )
 def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
