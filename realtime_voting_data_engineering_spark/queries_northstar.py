@@ -350,28 +350,30 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.near_dup_embeddings(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-def _srp_oracle(
-    dims: int = 64, planes: int = 32, bands: int = 8, threshold: float = 0.4
-) -> str:
-    """Replays near_dup_embeddings_srp end to end: per-plane sign bits
-    against the SAME md5-derived hyperplane literals the Spark side
-    builds (similarity.srp_hyperplanes), identical 4-bit band chunking,
-    candidate join on (band_idx, chunk), exact-cosine verification of
-    candidates only. Spark computes the dots with a numpy matmul and
-    DuckDB with a sequential list_sum, so the two can disagree only if a
-    dot product lands within float-reassociation distance (~1e-13
-    relative) of exactly 0 — measure-zero on real embeddings; the verify
-    stage's cosine replay is the already-proven-portable _COS_SQL."""
+def _srp_bits_sql(dims: int, planes: int) -> str:
+    """Per-plane sign bits (b0..b{planes-1}) against the SAME md5-derived
+    hyperplane literals the Spark kernel builds
+    (similarity.srp_hyperplanes). Spark computes the dots with a numpy
+    matmul and DuckDB with a sequential list_sum, so the two can
+    disagree only if a dot product lands within float-reassociation
+    distance (~1e-13 relative) of exactly 0 — measure-zero on real
+    embeddings."""
     h = S.srp_hyperplanes(dims, planes)
-    bits_per_band = planes // bands
-    bit_cols = ", ".join(
+    return ", ".join(
         "CASE WHEN list_sum(list_transform(list_zip(embedding, ["
         + ", ".join(repr(float(w)) for w in h[p])
         + "]), x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN 1 ELSE 0 END"
         f" AS b{p}"
         for p in range(planes)
     )
-    band_selects = "\nUNION ALL\n".join(
+
+
+def _srp_band_selects(planes: int, bands: int) -> str:
+    """One SELECT per LSH band over the ``sig`` CTE, packing each band's
+    sign bits into the same little-endian chunk ints similarity._banded
+    extracts with shiftright/bitwiseAND."""
+    bits_per_band = planes // bands
+    return "\nUNION ALL\n".join(
         f"SELECT vec_id, {b} AS band_idx, "
         + " + ".join(
             f"{1 << r} * b{b * bits_per_band + r}" for r in range(bits_per_band)
@@ -379,6 +381,17 @@ def _srp_oracle(
         + " AS chunk FROM sig"
         for b in range(bands)
     )
+
+
+def _srp_oracle(
+    dims: int = 64, planes: int = 32, bands: int = 8, threshold: float = 0.4
+) -> str:
+    """Replays near_dup_embeddings_srp end to end: sign-bit banding
+    (_srp_bits_sql), candidate join on (band_idx, chunk), exact-cosine
+    verification of candidates only — the verify stage's cosine replay
+    is the already-proven-portable _COS_SQL."""
+    bit_cols = _srp_bits_sql(dims, planes)
+    band_selects = _srp_band_selects(planes, bands)
     cos = _COS_SQL.format(a="ea.embedding", b="eb.embedding")
     return f"""
     WITH sig AS (SELECT vec_id, {bit_cols} FROM embeddings),
@@ -521,23 +534,101 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_quantized", None, tags=("similarity", "northstar"))
+_KNN_QUANT_ORACLE = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+             AS maxabs
+  FROM embeddings),
+s AS (SELECT vec_id, embedding, maxabs, maxabs / 127.0 AS scale FROM m),
+qz AS (
+  SELECT vec_id, scale,
+         CASE WHEN maxabs = 0
+              THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+              ELSE list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) / scale) AS TINYINT))
+         END AS qvec
+  FROM s),
+cn AS (
+  SELECT vec_id, scale, qvec,
+         sqrt(list_sum(list_transform(qvec,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * scale AS c_norm
+  FROM qz),
+qs AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS q_norm
+  FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT qs.query_id, cn.vec_id AS neighbor_id,
+         (list_sum(list_transform(list_zip(cn.qvec, qs.qv),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) * cn.scale)
+         / (cn.c_norm * qs.q_norm) AS cos_raw
+  FROM cn, qs
+  WHERE cn.vec_id != qs.query_id AND cn.c_norm > 0 AND qs.q_norm > 0)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) <= 5
+"""
+
+
+@register("knn_quantized", _KNN_QUANT_ORACLE, tags=("similarity", "northstar"))
 def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 neighbors scored directly against the int8-quantized corpus
-    (4× smaller scan, int-code matmul + per-row scale). Approximate only
-    by quantization error → rows-only driver check; pytest measures
-    recall vs the float brute-force path."""
+    (4× smaller scan, int-code matmul + per-row scale). Approximate vs
+    the FLOAT brute-force path only by quantization error (pytest
+    measures recall) — but deterministic in itself, so as of r4 the
+    DuckDB oracle replays quantize → int-dot → per-row rescale → top-k.
+    The kernel's numpy matmul sums products in pairwise/BLAS order while
+    DuckDB's list_sum is sequential; the products themselves are exact
+    (int8 code × float32 value ≤ 31 mantissa bits), so disagreement
+    needs a rank-5 near-tie within reassociation distance (~1e-16
+    relative) — harness-verified bit-exact on the driver corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.knn_quantized(emb.filter(F.col("vec_id") < 10).limit(10), emb, k=5)
+    out = S.knn_quantized(emb.filter(F.col("vec_id") < 10).limit(10), emb, k=5)
+    return out.withColumn("cos", F.round("cos", 6))
 
 
-@register("knn_ann_srp", None, tags=("similarity", "northstar"))
+def _knn_srp_oracle(dims: int = 64, planes: int = 16, bands: int = 4, k: int = 5) -> str:
+    """Replays knn_ann end to end: sign-bit banding over the corpus
+    (queries are corpus rows vec_id < 10), bucket-mate candidates,
+    exact-cosine re-rank, deterministic top-k (cos DESC, neighbor_id)."""
+    cos = _COS_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+    WITH sig AS (SELECT vec_id, {_srp_bits_sql(dims, planes)} FROM embeddings),
+    bands AS ({_srp_band_selects(planes, bands)}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.chunk = b.chunk
+       AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 10
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {cos} AS cos_raw
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) <= {k}
+    """
+
+
+@register("knn_ann_srp", _knn_srp_oracle(), tags=("similarity", "northstar"))
 def knn_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via sign-random-projection LSH (16 planes, 4
-    bands) with exact re-rank inside buckets. Approximate by design →
-    rows-only driver check; pytest measures recall vs brute force."""
+    bands) with exact re-rank inside buckets. Approximate vs brute force
+    (pytest measures recall) — but deterministic given the md5-derived
+    hyperplanes, and the re-rank cosine is the sequential fold that
+    bit-matches DuckDB's list_sum, so as of r4 the oracle replays the
+    whole bucket→re-rank→top-k pipeline like the near-dup SRP query's."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.knn_ann(emb.filter(F.col("vec_id") < 10).limit(10), emb, dims=64, k=5)
+    out = S.knn_ann(emb.filter(F.col("vec_id") < 10).limit(10), emb, dims=64, k=5)
+    return out.withColumn("cos", F.round("cos", 6))
 
 
 @register("knn_ann_ivf", None, tags=("similarity", "northstar"))
