@@ -472,25 +472,38 @@ def simhash_table(
     id_col: str = "doc_id",
     n_bits: int = 64,
 ) -> DataFrame:
-    """SimHash fingerprints: per-token xxhash64, per-bit ±1 majority vote,
-    packed into one long per document.
+    """SimHash fingerprints: per-token 64-bit hash, per-bit ±1 majority
+    vote (frequency-weighted — every token occurrence votes), packed into
+    one long per document.
 
-    Implemented as explode → one grouped aggregation with ``n_bits`` SUM
-    measures → bit-pack projection. All JVM built-ins (xxhash64 is
-    JVM-native and fast; SimHash needs no cross-engine replay — candidates
-    get verified with portable measures downstream). The per-doc shuffle
-    carries 64 ints, independent of document length.
+    The 64 hash bits come from two 32-bit md5-prefix halves (bits 0-31
+    from hex chars 1-8, bits 32-63 from chars 9-16) — ONE md5 per token
+    occurrence, same engine-portable construction as
+    ``minhash_base_hash``, so the DuckDB oracle replays the fingerprints
+    bit-for-bit (``CAST('0x' || substr(md5(t), ...) AS BIGINT)``). The
+    halves are projected as real columns before the 64 vote sites
+    reference them (Catalyst does not CSE non-cheap expressions — the
+    13× shingle_index lesson). Implemented as explode → one grouped
+    aggregation with ``n_bits`` SUM measures → bit-pack projection, all
+    JVM built-ins; the per-doc shuffle carries 64 ints, independent of
+    document length.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    half_bits = n_bits // 2
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .select(F.col(id_col), F.md5("tok").alias("__md5"))  # md5 ONCE per token
+        .select(
+            F.col(id_col),
+            F.conv(F.substring("__md5", 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring("__md5", 9, 8), 16, 10).cast("bigint").alias("h2"),
+        )
+    )
+    def _bit(i: int) -> Column:
+        src, off = ("h1", i) if i < half_bits else ("h2", i - half_bits)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
     votes = toks.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{i}")
+            F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"v{i}")
             for i in range(n_bits)
         ]
     )

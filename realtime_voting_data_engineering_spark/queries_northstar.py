@@ -3,8 +3,11 @@ search over the documents/embeddings corpus (BASELINE.json).
 
 Oracle strategy: every operator whose algorithm is portable (md5-based
 hashing, double-precision folds, linear/clamped scoring) gets a full
-DuckDB replay; xxhash64-based operators (SimHash) and approximate
-operators (SRP-ANN) register without an oracle — the driver records a
+DuckDB replay — including MinHash, SimHash, SRP banding, int8
+quantization, and the fake media decoder, all built on md5-derived
+constants precisely so both engines can compute them. Only operators
+with genuinely non-portable state register without an oracle
+(k-means-trained IVF; HLL / KLL sketches) — the driver records a
 rows-only check, and pytest covers recall against the exact variants.
 
 Imported for its registration side effects by
@@ -290,11 +293,55 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs, method="star")
 
 
-@register("simhash_near_dup", None, tags=("dedup", "northstar"))
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN ((CASE WHEN b.bit < 32 THEN h1 >> b.bit
+                              ELSE h2 >> (b.bit - 32) END) & 1) = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM hashed, (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN
+               CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)
+                    ELSE (1::BIGINT << bit) END
+             ELSE 0 END)::BIGINT AS sh
+  FROM votes GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, sh, i.chunk_idx, (sh >> (i.chunk_idx * 16)) & 65535 AS chunk
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS chunk_idx) i
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+FROM chunks a
+JOIN chunks b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+            AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 8
+"""
+
+
+@register("simhash_near_dup", _SIMHASH_ORACLE, tags=("dedup", "northstar"))
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs, Hamming ≤ 8, banded by 16-bit
-    chunks. xxhash64-based (JVM-fast, not SQL-replayable) → rows-only
-    driver check; pytest verifies planted near-dups are found."""
+    chunks. The r4 rewrite derives the 64 hash bits from two md5-prefix
+    halves (``dedup.simhash_table``), so the full fingerprint → band →
+    Hamming-verify pipeline is replayed bit-for-bit by the DuckDB oracle
+    — the last hash-based dedup family graduates from rows-only to a
+    hash-matched driver check. Pytest separately verifies planted
+    near-dups are found."""
     return D.simhash_near_dup_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=8
     )
