@@ -344,3 +344,65 @@ def asof_join(
         *l_cols,
         *[F.col("__attach").getField(c).alias(c) for c in attach],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str,
+    start_time: str,
+    end_time: str,
+    bucket_seconds: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Range (point-in-interval) join: every points row paired with every
+    intervals row whose ``[start_time, end_time]`` contains it (inclusive
+    bounds), optionally also matching on equi-``keys``. Inner join; the
+    result carries all columns of both sides (they must be disjoint apart
+    from ``keys``).
+
+    Spark has no range-join operator: an inequality-only join condition
+    plans as BroadcastNestedLoopJoin (O(|P|·|I|) compares, and the
+    broadcast side must fit in memory) — unusable when both sides scale
+    with the data. The scalable construction is **bucketing**: quantize
+    time into ``bucket_seconds``-wide epochs, explode each interval to
+    the buckets it covers, tag each point with its single bucket, and
+    equi-join on (keys…, bucket) before applying the exact containment
+    filter. The all-pairs compare becomes one hash/sort-merge shuffle on
+    the bucket key — the same plan family as the overlap-interval joins
+    in Spark-based genomics engines and Databricks' range-join hints.
+
+    Cost model: the interval side blows up by ceil(length / bucket) + 1
+    rows per interval, so pick ``bucket_seconds`` near the typical
+    interval length (explode factor ~2); a too-small bucket inflates the
+    shuffle, a too-large one degrades post-join selectivity but never
+    correctness. A point falls in exactly ONE bucket, so each qualifying
+    pair is emitted exactly once — no DISTINCT pass over the output.
+    Seconds-truncated bucketing is safe for sub-second timestamps:
+    truncation moves both the point's bucket and the interval's covered
+    range down together, so containment implies bucket membership.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    w = F.lit(bucket_seconds)
+    pb = points.withColumn(
+        "__bucket",
+        F.floor(F.unix_timestamp(F.col(point_time)) / w).cast("bigint"),
+    )
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_time)) / w).cast("bigint"),
+                F.floor(F.unix_timestamp(F.col(end_time)) / w).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, [*keys, "__bucket"])
+        .filter(
+            (F.col(point_time) >= F.col(start_time))
+            & (F.col(point_time) <= F.col(end_time))
+        )
+        .drop("__bucket")
+    )

@@ -573,7 +573,10 @@ from realtime_voting_data_engineering_spark import queries_tpch  # noqa: E402,F4
 # one round stale (rotation policy: PARITY.md "Driver-window rotation";
 # invariant pinned by tests/test_registry_order.py).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # SURVEY §2 core (queries.py) — 17
+    # SURVEY §2 core (queries.py) — 16 this round: scalar_counts sits out
+    # one round (green r1+r2+r3 rows; trivially stable global counts) to
+    # make room for the r4-new purchases_after_error, and rotates back
+    # in r5 per the rotation invariant.
     "votes_per_candidate",
     "turnout_per_location",
     "leading_candidate",
@@ -583,7 +586,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "assigned_candidate_counts",
     "voters_by_segment",
     "voter_pagination",
-    "scalar_counts",
     "hourly_vote_counts",
     "parse_vote_payload",
     "q1_pricing_summary",
@@ -624,9 +626,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_near_dup_pairs",
     # Red r3 row (canonicalizer crash on array output; fixed) — 1
     "embedding_quantization",
-    # Evidence class changed this round — 2
+    # Evidence class changed / new this round — 3
     "embedding_near_dup_srp",  # rows-only → full SRP-replay oracle
     "near_dup_clusters_star",  # new: star-contraction CC twin
+    "purchases_after_error",  # new: bucketed range join (r4)
 )
 
 

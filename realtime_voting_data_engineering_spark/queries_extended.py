@@ -851,3 +851,59 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             "micros_since_click"
         ),
     )
+
+
+@register(
+    "purchases_after_error",
+    """
+    WITH e AS (
+      SELECT event_id AS error_id, user_id, ts AS w_start,
+             ts + INTERVAL 15 MINUTE AS w_end
+      FROM events WHERE event_type = 'error'),
+    p AS (
+      SELECT user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT e.error_id, count(*) AS n_purchases,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+    FROM p JOIN e
+      ON p.user_id = e.user_id AND p.pts >= e.w_start AND p.pts <= e.w_end
+    GROUP BY e.error_id
+    """,
+    tags=("join", "range"),
+)
+def purchases_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via ``relational.interval_join``: for each error event,
+    the same user's purchases inside [error_ts, error_ts + 15 min] —
+    error-impact-on-conversion analysis. Both sides scale with SF, so
+    neither is broadcastable; the operator buckets time into 15-minute
+    epochs (explode factor ≤ 2 per interval) and equi-joins on
+    (user_id, bucket) — never the BroadcastNestedLoopJoin Spark would
+    plan for the raw inequality condition (plan-pinned in
+    tests/test_plans.py). The oracle runs the same join as a naive
+    DuckDB inequality join: two independent range-join strategies must
+    agree row-for-row."""
+    from realtime_voting_data_engineering_spark.operators import relational as R
+
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("w_end"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    joined = R.interval_join(
+        purchases,
+        errors,
+        point_time="pts",
+        start_time="w_start",
+        end_time="w_end",
+        bucket_seconds=900,
+        keys=["user_id"],
+    )
+    return joined.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(dec("value", 18, 6)).cast("double").alias("purchase_value"),
+    )

@@ -244,3 +244,24 @@ def test_asof_join_is_union_window_not_range_join(spark, sf_dir):
     exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
     assert len(exchanges) == 2, exchanges
     assert any("hashpartitioning(user_id" in l for l in exchanges)
+
+
+def test_interval_join_is_bucketed_equi_join(spark, sf_dir):
+    """The range join must plan as an EQUI hash/sort-merge join on
+    (user_id, bucket) with the containment predicate as a post-join
+    condition — never the BroadcastNestedLoopJoin Spark plans for a raw
+    inequality-only condition (all-pairs compare + a broadcast of an
+    SF-scaled side: the 100 TB killer). The interval side's bucket
+    explode must be a Generate feeding the join, and both scans must
+    still get their event_type filter pushed down."""
+    plan = _q(spark, sf_dir, "purchases_after_error")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    ), plan
+    assert "Generate" in plan  # the interval→bucket explode
+    join_keys = [l for l in plan.splitlines() if "keys" in l.lower()]
+    assert any("__bucket" in l for l in join_keys), join_keys
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert sum("EqualTo(event_type" in l for l in pushed) == 2, pushed

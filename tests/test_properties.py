@@ -198,3 +198,75 @@ def test_asof_join_edge_semantics(spark):
     assert got[3] == (None, None)  # nothing at-or-before t=50
     assert got[4] == (None, None)  # key with no right rows at all
     assert got[5] == (None, 250)  # matched row's NULL value, ITS time
+
+
+def _ts(seconds: float):
+    import datetime as dt
+
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=seconds)
+
+
+@given(
+    points=st.lists(st.integers(0, 120), min_size=0, max_size=25),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 120), st.integers(0, 40)),
+        min_size=0,
+        max_size=15,
+    ),
+    bucket=st.sampled_from([1, 7, 30, 200]),
+)
+@SET
+def test_interval_join_matches_naive_model(spark, points, ivs, bucket):
+    """Bucketed range join == the naive all-pairs containment model, for
+    every bucket width — narrower than the intervals (multi-bucket
+    explode), wider than the whole domain (single bucket), and in
+    between. Inclusive bounds on both ends; each qualifying pair appears
+    exactly ONCE (the no-DISTINCT claim in the operator docstring)."""
+    from realtime_voting_data_engineering_spark.operators import relational as R
+
+    pts = spark.createDataFrame(
+        [(i, _ts(s)) for i, s in enumerate(points)], "pid long, pt timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(i, _ts(s), _ts(s + d)) for i, (s, d) in enumerate(ivs)],
+        "iid long, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in R.interval_join(
+            pts, intervals, "pt", "s", "e", bucket_seconds=bucket
+        ).collect()
+    )
+    expected = sorted(
+        (pi, ii)
+        for pi, p in enumerate(points)
+        for ii, (s, d) in enumerate(ivs)
+        if s <= p <= s + d
+    )
+    assert got == expected  # equality also proves exactly-once emission
+
+
+def test_interval_join_subsecond_boundaries(spark):
+    """Seconds-truncated bucketing must not lose sub-second matches: a
+    point at t=10.4s against intervals with fractional endpoints, at a
+    1-second bucket width (the adversarial case — truncation moves
+    bucket boundaries the most relative to the data)."""
+    from realtime_voting_data_engineering_spark.operators import relational as R
+
+    pts = spark.createDataFrame([(1, _ts(10.4))], "pid long, pt timestamp")
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts(10.5), _ts(11.5)),  # starts after the point: no match
+            (2, _ts(9.5), _ts(10.4)),   # ends exactly AT the point: match
+            (3, _ts(10.4), _ts(10.4)),  # zero-length at the point: match
+            (4, _ts(8.0), _ts(10.3)),   # ends just before: no match
+        ],
+        "iid long, s timestamp, e timestamp",
+    )
+    got = sorted(
+        r.iid
+        for r in R.interval_join(
+            pts, intervals, "pt", "s", "e", bucket_seconds=1
+        ).collect()
+    )
+    assert got == [2, 3]
