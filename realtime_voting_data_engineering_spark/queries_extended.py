@@ -869,6 +869,7 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON p.user_id = e.user_id AND p.pts >= e.w_start AND p.pts <= e.w_end
     GROUP BY e.error_id
     """,
+    headline=True,  # new operator class (bucketed range join) — track its cost
     tags=("join", "range"),
 )
 def purchases_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
