@@ -13,6 +13,10 @@ Scale design (the point of each variant):
   Shuffle volume drops from all-pairs to per-bucket.
 - **SimHash** — 64-bit weighted-majority fingerprint; near-dups differ
   in few bits. Banded by 16-bit chunks for candidate generation.
+- **Winnowing** — per-passage rolling-hash fingerprints (window minima
+  over k-gram hashes); detects partial overlap between documents whose
+  overall similarity is low. Inverted-index join with a document-
+  frequency cut as the hot-key guard.
 
 Hashing is md5-based where an oracle must replay it (md5 is bit-identical
 across engines); xxhash64 (faster, JVM-native) where it needn't.
@@ -26,6 +30,7 @@ from pyspark.sql import functions as F
 from realtime_voting_data_engineering_spark.operators.text import (
     fingerprint,
     tokens,
+    winnow_fingerprints,
 )
 
 
@@ -49,6 +54,46 @@ def fingerprint_dup_clusters(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(id_col).alias("canonical_id"),
         )
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    window: int = 8,
+    max_df: int = 50,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Partial-overlap pairs via winnowing fingerprints
+    (``text.winnow_fingerprints``): docs sharing ≥ ``min_shared``
+    selected fingerprints, with the shared count — detects copied
+    *passages* between otherwise-different documents, which document-
+    level MinHash/SimHash similarity misses.
+
+    Scale shape: fingerprint explode is corpus-linear (~len/window rows
+    per doc); the pair join is an inverted index keyed on the 32-bit
+    fingerprint. Two guards bound the posting-list blowup: fingerprints
+    appearing in more than ``max_df`` documents are dropped BEFORE the
+    self-join (ubiquitous boilerplate n-grams carry no overlap signal
+    and are exactly the hot keys that would skew the shuffle — the
+    standard winnowing-at-scale document-frequency cut), and the join
+    output is aggregated per pair with map-side partial counts.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= max_df
+    )
+    kept = fps.join(rare.select("fp"), "fp", "left_semi")
+    a = kept.select(F.col(id_col).alias("id_a"), "fp")
+    b = kept.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

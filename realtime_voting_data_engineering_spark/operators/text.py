@@ -234,6 +234,75 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
+#: Winnowing parameters: Rabin-Karp base/modulus for the k-gram
+#: polynomial hash and a Knuth multiplicative mix. All arithmetic stays
+#: exact in int64 ((acc*257 + c) < 2^39 before each mod; mixed product
+#: < 2^63), so Spark and the DuckDB oracle compute identical values.
+WINNOW_BASE = 257
+WINNOW_MOD = 2_147_483_647  # 2^31 - 1
+WINNOW_MIX = 2_654_435_761  # Knuth's 2^32 / phi
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., "Winnowing:
+    Local Algorithms for Document Fingerprinting"): rolling-hash every
+    character ``k``-gram of the normalized text, slide a ``window`` over
+    consecutive k-gram hashes, keep each window's minimum, dedup. Two
+    documents sharing any sufficiently long passage (≥ k + window - 1
+    chars) are guaranteed to share a fingerprint — the *partial-overlap*
+    detector that whole-document fingerprints and document-level MinHash
+    are blind to.
+
+    Spark-first shape: char-code array projected once per doc, then the
+    k-gram hashes and window minima are array expressions over it —
+    corpus-linear, zero shuffle, whole-stage codegen. The hash is a
+    base-257 polynomial mod 2^31-1 with a Knuth multiplicative mix
+    (computed by ``F.aggregate`` fold — semantically the rolling hash,
+    evaluated per position). Every step is exact int64 arithmetic, so
+    the DuckDB oracle replays fingerprints bit-for-bit (list_reduce with
+    a prepended 0 matches the fold's zero init).
+
+    Returns (id_col, fp): one row per distinct selected fingerprint per
+    document. Docs shorter than ``k`` normalized chars yield no rows.
+    """
+    codes = F.transform(
+        F.split(normalized_text(text_col), ""),
+        lambda c: F.ascii(c).cast("bigint"),
+    )
+    staged = df.select(F.col(id_col), codes.alias("__codes")).filter(
+        F.size("__codes") >= k
+    )
+    kh = F.transform(
+        F.sequence(F.lit(1), F.size("__codes") - (k - 1)),
+        lambda i: (
+            F.aggregate(
+                F.slice("__codes", i, k),
+                F.lit(0).cast("bigint"),
+                lambda acc, c: (acc * WINNOW_BASE + c) % WINNOW_MOD,
+            )
+            * WINNOW_MIX
+        )
+        % WINNOW_MOD,
+    )
+    hashed = staged.select(F.col(id_col), kh.alias("__kh"))
+    mins = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("__kh") - (window - 1), F.lit(1))
+        ),
+        lambda j: F.array_min(F.slice("__kh", j, window)),
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(mins)).alias("fp"),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Full per-document text-analysis profile — staged projections,
     entirely whole-stage-codegen; scales linearly with no shuffle.

@@ -573,10 +573,11 @@ from realtime_voting_data_engineering_spark import queries_tpch  # noqa: E402,F4
 # one round stale (rotation policy: PARITY.md "Driver-window rotation";
 # invariant pinned by tests/test_registry_order.py).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # SURVEY §2 core (queries.py) — 16 this round: scalar_counts sits out
-    # one round (green r1+r2+r3 rows; trivially stable global counts) to
-    # make room for the r4-new purchases_after_error, and rotates back
-    # in r5 per the rotation invariant.
+    # SURVEY §2 core (queries.py) — 15 this round: scalar_counts and
+    # voter_pagination sit out one round (green r1+r2+r3 rows; trivial,
+    # property-tested shapes) to make room for the r4-new
+    # purchases_after_error and winnow_overlap_topk, and rotate back in
+    # r5 per the rotation invariant.
     "votes_per_candidate",
     "turnout_per_location",
     "leading_candidate",
@@ -585,7 +586,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_votes_exact",
     "assigned_candidate_counts",
     "voters_by_segment",
-    "voter_pagination",
     "hourly_vote_counts",
     "parse_vote_payload",
     "q1_pricing_summary",
@@ -626,10 +626,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_near_dup_pairs",
     # Red r3 row (canonicalizer crash on array output; fixed) — 1
     "embedding_quantization",
-    # Evidence class changed / new this round — 3
+    # Evidence class changed / new this round — 4
     "embedding_near_dup_srp",  # rows-only → full SRP-replay oracle
     "near_dup_clusters_star",  # new: star-contraction CC twin
     "purchases_after_error",  # new: bucketed range join (r4)
+    "winnow_overlap_topk",  # new: winnowing partial-overlap (r4)
 )
 
 

@@ -293,6 +293,54 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs, method="star")
 
 
+_WINNOW_ORACLE = r"""
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
+           c -> CAST(unicode(c) AS BIGINT)) AS cs
+  FROM documents
+),
+kh AS (
+  SELECT doc_id, list_transform(generate_series(1, len(cs) - 11),
+    i -> (list_reduce(list_prepend(0::BIGINT, cs[i:i+11]),
+                      (acc, c) -> (acc * 257 + c) % 2147483647)
+          * 2654435761) % 2147483647) AS hs
+  FROM codes WHERE len(cs) >= 12
+),
+sel AS (
+  SELECT DISTINCT doc_id, fp FROM kh,
+    UNNEST(list_transform(generate_series(1, greatest(len(hs) - 7, 1)),
+                          j -> list_min(hs[j:j+7]))) AS t(fp)
+),
+rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50),
+kept AS (SELECT sel.doc_id, sel.fp FROM sel JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+ORDER BY n_shared DESC, id_a, id_b LIMIT 100
+"""
+
+
+@register("winnow_overlap_topk", _WINNOW_ORACLE, tags=("dedup", "northstar"))
+def winnow_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 partial-overlap pairs by winnowing fingerprint count
+    (``dedup.winnow_overlap_pairs``; Schleimer et al. winnowing with
+    k=12, window=8, document-frequency cut 50). The rolling-hash
+    fingerprint family from SURVEY's training-data surface: catches
+    shared *passages* between documents whose whole-document similarity
+    is low. Exact int64 polynomial hashing, so the DuckDB oracle replays
+    fingerprint selection bit-for-bit; output is a total order
+    (n_shared DESC, id_a, id_b) so top-100 is deterministic."""
+    pairs = D.winnow_overlap_pairs(
+        load_table(spark, sf_dir, "documents"), k=12, window=8, max_df=50,
+        min_shared=3,
+    )
+    return pairs.orderBy(
+        F.col("n_shared").desc(), F.col("id_a"), F.col("id_b")
+    ).limit(100)
+
+
 _SIMHASH_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok

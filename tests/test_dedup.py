@@ -69,6 +69,42 @@ def test_simhash_is_deterministic(spark, sf_dir):
     assert t1 == t2
 
 
+def test_winnow_detects_planted_passage_overlap(spark):
+    """Two documents sharing one long passage but otherwise disjoint
+    must pair up (the winnowing guarantee: any shared run of at least
+    k + window - 1 chars shares a fingerprint); fully disjoint docs must
+    not. Also pins the ubiquity guard: a passage pasted into MORE than
+    max_df docs is dropped by the document-frequency cut, so boilerplate
+    alone creates no pairs."""
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, "alpha beta gamma delta " + passage + " epsilon zeta"),
+        (2, passage + " omicron pi rho sigma tau upsilon entirely"),
+        (3, "unrelated filler content with no repeated passages at all"),
+        (4, "completely different words everywhere nothing shared here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in D.winnow_overlap_pairs(df, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+    # Ubiquity guard: the same passage in every doc of a corpus larger
+    # than max_df produces ZERO pairs — its fingerprints are cut.
+    many = spark.createDataFrame(
+        [(i, f"doc number {i} distinct words " + passage) for i in range(30)],
+        "doc_id long, text string",
+    )
+    cut = D.winnow_overlap_pairs(many, max_df=10, min_shared=2).collect()
+    common_only = {
+        (r.id_a, r.id_b)
+        for r in cut
+    }
+    assert not common_only, f"ubiquitous-passage pairs survived the df cut: {common_only}"
+
+
 def test_connected_components_match_union_find(spark):
     """Min-label propagation vs a plain-Python union-find on a graph
     with chains (exercises multi-round propagation), a triangle, an
