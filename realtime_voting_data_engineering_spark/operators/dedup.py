@@ -82,6 +82,11 @@ def winnow_overlap_pairs(
     output is aggregated per pair with map-side partial counts.
     """
     fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    # count(*) per fp IS document frequency here because
+    # winnow_fingerprints emits each fp at most once per doc
+    # (array_distinct before the explode, text.py) — if that per-doc
+    # distinct contract were removed, this would become a posting count
+    # and max_df would silently change meaning (use countDistinct then).
     rare = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
         F.col("__df") <= max_df
     )

@@ -125,7 +125,11 @@ def near_dup_embeddings_srp(
     r=4, b=8) recall is ≈0.995 with strong pruning; at a loose 0.4
     threshold on near-uniform vectors (p ≈ 0.63 — this corpus's worst
     case) the defaults still reach ≈0.85 recall, measured against the
-    exact form in tests. Approximate by design → rows-only driver check.
+    exact form in tests. Approximate only versus the ALL-PAIRS exact
+    form — the pipeline itself is deterministic given the md5-derived
+    hyperplanes (``srp_hyperplanes``), so the registered query
+    (``embedding_near_dup_srp``) carries a full SRP-replay DuckDB
+    oracle: banding, candidate join, and cosine verify all hash-match.
     """
     cands = srp_candidate_pairs(corpus, dims, planes, bands, id_col, vec_col)
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))

@@ -560,24 +560,54 @@ from realtime_voting_data_engineering_spark import queries_tpch  # noqa: E402,F4
 # which queries get a driver-side correctness row each round. We order
 # explicitly rather than leaning on import side-effect order.
 #
-# Round-4 window = the SURVEY-§2 voting core (kept in-window every round)
-# + the 30 queries that sat OUT of the r3 window (their driver evidence
-# is CORRECTNESS_r02 and the invariant forces them back in before it
-# goes two rounds stale) + embedding_quantization (red r3 row — the
-# array-column canonicalizer crash, now fixed by CSV-encoding qvec —
-# must re-check) + the 2 queries whose evidence class changed this
-# round: embedding_near_dup_srp (graduated from rows-only to a full
-# SRP-replay oracle) and near_dup_clusters_star (new registration).
-# Every query OUTSIDE this window has a green row in
-# CORRECTNESS_r03.json, so no component's driver evidence is more than
+# Round-5 window = the 33 queries that sat OUT of the r4 window (their
+# driver evidence is CORRECTNESS_r03 and the rotation invariant forces
+# them back before it goes two rounds stale — this includes the three
+# queries whose oracles were added in r4 with no driver row yet:
+# knn_quantized, knn_ann_srp, media_feature_stats) + 17 SURVEY-§2 core
+# fillers with green r4 rows. New r5 registrations take core-filler
+# slots as they land (a new name has no prior driver row, so it MUST be
+# in-window). Every query OUTSIDE this window has a green row in
+# CORRECTNESS_r04.json, so no component's driver evidence is more than
 # one round stale (rotation policy: PARITY.md "Driver-window rotation";
 # invariant pinned by tests/test_registry_order.py).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # SURVEY §2 core (queries.py) — 15 this round: scalar_counts and
-    # voter_pagination sit out one round (green r1+r2+r3 rows; trivial,
-    # property-tested shapes) to make room for the r4-new
-    # purchases_after_error and winnow_overlap_topk, and rotate back in
-    # r5 per the rotation invariant.
+    # Out of the r4 window (last driver row: r3) — 33, forced in
+    "voter_pagination",
+    "scalar_counts",
+    "asof_last_click",
+    "text_profile",
+    "minhash_lsh_dedup",
+    "near_dup_clusters",
+    "deterministic_doc_sample",
+    "train_val_test_split",
+    "knn_quantized",
+    "knn_ann_srp",
+    "knn_ann_ivf",
+    "media_feature_stats",
+    "media_frame_sample_plan",
+    "language_histogram",
+    "quality_score_buckets",
+    "q2_min_cost_supplier",
+    "q4_late_ship_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_margin_by_nation_year",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_promo_heavy_suppliers",
+    "q21_sole_late_supplier",
+    "q22_idle_high_balance",
+    # SURVEY §2 core fillers (green r4 rows; yield slots to new r5
+    # registrations as they land) — 17
     "votes_per_candidate",
     "turnout_per_location",
     "leading_candidate",
@@ -593,44 +623,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q5_revenue_by_nation",
     "revenue_by_brand",
     "top_orders_per_priority",
-    # Out of the r3 window (last driver row: r2) — 30
-    "activation_funnel",
-    "weekly_retention_cohorts",
-    "data_quality_report",
-    "distinct_counts",
-    "order_status_rollup",
-    "event_type_cube",
-    "grouping_sets_revenue",
-    "customers_with_orders_by_segment",
-    "customers_without_orders",
-    "high_balance_accounts_union",
-    "purchase_and_error_users",
-    "purchase_only_users",
-    "event_counts_pivot",
-    "user_sessions",
-    "purchase_with_prior_view",
-    "running_revenue_per_customer",
-    "scalar_function_profile",
-    "order_date_parts",
-    "value_quartiles_by_type",
-    "approx_distinct_users",
-    "event_window_suite",
-    "embedding_array_profile",
-    "top_words",
-    "approx_value_quartiles",
-    "document_chunks",
-    "doc_fingerprint_clusters",
-    "ngram_near_dup_pairs",
-    "simhash_near_dup",
-    "knn_cosine_topk",
-    "embedding_near_dup_pairs",
-    # Red r3 row (canonicalizer crash on array output; fixed) — 1
     "embedding_quantization",
-    # Evidence class changed / new this round — 4
-    "embedding_near_dup_srp",  # rows-only → full SRP-replay oracle
-    "near_dup_clusters_star",  # new: star-contraction CC twin
-    "purchases_after_error",  # new: bucketed range join (r4)
-    "winnow_overlap_topk",  # new: winnowing partial-overlap (r4)
+    "embedding_near_dup_srp",
 )
 
 

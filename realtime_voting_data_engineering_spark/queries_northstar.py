@@ -679,7 +679,9 @@ def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's list_sum is sequential; the products themselves are exact
     (int8 code × float32 value ≤ 31 mantissa bits), so disagreement
     needs a rank-5 near-tie within reassociation distance (~1e-16
-    relative) — harness-verified bit-exact on the driver corpus."""
+    relative) — bit-exact at sf0.01 under the in-repo harness
+    (tests/test_driver_contract.py); the first committed driver row
+    lands in r5 (in-window this round)."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = S.knn_quantized(emb.filter(F.col("vec_id") < 10).limit(10), emb, k=5)
     return out.withColumn("cos", F.round("cos", 6))
@@ -743,7 +745,7 @@ _MEDIA_STATS_ORACLE = """
 WITH h AS (
   SELECT doc_id AS media_id,
          ['image','audio','video'][(doc_id % 3) + 1] AS kind,
-         md5(text) AS h1
+         md5(coalesce(text, '')) AS h1
   FROM documents),
 chain AS (
   SELECT media_id, kind,

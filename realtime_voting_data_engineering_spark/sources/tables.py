@@ -52,8 +52,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NANO_TS_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif dtype == "timestamp_ntz":
+            # ``nanosAsLong`` is only honored when set BEFORE the session
+            # starts (builder-time). The driver's vanilla session sets it
+            # too late, so Spark reads TIMESTAMP(NANOS) as micros-truncated
+            # TIMESTAMP_NTZ instead. Cast to the canonical session-TZ
+            # timestamp (UTC pinned above → identical wall-clock values to
+            # the bigint path) so downstream code sees ONE type — functions
+            # like ``unix_micros`` require TIMESTAMP and reject NTZ.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
