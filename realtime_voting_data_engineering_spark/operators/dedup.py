@@ -610,3 +610,36 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: admit only incoming documents whose
+    content fingerprint (md5 of normalized text, ``text.fingerprint``)
+    is (a) absent from the existing corpus and (b) unique within the
+    incoming batch itself — keeping the lowest id as the batch
+    canonical. This is the daily-ingest shape: the existing corpus
+    participates ONLY as its fingerprint set (at 100 TB, a stored
+    fingerprint index — 16 bytes/doc — not a rescan of the corpus).
+
+    Plan: fingerprint both sides in the scan, LEFT ANTI join on the
+    16-byte key (one hash shuffle; Bloom-filter pushdown applies since
+    the probe side is the small new batch), then a min-id collapse
+    within the batch. No window over the existing corpus, no sort.
+    """
+    from realtime_voting_data_engineering_spark.operators.text import fingerprint
+
+    inc = incoming.select(
+        F.col(id_col), fingerprint(text_col).alias("fp")
+    )
+    seen = existing.select(fingerprint(text_col).alias("fp"))
+    fresh = inc.join(seen, "fp", "left_anti")
+    return (
+        fresh.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fp")
+    )

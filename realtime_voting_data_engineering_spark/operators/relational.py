@@ -406,3 +406,56 @@ def interval_join(
         )
         .drop("__bucket")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column | str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its
+    ``hash_fraction(key)`` falls below its stratum's rate — e.g. keep
+    50% of English documents but 100% of low-resource languages, the
+    standard corpus-rebalancing step in front of training-data mixes.
+
+    Same engine-portable md5 selection as ``deterministic_sample`` (the
+    oracle replays it), with the rate looked up from a literal CASE over
+    the stratum column. Pure filter: no shuffle, pushes into the scan,
+    and the same key draws the same uniform fraction in every stratum,
+    so per-stratum rates compose with downstream hash splits."""
+    frac = hash_fraction(key, salt)
+    rate = F.lit(float(default_rate))
+    for value, r in rates.items():
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.filter(frac < rate)
+
+
+def apply_changes_latest(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    delete_predicate: Column | None = None,
+) -> DataFrame:
+    """Batch CDC merge (the APPLY CHANGES / MERGE-INTO-latest-snapshot
+    shape): collapse a change feed to one row per key by the highest
+    ``seq_cols`` ordering, then drop keys whose *final* change matches
+    ``delete_predicate`` — an upsert+delete compaction in one pass.
+
+    Extends ``latest_per_key`` (reference W5) with tombstone semantics:
+    the deciding row is the latest one, so an update after a delete
+    resurrects the key, exactly like Delta/Hudi CDC apply. One shuffle
+    on the key (window row_number, no join); at 100 TB this is the
+    nightly-compaction plan over a bucketed change log."""
+    order = [F.col(c).desc() for c in seq_cols]
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    latest = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if delete_predicate is not None:
+        latest = latest.filter(~delete_predicate)
+    return latest

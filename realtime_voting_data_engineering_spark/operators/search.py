@@ -1,0 +1,109 @@
+"""Full-text relevance search over document tables: BM25 scoring and
+top-k retrieval — the keyword-search leg of a training-data pipeline
+(quality filtering by topicality, targeted corpus slicing) next to the
+embedding-based similarity in ``operators.similarity``.
+
+Design: for a FIXED small query-term set the whole score is expressible
+as per-row codegen expressions — per-term ``tf`` via array filters (no
+explode, no per-token shuffle), corpus stats (``N``, ``df_t``,
+``avgdl``) via ONE global aggregate broadcast back — so scoring a 100 TB
+corpus is a single scan plus a 1-row broadcast join, and the top-k is a
+TakeOrdered (no full sort). The classic inverted-index formulation
+shuffles every (term, doc) posting; this shape moves the (tiny) query to
+the data instead.
+
+Determinism contract: the BM25 idf here is the *rational* Robertson
+variant ``(N - df + 0.5) / (df + 0.5)`` — NO logarithm — so every term's
+contribution is a fixed-order chain of +,-,*,/ on doubles that DuckDB
+replays bit-for-bit (the repo-wide no-libm oracle rule, see
+``operators.text`` module docstring).
+
+Reference parity: the reference has no text search; this extends its
+dashboard lookup surface (streamlit-app.py:96 argmax) to ranked
+retrieval, per the training-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from realtime_voting_data_engineering_spark.operators.text import tokens
+
+
+def term_tf(text: Column | str, term: str) -> Column:
+    """Occurrences of ``term`` among lowercase whitespace tokens — an
+    array filter over the token split, no explode."""
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda t: F.lower(t) == F.lit(term)))
+
+
+def bm25_score(
+    tf_cols: list[tuple[Column, Column]],
+    dl: Column,
+    avgdl: Column,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> Column:
+    """BM25 with rational idf, summed over terms in list order (fixed
+    association so the oracle's ``+`` chain matches bit-for-bit).
+
+    ``tf_cols`` pairs each term's tf column with its idf column.
+    """
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * dl / avgdl
+    score = F.lit(0.0)
+    for tf, idf in tf_cols:
+        tfd = tf.cast("double")
+        score = score + idf * (tfd * F.lit(k1 + 1.0)) / (tfd + F.lit(k1) * norm)
+    return score
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 relevance to ``query_terms``.
+
+    Plan shape (pinned in tests/test_plans.py): one scan computing
+    per-term tf + doc length, one global aggregate for (N, avgdl, df_t)
+    broadcast back as a single row, pure-expression scoring, TakeOrdered
+    for the top-k. Zero data-sized shuffles; survives 1000× the corpus
+    because the only exchange carries literally one row.
+    """
+    tf_aliases = [f"__tf_{i}" for i in range(len(query_terms))]
+    base = docs.select(
+        F.col(id_col),
+        *[term_tf(text_col, t).alias(a) for t, a in zip(query_terms, tf_aliases)],
+        F.size(tokens(text_col)).alias("__dl"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg(F.col("__dl").cast("double")).alias("__avgdl"),
+        *[
+            F.sum((F.col(a) > 0).cast("bigint")).cast("double").alias(f"__df_{i}")
+            for i, a in enumerate(tf_aliases)
+        ],
+    )
+    joined = base.join(F.broadcast(stats))
+    half = F.lit(0.5)
+    tf_idf_pairs = [
+        (
+            F.col(a),
+            (F.col("__n") - F.col(f"__df_{i}") + half)
+            / (F.col(f"__df_{i}") + half),
+        )
+        for i, a in enumerate(tf_aliases)
+    ]
+    scored = joined.select(
+        F.col(id_col),
+        F.round(
+            bm25_score(tf_idf_pairs, F.col("__dl").cast("double"), F.col("__avgdl"), k1, b),
+            6,
+        ).alias("score"),
+    ).filter(F.col("score") > 0)
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -552,6 +552,7 @@ def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 from realtime_voting_data_engineering_spark import queries_extended  # noqa: E402,F401
 from realtime_voting_data_engineering_spark import queries_northstar  # noqa: E402,F401
 from realtime_voting_data_engineering_spark import queries_tpch  # noqa: E402,F401
+from realtime_voting_data_engineering_spark import queries_pipeline  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The grading driver's CORRECTNESS snapshot covers
@@ -606,8 +607,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q20_promo_heavy_suppliers",
     "q21_sole_late_supplier",
     "q22_idle_high_balance",
-    # SURVEY §2 core fillers (green r4 rows; yield slots to new r5
-    # registrations as they land) — 17
+    # New r5 registrations (no prior driver row → must be in-window) — 6
+    "bm25_search_topk",
+    "event_rollup_multires",
+    "stratified_doc_sample",
+    "cdc_latest_state",
+    "incremental_new_docs",
+    "salted_event_totals",
+    # SURVEY §2 core fillers (green r4 rows) — 11; q3/q5/revenue_by_brand/
+    # top_orders_per_priority/embedding_quantization/embedding_near_dup_srp
+    # ceded their slots to the new registrations and rotate back in r6.
     "votes_per_candidate",
     "turnout_per_location",
     "leading_candidate",
@@ -619,12 +628,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "hourly_vote_counts",
     "parse_vote_payload",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "revenue_by_brand",
-    "top_orders_per_priority",
-    "embedding_quantization",
-    "embedding_near_dup_srp",
 )
 
 

@@ -1,0 +1,310 @@
+"""Training-data-pipeline round-5 surface: ranked text search (BM25),
+hierarchical time rollups, stratified sampling, CDC merge compaction,
+incremental ingest dedup, and a skew-proof salted aggregation twin.
+
+Every query here is fully oracled: all scoring/selection arithmetic is
+restricted to +,-,*,/ on doubles in a FIXED association order (no libm),
+md5-based selection hashes, and decimal-cast sums — the repo-wide
+determinism contract (see ``queries.py`` module docstring) — so DuckDB
+replays each pipeline bit-for-bit.
+
+Imported for its registration side effects by
+``realtime_voting_data_engineering_spark.queries``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_voting_data_engineering_spark.functions.scalar import dec
+from realtime_voting_data_engineering_spark.operators import dedup as D
+from realtime_voting_data_engineering_spark.operators import relational as R
+from realtime_voting_data_engineering_spark.operators import search as SE
+from realtime_voting_data_engineering_spark.queries import register
+from realtime_voting_data_engineering_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# BM25 ranked search
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge", "query")
+_BM25_K = 10
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    """Replay ``operators.search.bm25_topk`` term by term: same token
+    split, same rational idf, same fixed-order double arithmetic. Python
+    ``repr`` renders the exact IEEE literal for k1+1 so both engines
+    multiply by the identical double."""
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    tf_cols = ",\n         ".join(
+        f"len(list_filter({toks}, t -> lower(t) = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    k1p1 = repr(_BM25_K1 + 1.0)
+    norm = f"(1.0 - {_BM25_B} + {_BM25_B} * CAST(dl AS DOUBLE) / avgdl)"
+    terms = " + ".join(
+        f"((n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf{i} AS DOUBLE) + {_BM25_K1} * {norm})"
+        for i in range(len(_BM25_TERMS))
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+         {tf_cols},
+         len({toks}) AS dl
+      FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(dl AS DOUBLE)) AS avgdl,
+             {df_cols}
+      FROM base),
+    scored AS (
+      SELECT doc_id,
+             round(0.0 + {terms}, 6) AS score
+      FROM base, stats)
+    SELECT doc_id, score FROM scored
+    WHERE score > 0
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_K}
+    """
+
+
+@register(
+    "bm25_search_topk",
+    _bm25_oracle(),
+    headline=True,  # new operator class: ranked text retrieval
+    tags=("search", "text", "pipeline"),
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 relevance to a fixed 3-term query
+    (``operators.search.bm25_topk``). One corpus scan computes per-term
+    tf + doc length as array filters (no explode); (N, avgdl, df) come
+    from ONE global aggregate broadcast back as a single row; scoring is
+    pure codegen arithmetic and the top-k is a TakeOrdered. The rational
+    Robertson idf (no log) keeps every operation IEEE-replayable in the
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SE.bm25_topk(
+        docs, list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical multi-resolution rollup (continuous-aggregate cascade)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_rollup_multires",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS dv
+      FROM events GROUP BY 1),
+    d AS (
+      SELECT date_trunc('day', bucket) AS bucket,
+             CAST(SUM(n) AS BIGINT) AS n, SUM(dv) AS dv
+      FROM h GROUP BY 1),
+    w AS (
+      SELECT date_trunc('week', bucket) AS bucket,
+             CAST(SUM(n) AS BIGINT) AS n, SUM(dv) AS dv
+      FROM d GROUP BY 1)
+    SELECT 'hour' AS resolution, bucket, n AS n_events,
+           CAST(dv AS DOUBLE) AS total_value FROM h
+    UNION ALL SELECT 'day', bucket, n, CAST(dv AS DOUBLE) FROM d
+    UNION ALL SELECT 'week', bucket, n, CAST(dv AS DOUBLE) FROM w
+    """,
+    headline=True,  # new operator class: hierarchical rollup cascade
+    tags=("rollup", "window-time", "pipeline"),
+)
+def event_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/week event rollup as a continuous-aggregate CASCADE (the
+    hypertable pattern): raw data is shuffled ONCE into hourly partials;
+    daily re-aggregates the hourly rows, weekly the daily rows — each
+    later level costs O(buckets), not O(events). A grouping-sets plan
+    over raw data would shuffle the full corpus three times; at 100 TB
+    the cascade is the only shape that holds. Decimal partials keep the
+    re-aggregation exact, so cascading does not change a single bit of
+    the totals."""
+    events = load_table(spark, sf_dir, "events")
+    hour = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 18, 6)).alias("dv"),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("dv").alias("dv"))
+    week = day.groupBy(
+        F.date_trunc("week", F.col("bucket")).alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("dv").alias("dv"))
+
+    def level(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("resolution"),
+            F.col("bucket"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("dv").cast("double").alias("total_value"),
+        )
+
+    return level(hour, "hour").unionAll(level(day, "day")).unionAll(
+        level(week, "week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+_STRAT_RATES = {"en": 0.1, "de": 0.6, "fr": 0.6, "es": 0.6, "zh": 0.6}
+
+_STRAT_FRAC_SQL = (
+    "CAST(CAST(concat('0x', substr(md5('strat|' || CAST(doc_id AS VARCHAR)),"
+    " 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0"
+)
+
+_STRAT_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _STRAT_RATES.items()
+) + " ELSE 0.0 END"
+
+
+@register(
+    "stratified_doc_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_STRAT_FRAC_SQL} < {_STRAT_CASE_SQL}
+    """,
+    tags=("sampling", "pipeline"),
+)
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: downsample the dominant language (en → 10%)
+    while keeping 60% of low-resource languages — per-stratum rates over
+    the same md5 hash fraction as ``deterministic_doc_sample``, so the
+    selection is stable under repartitioning, engine-portable, and
+    composes with downstream hash splits. Pure filter, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.stratified_sample(
+        docs, "doc_id", "lang", _STRAT_RATES, default_rate=0.0, salt="strat"
+    ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# CDC merge compaction (apply-changes-latest with tombstones)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_latest_state",
+    """
+    WITH ranked AS (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           value AS last_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("cdc", "merge", "pipeline"),
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC merge (``relational.apply_changes_latest``): collapse
+    the event change feed to the latest row per user by (ts, event_id),
+    treating a final 'error' as a tombstone that deletes the key — the
+    MERGE-INTO-latest-snapshot compaction a Delta/Hudi-style ingest runs
+    nightly. One shuffle on the key, no join; an update after a delete
+    resurrects the key because only the FINAL change decides."""
+    events = load_table(spark, sf_dir, "events")
+    latest = R.apply_changes_latest(
+        events,
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        delete_predicate=F.col("event_type") == "error",
+    )
+    return latest.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_new_docs",
+    r"""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    inc AS (SELECT * FROM fps WHERE doc_id % 10 = 7),
+    ex AS (SELECT fp FROM fps WHERE doc_id % 10 <> 7)
+    SELECT min(doc_id) AS doc_id, fp
+    FROM inc
+    WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.fp = inc.fp)
+    GROUP BY fp
+    """,
+    tags=("dedup", "incremental", "pipeline"),
+)
+def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (``dedup.incremental_dedup``): the docs
+    with doc_id % 10 = 7 play the incoming batch, the rest the existing
+    corpus. Admit an incoming doc only if its content fingerprint is new
+    to the corpus (LEFT ANTI join against the fingerprint set — at scale
+    a stored 16-byte/doc index, never a corpus rescan) and unique within
+    the batch (min-id collapse)."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 7)
+    existing = docs.filter(F.col("doc_id") % 10 != 7)
+    return D.incremental_dedup(incoming, existing)
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation twin (skew-proof two-phase rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_event_totals",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "skew", "pipeline"),
+)
+def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof grouped totals: phase 1 aggregates on
+    (event_type, salt) where salt = hash(event_id) mod 32, spreading
+    each hot key over 32 reducers; phase 2 re-aggregates the ≤ 32×|keys|
+    partials. With only a handful of distinct event types, a plain
+    groupBy at 100 TB lands whole key populations on single reducers —
+    salting bounds any reducer's share at 1/32 of a key. The oracle is
+    the PLAIN group-by: salting must be invisible in the result, which
+    the decimal partials guarantee (exact re-association)."""
+    events = load_table(spark, sf_dir, "events")
+    phase1 = events.groupBy(
+        "event_type",
+        F.pmod(F.hash("event_id"), F.lit(32)).alias("__salt"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 18, 6)).alias("dv"),
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("dv").cast("double").alias("total_value"),
+    )

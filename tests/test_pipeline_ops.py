@@ -1,0 +1,132 @@
+"""Behavioral tests for the round-5 pipeline operators — semantics the
+oracle compare can't express on its own (tombstone resurrection, rate
+compliance, cascade invariants, ranking monotonicity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from realtime_voting_data_engineering_spark.operators import dedup as D
+from realtime_voting_data_engineering_spark.operators import relational as R
+from realtime_voting_data_engineering_spark.operators import search as SE
+from realtime_voting_data_engineering_spark.sources.tables import load_table
+
+
+def test_apply_changes_latest_tombstone_and_resurrection(spark):
+    rows = [
+        # key 1: update then delete → gone
+        Row(k=1, seq=1, op="upsert", v=10.0),
+        Row(k=1, seq=2, op="delete", v=None),
+        # key 2: delete then update → resurrected with latest value
+        Row(k=2, seq=1, op="delete", v=None),
+        Row(k=2, seq=2, op="upsert", v=20.0),
+        # key 3: plain upserts → latest wins
+        Row(k=3, seq=1, op="upsert", v=1.0),
+        Row(k=3, seq=2, op="upsert", v=2.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = R.apply_changes_latest(
+        df, ["k"], ["seq"], delete_predicate=F.col("op") == "delete"
+    )
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {2: 20.0, 3: 2.0}
+
+
+def test_apply_changes_latest_seq_tiebreak(spark):
+    rows = [
+        Row(k=1, seq=1, sub=1, op="upsert", v=1.0),
+        Row(k=1, seq=1, sub=2, op="upsert", v=2.0),
+    ]
+    out = R.apply_changes_latest(spark.createDataFrame(rows), ["k"], ["seq", "sub"])
+    assert out.collect()[0].v == 2.0
+
+
+def test_stratified_sample_rates_and_stability(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.1, "de": 0.6}
+    out = R.stratified_sample(docs, "doc_id", "lang", rates, 0.0, salt="strat")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # strata not in the rate map are dropped entirely
+    assert set(counts) <= set(rates)
+    # observed rate within a loose binomial band of the target
+    for lang, rate in rates.items():
+        obs = counts.get(lang, 0) / totals[lang]
+        assert abs(obs - rate) < 0.15, (lang, obs, rate)
+    # selection is a function of the key only: stable under repartition
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in R.stratified_sample(
+        docs.repartition(13), "doc_id", "lang", rates, 0.0, salt="strat"
+    ).collect()}
+    assert a == b
+
+
+def test_incremental_dedup_batch_and_corpus_collisions(spark):
+    incoming = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta"),
+            Row(doc_id=2, text="Alpha   beta"),  # dup of 1 after normalization
+            Row(doc_id=3, text="already known"),
+            Row(doc_id=4, text="brand new"),
+        ]
+    )
+    existing = spark.createDataFrame([Row(doc_id=99, text="ALREADY  known")])
+    out = D.incremental_dedup(incoming, existing)
+    assert {r.doc_id for r in out.collect()} == {1, 4}
+
+
+def test_bm25_ranking_monotonic(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark spark merge query"),
+            Row(doc_id=2, text="spark filler filler filler"),
+            Row(doc_id=3, text="nothing relevant here"),
+        ]
+    )
+    out = SE.bm25_topk(docs, ["spark", "merge", "query"], k=10)
+    rows = out.collect()
+    ids = [r.doc_id for r in rows]
+    assert 3 not in ids  # zero-score docs filtered
+    assert ids[0] == 1  # more matching terms & tf → higher score
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rollup_cascade_is_consistent(spark, sf_dir):
+    from realtime_voting_data_engineering_spark.queries import REGISTRY
+
+    out = REGISTRY["event_rollup_multires"].fn(spark, sf_dir)
+    per_res = {
+        r.resolution: (r.n, r.v)
+        for r in out.groupBy("resolution")
+        .agg(
+            F.sum("n_events").alias("n"),
+            F.round(F.sum("total_value"), 4).alias("v"),
+        )
+        .collect()
+    }
+    # every level preserves the global totals exactly (decimal cascade)
+    assert per_res["hour"][0] == per_res["day"][0] == per_res["week"][0]
+    assert per_res["hour"][1] == pytest.approx(per_res["day"][1], abs=1e-6)
+    assert per_res["hour"][1] == pytest.approx(per_res["week"][1], abs=1e-6)
+
+
+def test_stratified_sample_plan_is_shuffle_free(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = R.stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, 0.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bm25_plan_is_scan_plus_scalar_broadcast(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = SE.bm25_topk(docs, ["spark", "merge"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # top-k must be a TakeOrdered, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    # the only join is the 1-row stats broadcast (nested loop is fine and
+    # bounded); a shuffle-side join here would mean the stats exchange
+    # scaled with data
+    assert "SortMergeJoin" not in plan
