@@ -607,16 +607,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q20_promo_heavy_suppliers",
     "q21_sole_late_supplier",
     "q22_idle_high_balance",
-    # New r5 registrations (no prior driver row → must be in-window) — 6
+    # New r5 registrations (no prior driver row → must be in-window) — 8
     "bm25_search_topk",
     "event_rollup_multires",
     "stratified_doc_sample",
     "cdc_latest_state",
     "incremental_new_docs",
     "salted_event_totals",
-    # SURVEY §2 core fillers (green r4 rows) — 11; q3/q5/revenue_by_brand/
-    # top_orders_per_priority/embedding_quantization/embedding_near_dup_srp
-    # ceded their slots to the new registrations and rotate back in r6.
+    "canonical_docs_per_cluster",
+    "benchmark_contamination",
+    # SURVEY §2 core fillers (green r4 rows) — 9; q3/q5/revenue_by_brand/
+    # top_orders_per_priority/embedding_quantization/embedding_near_dup_srp/
+    # hourly_vote_counts/parse_vote_payload ceded their slots to the new
+    # registrations and rotate back in r6.
     "votes_per_candidate",
     "turnout_per_location",
     "leading_candidate",
@@ -625,8 +628,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_votes_exact",
     "assigned_candidate_counts",
     "voters_by_segment",
-    "hourly_vote_counts",
-    "parse_vote_payload",
     "q1_pricing_summary",
 )
 

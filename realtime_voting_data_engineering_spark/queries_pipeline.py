@@ -308,3 +308,161 @@ def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_events"),
         F.sum("dv").cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-doc selection per near-dup cluster (dedup endgame, stage 2)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_oracle() -> str:
+    """Closure (same recursive CTE as near_dup_clusters' oracle, via the
+    shared _minhash_oracle fragment) + quality argmax per cluster."""
+    from realtime_voting_data_engineering_spark.queries_northstar import (
+        _minhash_oracle,
+        _STOPWORDS_SQL,
+    )
+
+    return f"""
+    WITH RECURSIVE p AS (
+      SELECT * FROM ({_minhash_oracle(num_hashes=16, bands=4, threshold=0.5)}) t),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(src, dst) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    cmap AS (SELECT src AS doc_id, min(dst) AS cid FROM reach GROUP BY src),
+    base AS (
+      SELECT doc_id, length(text) AS n_chars,
+             regexp_split_to_array(trim(text), '\\s+') AS w,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+      FROM documents),
+    feat AS (
+      SELECT doc_id, n_chars, len(w) AS n_tokens,
+             len(list_filter(w, t -> lower(t) IN ({_STOPWORDS_SQL}))) AS n_stop,
+             n_punct
+      FROM feat_src),
+    scored AS (
+      SELECT doc_id,
+             round((least(n_chars / 500.0, 1.0)
+                  + least((n_stop * 1.0 / greatest(n_tokens, 1)) * 4.0, 1.0)
+                  + greatest(1.0 - (n_punct * 1.0 / greatest(n_chars, 1)) * 10.0, 0.0))
+                  / 3.0, 6) AS q
+      FROM feat),
+    member AS (
+      SELECT s.doc_id, coalesce(c.cid, s.doc_id) AS cluster_id, s.q
+      FROM scored s LEFT JOIN cmap c USING (doc_id)),
+    sized AS (
+      SELECT cluster_id, count(*) AS n_docs FROM member GROUP BY 1)
+    SELECT m.cluster_id, m.doc_id AS keep_id, z.n_docs, m.q
+    FROM member m JOIN sized z USING (cluster_id)
+    WHERE z.n_docs >= 2
+    QUALIFY row_number() OVER (
+        PARTITION BY m.cluster_id ORDER BY m.q DESC, m.doc_id) = 1
+    """.replace("FROM feat_src", "FROM base")
+
+
+@register(
+    "canonical_docs_per_cluster",
+    _canonical_oracle(),
+    tags=("dedup", "quality", "pipeline"),
+)
+def canonical_docs_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup endgame stage 2: after MinHash-LSH → connected components,
+    KEEP the best document per multi-doc cluster — argmax quality score
+    (tie → lowest id), the selection step that turns cluster ids into an
+    actual filtered corpus. Singleton docs pass through untouched and
+    are excluded here (n_docs ≥ 2). Cluster membership is a left join of
+    the corpus against the (small) cluster map; the argmax is one window
+    over cluster_id. Oracle = recursive-CTE closure + the same
+    linear+clamp quality arithmetic, replayed bit-for-bit."""
+    from realtime_voting_data_engineering_spark.operators import text as X
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, num_hashes=16, bands=4, threshold=0.5)
+    cmap = D.connected_components(pairs).withColumnRenamed("id_a", "doc_id")
+    member = (
+        docs.select("doc_id", X.quality_score("text").alias("q"))
+        .join(cmap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            "q",
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = member.select(
+        "cluster_id",
+        "doc_id",
+        "q",
+        F.count(F.lit(1)).over(w).alias("n_docs"),
+        F.row_number()
+        .over(w.orderBy(F.col("q").desc(), F.col("doc_id")))
+        .alias("__rn"),
+    )
+    return (
+        ranked.filter((F.col("__rn") == 1) & (F.col("n_docs") >= 2))
+        .select("cluster_id", F.col("doc_id").alias("keep_id"), "n_docs", "q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination detection (train/test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benchmark_contamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, g FROM toks,
+        UNNEST(list_transform(generate_series(1, len(w)-4),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+               || ' ' || w[i+4])) AS t(g)),
+    bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 20 = 3),
+    rare AS (SELECT g FROM bench GROUP BY g HAVING count(*) <= 50),
+    bk AS (SELECT bench_id, bench.g FROM bench JOIN rare ON bench.g = rare.g),
+    train AS (SELECT doc_id AS train_id, g FROM sh WHERE doc_id % 20 <> 3)
+    SELECT train_id, bench_id, count(*) AS n_shared
+    FROM train JOIN bk ON train.g = bk.g
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+    tags=("contamination", "dedup", "pipeline"),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination scan: the docs with doc_id % 20 = 3 play
+    a held-out benchmark; report (train doc, benchmark doc) pairs
+    sharing ≥ 3 distinct 5-gram shingles — the n-gram-overlap decontam
+    check run before training on any corpus that might contain eval
+    data. Inverted-index equi-join keyed on the shingle, with the
+    document-frequency cut applied to the BENCHMARK postings (ubiquitous
+    n-grams carry no contamination signal and are the skew keys); the
+    benchmark side is a small fraction of the corpus, so the join
+    shuffles little and the train side streams through it."""
+    sh = D.shingle_index(load_table(spark, sf_dir, "documents"), n=5)
+    bench = sh.filter(F.col("doc_id") % 20 == 3).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    rare = (
+        bench.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= 50)
+        .select("shingle")
+    )
+    bench_kept = bench.join(rare, "shingle", "left_semi")
+    train = sh.filter(F.col("doc_id") % 20 != 3).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    return (
+        train.join(bench_kept, "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
