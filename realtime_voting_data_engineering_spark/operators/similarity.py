@@ -611,3 +611,113 @@ def knn_brute_force_pandas(
         [F.col("cos").desc(), F.col("neighbor_id")],
         k=k,
     )
+
+
+def pq_codebooks(dims: int, m: int = 8, ksub: int = 16):
+    """Deterministic product-quantization codebooks (m, ksub, dims//m),
+    each component uniform in [-1, 1): md5('pq|<sub>|<code>|<dim>')
+    first 8 hex chars as a 32-bit fraction — the same no-RNG-state,
+    derive-anywhere construction as ``srp_hyperplanes``, so executors
+    need no broadcast and a SQL oracle can re-derive every centroid.
+    Fixed codebooks are the portable baseline; swap in k-means-trained
+    ones (like IVF's) when recall matters more than replayability."""
+    import hashlib
+
+    import numpy as np
+
+    dsub = dims // m
+    return np.array(
+        [
+            [
+                [
+                    2.0
+                    * (
+                        int(
+                            hashlib.md5(f"pq|{s}|{c}|{d}".encode()).hexdigest()[:8],
+                            16,
+                        )
+                        / float(2**32)
+                    )
+                    - 1.0
+                    for d in range(dsub)
+                ]
+                for c in range(ksub)
+            ]
+            for s in range(m)
+        ],
+        dtype=np.float64,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    dims: int,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``m``
+    subvectors, snap each to its nearest of ``ksub`` codebook centroids
+    (L2, first-min tie-break), emit the code string — dims×4 bytes
+    becomes m bytes (64× here), the compression that makes billion-scale
+    ANN indexes fit in memory (Jégou et al., the FAISS `PQx` family).
+
+    Arrow-batched mapInPandas kernel (the expression form would be
+    m×ksub×dsub ≈ 1k codegen terms — the 64 KB-method cliff
+    ``with_srp_signature`` documents). Determinism contract: distances
+    accumulate dimension-SEQUENTIALLY (explicit d-loop, matching SQL
+    ``list_sum``'s left fold) and every centroid is an md5-derived
+    double, so the oracle replays encode bit-for-bit. Codes serialize as
+    CSV — driver-canonicalizable, and how codes land in parquet at rest.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from realtime_voting_data_engineering_spark.session import (
+        ensure_workers_can_import,
+    )
+
+    assert dims % m == 0, "dims must divide into m equal subvectors"
+    ensure_workers_can_import(df.sparkSession)
+    cb = pq_codebooks(dims, m, ksub)  # (m, ksub, dsub)
+    dsub = dims // m
+    base = df.select(id_col, vec_col)
+    out_schema = StructType(
+        [base.schema[id_col], StructField(out_col, StringType())]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = len(x)
+            codes = np.empty((n, m), dtype=np.int64)
+            for s in range(m):
+                sub = x[:, s * dsub : (s + 1) * dsub]
+                d2 = np.zeros((n, ksub), dtype=np.float64)
+                for d in range(dsub):  # sequential: bit-matches list_sum
+                    diff = sub[:, d : d + 1] - cb[s, :, d][None, :]
+                    d2 = d2 + diff * diff
+                codes[:, s] = np.argmin(d2, axis=1)  # first min on ties
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    out_col: [",".join(map(str, row)) for row in codes],
+                }
+            )
+
+    return base.mapInPandas(encode, schema=out_schema)
+
+
+def pq_reconstruct(codes_csv: list[int], cb) -> "np.ndarray":  # noqa: F821
+    """Decode one PQ code row back to its centroid concatenation —
+    test/serving helper (the ADC trick scores against code distances
+    without ever reconstructing; reconstruction exists for error
+    measurement)."""
+    import numpy as np
+
+    return np.concatenate([cb[s, c] for s, c in enumerate(codes_csv)])

@@ -616,18 +616,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "salted_event_totals",
     "canonical_docs_per_cluster",
     "benchmark_contamination",
-    # SURVEY §2 core fillers (green r4 rows) — 9; q3/q5/revenue_by_brand/
+    "hourly_gap_filled",
+    "per_group_doc_sample",
+    "embedding_pq_codes",
+    # SURVEY §2 core fillers (green r4 rows) — 6; q3/q5/revenue_by_brand/
     # top_orders_per_priority/embedding_quantization/embedding_near_dup_srp/
-    # hourly_vote_counts/parse_vote_payload ceded their slots to the new
+    # hourly_vote_counts/parse_vote_payload/vote_share/voters_by_segment/
+    # assigned_candidate_counts ceded their slots to the new
     # registrations and rotate back in r6.
     "votes_per_candidate",
     "turnout_per_location",
     "leading_candidate",
-    "vote_share",
     "latest_vote_per_user",
     "dedup_votes_exact",
-    "assigned_candidate_counts",
-    "voters_by_segment",
     "q1_pricing_summary",
 )
 

@@ -466,3 +466,157 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling (dense bucket grid per series)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_gap_filled",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    spans AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      FROM h GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                 AS bucket
+      FROM spans)
+    SELECT g.event_type, g.bucket,
+           coalesce(h.n, 0) AS n_events,
+           CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS is_filled
+    FROM grid g LEFT JOIN h
+      ON h.event_type = g.event_type AND h.bucket = g.bucket
+    """,
+    tags=("rollup", "gapfill", "pipeline"),
+)
+def hourly_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-series hourly grid (the hypertable ``time_bucket_gapfill``
+    shape): every hour between each event_type's first and last bucket
+    appears, empty hours as explicit zero rows flagged ``is_filled`` —
+    what downstream window/interpolation math needs to be correct over
+    sparse series. Plan: one hourly aggregate (the only raw-data
+    shuffle), per-series min/max over THAT (tiny), `sequence()` explode
+    into the dense grid — O(series × hours), data-independent — and a
+    left join back on (series, bucket). The grid side is derived, never
+    scanned, so 1000× the raw data changes only the first aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    return (
+        grid.join(hourly, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.when(F.col("n").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "is_filled"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group sampling (balanced subset extraction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "per_group_doc_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             md5('pergroup|' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents)
+    SELECT lang, doc_id FROM keyed
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) <= 20
+    """,
+    tags=("sampling", "pipeline"),
+)
+def per_group_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced subset: exactly 20 documents per language, chosen by
+    md5-hash order — a deterministic, engine-portable stand-in for
+    per-group reservoir sampling (same draw on any partitioning, stable
+    across runs, no RNG state). One shuffle on the group key; per-group
+    state is the O(k) top of the hash order, so a 1000× corpus changes
+    reducer input volume but not state. The eval-set builder's shape:
+    equal-sized per-language slices regardless of corpus skew."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.lit("pergroup|"), F.col("doc_id").cast("string"))).alias(
+            "hk"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 20)
+        .select("lang", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (embedding compression for billion-scale ANN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_pq_codes",
+    """
+    WITH cents AS (
+      SELECT s.s, c.c,
+             list_transform(generate_series(0, 7), d ->
+               2.0 * (CAST(('0x' || substr(
+                         md5('pq|' || s.s || '|' || c.c || '|' || d), 1, 8))
+                      AS BIGINT) / 4294967296.0) - 1.0) AS cv
+      FROM generate_series(0, 7) s(s), generate_series(0, 15) c(c)),
+    dists AS (
+      SELECT e.vec_id, cents.s, cents.c,
+             list_sum(list_transform(generate_series(1, 8), d ->
+               (CAST(e.embedding[cents.s * 8 + d] AS DOUBLE) - cv[d])
+               * (CAST(e.embedding[cents.s * 8 + d] AS DOUBLE) - cv[d])))
+                 AS d2
+      FROM embeddings e, cents),
+    codes AS (
+      SELECT vec_id, s, c FROM dists
+      QUALIFY row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d2, c) = 1)
+    SELECT vec_id,
+           string_agg(CAST(c AS VARCHAR), ',' ORDER BY s) AS pq_codes
+    FROM codes GROUP BY vec_id
+    """,
+    tags=("similarity", "quantization", "pipeline"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (``similarity.pq_encode``): 64-dim
+    float32 vectors → 8 sub-codes over md5-derived 16-centroid
+    codebooks = 8 bytes/vector, a 32× compression (the FAISS PQ8
+    layout that makes billion-scale ANN RAM-resident). Arrow-batched
+    kernel, zero shuffle. The oracle RE-DERIVES every centroid from the
+    same md5 fractions in SQL and replays the L2 argmin with the
+    identical dimension-sequential fold and first-min tie-break, so
+    encode is hash-checked end to end — the evidence tier k-means
+    codebooks (IVF) can't reach."""
+    from realtime_voting_data_engineering_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_encode(emb, dims=64, m=8, ksub=16)

@@ -130,3 +130,37 @@ def test_bm25_plan_is_scan_plus_scalar_broadcast(spark, sf_dir):
     # bounded); a shuffle-side join here would mean the stats exchange
     # scaled with data
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_encode_reconstruction_and_determinism(spark, sf_dir):
+    import numpy as np
+
+    from realtime_voting_data_engineering_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    out = S.pq_encode(emb, dims=64, m=8, ksub=16)
+    rows = {r.vec_id: r.pq_codes for r in out.collect()}
+    # deterministic across runs/partitionings
+    again = {
+        r.vec_id: r.pq_codes
+        for r in S.pq_encode(emb.repartition(7), dims=64, m=8, ksub=16).collect()
+    }
+    assert rows == again
+    # every code row is 8 codes in [0, 16)
+    for codes in rows.values():
+        parts = [int(c) for c in codes.split(",")]
+        assert len(parts) == 8 and all(0 <= c < 16 for c in parts)
+    # reconstruction error is bounded by the worst centroid distance:
+    # each subvector maps to its NEAREST centroid, so per-dim error is
+    # no worse than picking any fixed centroid (sanity, not tightness)
+    cb = S.pq_codebooks(64, 8, 16)
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for vid, codes in rows.items():
+        parts = [int(c) for c in codes.split(",")]
+        recon = S.pq_reconstruct(parts, cb)
+        err = np.abs(vecs[vid] - recon).max()
+        worst = max(
+            np.abs(vecs[vid][s * 8 : (s + 1) * 8] - cb[s, 0]).max()
+            for s in range(8)
+        )
+        assert err <= worst + 1e-12
