@@ -164,3 +164,16 @@ def test_pq_encode_reconstruction_and_determinism(spark, sf_dir):
             for s in range(8)
         )
         assert err <= worst + 1e-12
+
+
+def test_rollup_cascade_reuses_hourly_exchange(spark, sf_dir):
+    """The cascade's scale claim — raw events are shuffled ONCE — holds
+    at runtime: AQE replaces the day/week branches' identical hourly
+    exchanges with ReusedExchange nodes, so the executed plan computes
+    the hourly aggregate a single time."""
+    from realtime_voting_data_engineering_spark.queries import REGISTRY
+
+    df = REGISTRY["event_rollup_multires"].fn(spark, sf_dir)
+    df.collect()  # adaptive plan finalizes only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2
