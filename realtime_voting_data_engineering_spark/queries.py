@@ -619,13 +619,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "hourly_gap_filled",
     "per_group_doc_sample",
     "embedding_pq_codes",
-    # SURVEY §2 core fillers (green r4 rows) — 6; q3/q5/revenue_by_brand/
+    "corpus_curation_pipeline",
+    # SURVEY §2 core fillers (green r4 rows) — 5; q3/q5/revenue_by_brand/
     # top_orders_per_priority/embedding_quantization/embedding_near_dup_srp/
     # hourly_vote_counts/parse_vote_payload/vote_share/voters_by_segment/
-    # assigned_candidate_counts ceded their slots to the new
-    # registrations and rotate back in r6.
+    # assigned_candidate_counts/turnout_per_location ceded their slots to
+    # the new registrations and rotate back in r6.
     "votes_per_candidate",
-    "turnout_per_location",
     "leading_candidate",
     "latest_vote_per_user",
     "dedup_votes_exact",

@@ -21,6 +21,7 @@ from realtime_voting_data_engineering_spark.functions.scalar import dec
 from realtime_voting_data_engineering_spark.operators import dedup as D
 from realtime_voting_data_engineering_spark.operators import relational as R
 from realtime_voting_data_engineering_spark.operators import search as SE
+from realtime_voting_data_engineering_spark.operators.text import STOPWORDS
 from realtime_voting_data_engineering_spark.queries import register
 from realtime_voting_data_engineering_spark.sources.tables import load_table
 
@@ -620,3 +621,91 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return S.pq_encode(emb, dims=64, m=8, ksub=16)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (the operators composed, one oracle)
+# ---------------------------------------------------------------------------
+
+_CURATE_FRAC = (
+    "CAST(CAST(concat('0x', substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)),"
+    " 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0"
+)
+
+_CURATE_RATES = {"en": 0.3}
+
+
+@register(
+    "corpus_curation_pipeline",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars, text,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             length(text) AS len_chars,
+             regexp_split_to_array(trim(text), '\s+') AS w,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+      FROM documents),
+    deduped AS (
+      SELECT * FROM base
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+    scored AS (
+      SELECT doc_id, lang, n_chars,
+             round((least(len_chars / 500.0, 1.0)
+                  + least((len(list_filter(w, t -> lower(t) IN
+                        ({{stops}}))) * 1.0 / greatest(len(w), 1)) * 4.0, 1.0)
+                  + greatest(1.0 - (n_punct * 1.0
+                        / greatest(len_chars, 1)) * 10.0, 0.0))
+                  / 3.0, 6) AS q
+      FROM deduped),
+    kept AS (
+      SELECT doc_id, lang, n_chars FROM scored
+      WHERE q >= 0.5
+        AND {_CURATE_FRAC.format(salt='curate')} <
+            (CASE lang WHEN 'en' THEN 0.3 ELSE 1.0 END)),
+    labeled AS (
+      SELECT lang, n_chars,
+             CASE WHEN {_CURATE_FRAC.format(salt='csplit')} < 0.9 THEN 'train'
+                  WHEN {_CURATE_FRAC.format(salt='csplit')} < 0.95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept)
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM labeled GROUP BY split, lang
+    """.replace("{stops}", ", ".join(f"'{w}'" for w in STOPWORDS)),
+    tags=("pipeline", "composition"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline END TO END — exact dedup (min-id per
+    content fingerprint) → quality filter (score ≥ 0.5) → stratified
+    downsample (en → 30%, rest kept) → train/val/test hash split →
+    per-(split, lang) corpus accounting. Every stage is one of this
+    repo's operators; because each is deterministic and engine-portable,
+    the COMPOSITION carries a single DuckDB oracle — the whole pipeline
+    hash-checks, not just its pieces. Plan: fingerprint window (one
+    shuffle) → pure-filter stages (no shuffle) → final aggregate; at
+    100 TB the only data-sized exchanges are the dedup window and the
+    last group-by."""
+    from realtime_voting_data_engineering_spark.operators import text as X
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(X.fingerprint("text")).orderBy("doc_id")
+    deduped = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    kept = deduped.filter(X.quality_score("text") >= 0.5)
+    sampled = R.stratified_sample(
+        kept, "doc_id", "lang", _CURATE_RATES, default_rate=1.0, salt="curate"
+    )
+    labeled = R.hash_split(
+        sampled,
+        "doc_id",
+        {"train": 0.9, "val": 0.95, "test": 1.0},
+        salt="csplit",
+    )
+    return labeled.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
