@@ -615,12 +615,15 @@ def knn_brute_force_pandas(
 
 def pq_codebooks(dims: int, m: int = 8, ksub: int = 16):
     """Deterministic product-quantization codebooks (m, ksub, dims//m),
-    each component uniform in [-1, 1): md5('pq|<sub>|<code>|<dim>')
+    each component uniform in [-0.25, 0.25): md5('pq|<sub>|<code>|<dim>')
     first 8 hex chars as a 32-bit fraction — the same no-RNG-state,
     derive-anywhere construction as ``srp_hyperplanes``, so executors
     need no broadcast and a SQL oracle can re-derive every centroid.
-    Fixed codebooks are the portable baseline; swap in k-means-trained
-    ones (like IVF's) when recall matters more than replayability."""
+    The ±0.25 range matches unit-normalized embeddings (component scale
+    ~1/√dims ≈ 0.125 at 64 dims); codebooks an order of magnitude wider
+    than the data destroy assignment signal. Fixed codebooks are the
+    portable baseline; swap in k-means-trained ones (like IVF's) when
+    recall matters more than replayability."""
     import hashlib
 
     import numpy as np
@@ -630,7 +633,7 @@ def pq_codebooks(dims: int, m: int = 8, ksub: int = 16):
         [
             [
                 [
-                    2.0
+                    0.5
                     * (
                         int(
                             hashlib.md5(f"pq|{s}|{c}|{d}".encode()).hexdigest()[:8],
@@ -638,7 +641,7 @@ def pq_codebooks(dims: int, m: int = 8, ksub: int = 16):
                         )
                         / float(2**32)
                     )
-                    - 1.0
+                    - 0.25
                     for d in range(dsub)
                 ]
                 for c in range(ksub)
@@ -721,3 +724,101 @@ def pq_reconstruct(codes_csv: list[int], cb) -> "np.ndarray":  # noqa: F821
     import numpy as np
 
     return np.concatenate([cb[s, c] for s, c in enumerate(codes_csv)])
+
+
+def knn_pq_adc(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dims: int,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — PQ's serving
+    path: each query precomputes an m×ksub lookup table of subvector ·
+    centroid dots, and scoring a corpus vector is m table lookups + m-1
+    adds over its 8-byte code, never touching the original floats
+    (Jégou et al.; FAISS IndexPQ search). The corpus side is
+    ``pq_encode`` output — at rest this is the stored code table, so a
+    100 TB corpus is scanned as m bytes/vector, a 32× scan reduction
+    beyond int8's 4×.
+
+    Scale shape: codes stream through an Arrow-batched kernel against
+    the broadcast LUTs (O(|Q|·m·ksub) doubles — tiny by contract, like
+    ``knn_brute_force_pandas``'s query matrix); no shuffle until the
+    |Q|·k top-k window. Determinism: LUT dots accumulate
+    dimension-sequentially and scores accumulate subspace-sequentially,
+    so DuckDB replays ranking bit-for-bit (scores are approximate
+    INNER-PRODUCT surrogates — recall vs exact cosine is pytest-bounded,
+    the ranking itself is exact)."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    from realtime_voting_data_engineering_spark.session import (
+        ensure_workers_can_import,
+    )
+
+    ensure_workers_can_import(queries.sparkSession)
+    dsub = dims // m
+    cb = pq_codebooks(dims, m, ksub)  # (m, ksub, dsub)
+    q_rows = (
+        queries.select(id_col, vec_col).collect()
+    )  # O(|Q|) by contract — queries are a bounded serving set
+    luts = {}
+    for r in q_rows:
+        qv = np.array(r[vec_col], dtype=np.float64)
+        lut = np.zeros((m, ksub), dtype=np.float64)
+        for s in range(m):
+            sub = qv[s * dsub : (s + 1) * dsub]
+            acc = np.zeros(ksub, dtype=np.float64)
+            for d in range(dsub):  # sequential: bit-matches list_sum
+                acc = acc + sub[d] * cb[s, :, d]
+            lut[s] = acc
+        luts[r[id_col]] = lut
+
+    codes = pq_encode(corpus, dims, m, ksub, id_col, vec_col)
+    out_schema = StructType(
+        [
+            StructField("query_id", codes.schema[id_col].dataType),
+            StructField("neighbor_id", codes.schema[id_col].dataType),
+            StructField("adc_dot", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            code_mat = np.array(
+                [[int(c) for c in row.split(",")] for row in pdf["pq_codes"]],
+                dtype=np.int64,
+            )
+            ids = pdf[id_col].values
+            for qid, lut in luts.items():
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for s in range(m):  # sequential: bit-matches list_sum
+                    acc = acc + lut[s][code_mat[:, s]]
+                keep = ids != qid
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[keep],
+                        "adc_dot": acc[keep],
+                    }
+                )
+
+    scored = codes.mapInPandas(score, schema=out_schema)
+    top = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("adc_dot").desc(), F.col("neighbor_id")],
+        k=k,
+    )
+    return top.withColumn("adc_dot", F.round("adc_dot", 6))

@@ -620,14 +620,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "per_group_doc_sample",
     "embedding_pq_codes",
     "corpus_curation_pipeline",
-    # SURVEY §2 core fillers (green r4 rows) — 5; q3/q5/revenue_by_brand/
+    "knn_pq_adc",
+    # SURVEY §2 core fillers (green r4 rows) — 4; q3/q5/revenue_by_brand/
     # top_orders_per_priority/embedding_quantization/embedding_near_dup_srp/
     # hourly_vote_counts/parse_vote_payload/vote_share/voters_by_segment/
-    # assigned_candidate_counts/turnout_per_location ceded their slots to
-    # the new registrations and rotate back in r6.
+    # assigned_candidate_counts/turnout_per_location/latest_vote_per_user
+    # ceded their slots to the new registrations and rotate back in r6.
     "votes_per_candidate",
     "leading_candidate",
-    "latest_vote_per_user",
     "dedup_votes_exact",
     "q1_pricing_summary",
 )
