@@ -678,6 +678,7 @@ _CURATE_RATES = {"en": 0.3}
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM labeled GROUP BY split, lang
     """.replace("{stops}", ", ".join(f"'{w}'" for w in STOPWORDS)),
+    headline=True,  # the composed-pipeline cost, tracked round over round
     tags=("pipeline", "composition"),
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,6 +743,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY row_number() OVER (
         PARTITION BY query_id ORDER BY raw DESC, neighbor_id) <= 5
     """,
+    headline=True,  # PQ serving path — track the code-scan cost
     tags=("similarity", "quantization", "pipeline"),
 )
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
