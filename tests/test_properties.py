@@ -270,3 +270,64 @@ def test_interval_join_subsecond_boundaries(spark):
         ).collect()
     )
     assert got == [2, 3]
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(1, 5),            # key
+            st.integers(0, 20),           # seq
+            st.sampled_from(["upsert", "delete"]),
+            st.floats(-10, 10, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    perm_seed=st.integers(0, 1000),
+)
+@SET
+def test_apply_changes_latest_is_input_order_invariant(spark, changes, perm_seed):
+    """CDC merge must be a pure function of the change SET: applying the
+    same changes in any arrival order yields the same final state (the
+    (seq, tiebreak) ordering decides, not partition/arrival order).
+    Model: per key, sort by (seq, op, value) with a total tiebreak and
+    keep the last non-delete-final row."""
+    import random
+
+    from realtime_voting_data_engineering_spark.operators.relational import (
+        apply_changes_latest,
+    )
+
+    # make the sequencing column total per key so the winner is unique:
+    # (seq, idx) where idx is the change's position in the CANONICAL
+    # (sorted) list — both frames carry the same idx regardless of order.
+    canon = sorted(changes)
+    rows = [
+        (k, seq, idx, op, v) for idx, (k, seq, op, v) in enumerate(canon)
+    ]
+    shuffled = rows[:]
+    random.Random(perm_seed).shuffle(shuffled)
+
+    def run(data):
+        df = spark.createDataFrame(
+            data, schema="k int, seq int, idx int, op string, v double"
+        )
+        out = apply_changes_latest(
+            df, ["k"], ["seq", "idx"], delete_predicate=F.col("op") == "delete"
+        )
+        return {(r.k, r.seq, r.idx, r.op, r.v) for r in out.collect()}
+
+    assert run(rows) == run(shuffled)
+
+    # python model: winner per key = max (seq, idx); drop if delete
+    winners = {}
+    for k, seq, idx, op, v in rows:
+        cur = winners.get(k)
+        if cur is None or (seq, idx) > (cur[0], cur[1]):
+            winners[k] = (seq, idx, op, v)
+    expect = {
+        (k, seq, idx, op, v)
+        for k, (seq, idx, op, v) in winners.items()
+        if op != "delete"
+    }
+    assert run(rows) == expect
