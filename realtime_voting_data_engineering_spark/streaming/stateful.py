@@ -110,3 +110,71 @@ def first_seen_dedup_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def tws_available() -> bool:
+    """True iff the transformWithState v2 runtime can start here: it
+    needs a working protobuf (its state-server wire protocol)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(
+    events: DataFrame,
+    key_col: str = "candidate_id",
+    value_col: str = "vote",
+) -> DataFrame:
+    """``running_totals_stateful`` on the Spark 4 ``transformWithState``
+    API (SPIP: arbitrary stateful processing v2): state is a typed,
+    named ``ValueState`` managed by a ``StatefulProcessor`` object with
+    an explicit lifecycle (init/handleInputRows/close) instead of one
+    callback + a single implicit state tuple. Same scale posture as the
+    v1 form (state sharded by the group-key shuffle, Arrow-batched), but
+    v2 composes multiple named states per key, supports state TTL and
+    timers, and is the API new stateful operators should target; keep
+    the v1 twin for engines pinned to Spark 3.x semantics.
+
+    Availability: the v2 runtime serializes its state protocol with
+    protobuf (``pyspark.sql.streaming.proto``); environments without a
+    working ``google.protobuf`` cannot START such a query (the
+    TransformWithStateInPySpark driver worker crashes in pre-init), so
+    the test for this operator is availability-gated exactly like the
+    Kafka adapters (``tws_available()``). The operator itself is plain
+    public-API usage and runs wherever protobuf is installed. Requires
+    the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = f"{key_col} string, n_events bigint, total double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n bigint, s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += int(len(pdf))
+                s += float(pdf[value_col].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "total": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(key_col, value_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

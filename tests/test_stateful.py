@@ -80,3 +80,37 @@ def test_first_seen_dedup_stateful(spark, vote_events, tmp_path):
         out.select("voter_id", "candidate_id").distinct().count()
         == vote_events.count()
     )
+
+
+@pytest.mark.skipif(
+    not S.tws_available(),
+    reason="transformWithState needs protobuf (absent in this container); "
+    "operator is availability-gated like the Kafka adapters",
+)
+def test_running_totals_tws_matches_batch(spark, vote_events, json_stream_dir, tmp_path):
+    """The transformWithState (v2 API) twin produces the same final
+    per-key totals as the batch aggregate — same harness as the v1
+    applyInPandasWithState test. Needs the RocksDB state store; set it
+    on the query's session before start."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    parsed = _parsed_stream(spark, json_stream_dir)
+    totals = S.running_totals_tws(parsed, "candidate_id", "vote")
+    q = P.start_update_aggregate(totals, "tws_totals", str(tmp_path / "ckpt_tws"))
+    q.awaitTermination(120)
+    got = {
+        r.candidate_id: (r.n_events, r.total)
+        for r in spark.sql(
+            "SELECT candidate_id, max(n_events) AS n_events, max(total) AS total "
+            "FROM tws_totals GROUP BY candidate_id"
+        ).collect()
+    }
+    expected = {
+        r.candidate_id: (r.n, float(r.s))
+        for r in vote_events.groupBy("candidate_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vote").alias("s"))
+        .collect()
+    }
+    assert got == expected
