@@ -785,3 +785,68 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "q11_value_share_analog",
+    """
+    WITH natline AS (
+      SELECT l_partkey,
+             CAST(l_extendedprice * l_quantity AS DECIMAL(18,2)) AS v
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'),
+    per_part AS (
+      SELECT l_partkey AS ps_partkey,
+             CAST(SUM(v) AS DOUBLE) AS part_value
+      FROM natline GROUP BY 1),
+    total AS (SELECT CAST(SUM(v) AS DOUBLE) AS t FROM natline)
+    SELECT ps_partkey, part_value
+    FROM per_part, total
+    WHERE part_value > t * 0.001
+    """,
+    tags=("tpch", "q11"),
+)
+def q11_value_share_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's operator shape on the available tables (the corpus has
+    no partsupp — PARITY.md documents the gap, this closes the SHAPE):
+    one nation's per-part "inventory value" (Σ extendedprice×quantity as
+    the supplycost×availqty stand-in), keeping parts whose value exceeds
+    a fixed fraction of the nation-wide total — a grouped aggregate
+    HAVING-compared against a global scalar. The scalar rides a 1-row
+    broadcast (like q22's avg-balance), NOT a second scan; the nation
+    filter reduces the fact before its only shuffle; the one-nation
+    supplier subset is left unhinted (it scales with SF — AQE decides);
+    both compared values derive from the same exact decimal sum, so the
+    > cut is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    # The one-nation supplier subset still scales with SF, so no
+    # broadcast hint — AQE demotes/promotes the join by measured size
+    # (the repo-wide hint rule; nation itself is the only bounded side).
+    natline = (
+        li.join(
+            supplier.join(
+                F.broadcast(nation),
+                supplier.s_nationkey == nation.n_nationkey,
+            ).select("s_suppkey"),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "l_partkey",
+            dec(F.col("l_extendedprice") * F.col("l_quantity"), 18, 2).alias("v"),
+        )
+    )
+    per_part = natline.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        F.sum("v").cast("double").alias("part_value")
+    )
+    total = natline.agg(F.sum("v").cast("double").alias("t"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("t") * 0.001)
+        .select("ps_partkey", "part_value")
+    )
