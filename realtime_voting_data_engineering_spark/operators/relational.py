@@ -457,5 +457,8 @@ def apply_changes_latest(
         .drop("__rn")
     )
     if delete_predicate is not None:
-        latest = latest.filter(~delete_predicate)
+        # Unknown is NOT a delete: a malformed final change (predicate
+        # NULL) must keep the key, so coalesce before negating —
+        # `~NULL` is NULL and a bare filter would silently tombstone.
+        latest = latest.filter(~F.coalesce(delete_predicate, F.lit(False)))
     return latest

@@ -7,8 +7,10 @@ Design: for a FIXED small query-term set the whole score is expressible
 as per-row codegen expressions — per-term ``tf`` via array filters (no
 explode, no per-token shuffle), corpus stats (``N``, ``df_t``,
 ``avgdl``) via ONE global aggregate broadcast back — so scoring a 100 TB
-corpus is a single scan plus a 1-row broadcast join, and the top-k is a
-TakeOrdered (no full sort). The classic inverted-index formulation
+corpus is TWO pruned scans (the stats pass and the scoring pass — Spark
+does not dedupe the shared subtree; persist the tf projection to make it
+one) plus a 1-row broadcast join, and the top-k is a TakeOrdered (no
+full sort). The classic inverted-index formulation
 shuffles every (term, doc) posting; this shape moves the (tiny) query to
 the data instead.
 
@@ -69,11 +71,12 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k documents by BM25 relevance to ``query_terms``.
 
-    Plan shape (pinned in tests/test_plans.py): one scan computing
-    per-term tf + doc length, one global aggregate for (N, avgdl, df_t)
-    broadcast back as a single row, pure-expression scoring, TakeOrdered
-    for the top-k. Zero data-sized shuffles; survives 1000× the corpus
-    because the only exchange carries literally one row.
+    Plan shape (pinned in tests/test_plans.py): the tf + doc-length
+    projection feeds a global aggregate for (N, avgdl, df_t) — broadcast
+    back as a single row — and the scoring pass; the two consumers mean
+    the corpus is scanned twice (cache/persist the projection to make it
+    one at 100 TB). Zero data-sized shuffles either way; the only
+    exchange carries literally one row, and the top-k is a TakeOrdered.
     """
     tf_aliases = [f"__tf_{i}" for i in range(len(query_terms))]
     base = docs.select(

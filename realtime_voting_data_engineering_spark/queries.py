@@ -607,7 +607,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q20_promo_heavy_suppliers",
     "q21_sole_late_supplier",
     "q22_idle_high_balance",
-    # New r5 registrations (no prior driver row → must be in-window) — 8
+    # New r5 registrations (no prior driver row → must be in-window) — 14
     "bm25_search_topk",
     "event_rollup_multires",
     "stratified_doc_sample",

@@ -87,12 +87,13 @@ def _bm25_oracle() -> str:
 )
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 documents by BM25 relevance to a fixed 3-term query
-    (``operators.search.bm25_topk``). One corpus scan computes per-term
-    tf + doc length as array filters (no explode); (N, avgdl, df) come
-    from ONE global aggregate broadcast back as a single row; scoring is
-    pure codegen arithmetic and the top-k is a TakeOrdered. The rational
-    Robertson idf (no log) keeps every operation IEEE-replayable in the
-    oracle."""
+    (``operators.search.bm25_topk``). Per-term tf + doc length are array
+    filters in the scan (no explode); (N, avgdl, df) come from ONE
+    global aggregate broadcast back as a single row (the stats and
+    scoring passes each scan the pruned corpus — two scans total);
+    scoring is pure codegen arithmetic and the top-k is a TakeOrdered.
+    The rational Robertson idf (no log) keeps every operation
+    IEEE-replayable in the oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return SE.bm25_topk(
         docs, list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
@@ -345,7 +346,7 @@ def _canonical_oracle() -> str:
       SELECT doc_id, n_chars, len(w) AS n_tokens,
              len(list_filter(w, t -> lower(t) IN ({_STOPWORDS_SQL}))) AS n_stop,
              n_punct
-      FROM feat_src),
+      FROM base),
     scored AS (
       SELECT doc_id,
              round((least(n_chars / 500.0, 1.0)
@@ -363,7 +364,7 @@ def _canonical_oracle() -> str:
     WHERE z.n_docs >= 2
     QUALIFY row_number() OVER (
         PARTITION BY m.cluster_id ORDER BY m.q DESC, m.doc_id) = 1
-    """.replace("FROM feat_src", "FROM base")
+    """
 
 
 @register(

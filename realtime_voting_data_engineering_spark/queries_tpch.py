@@ -814,12 +814,15 @@ def q11_value_share_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
     one nation's per-part "inventory value" (Σ extendedprice×quantity as
     the supplycost×availqty stand-in), keeping parts whose value exceeds
     a fixed fraction of the nation-wide total — a grouped aggregate
-    HAVING-compared against a global scalar. The scalar rides a 1-row
-    broadcast (like q22's avg-balance), NOT a second scan; the nation
-    filter reduces the fact before its only shuffle; the one-nation
-    supplier subset is left unhinted (it scales with SF — AQE decides);
-    both compared values derive from the same exact decimal sum, so the
-    > cut is engine-stable."""
+    HAVING-compared against a global scalar. The scalar JOINS as a 1-row
+    broadcast (like q22's avg-balance) rather than a correlated
+    subquery, though its aggregate is a second pass over the pruned
+    natline lineage (Spark does not dedupe logical subtrees — land
+    natline in a table to make it one pass); the nation filter reduces
+    the fact before its shuffles; the one-nation supplier subset is left
+    unhinted (it scales with SF — AQE decides); both compared values
+    derive from the same exact decimal sum, so the > cut is
+    engine-stable."""
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(

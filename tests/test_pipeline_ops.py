@@ -150,20 +150,20 @@ def test_pq_encode_reconstruction_and_determinism(spark, sf_dir):
     for codes in rows.values():
         parts = [int(c) for c in codes.split(",")]
         assert len(parts) == 8 and all(0 <= c < 16 for c in parts)
-    # reconstruction error is bounded by the worst centroid distance:
-    # each subvector maps to its NEAREST centroid, so per-dim error is
-    # no worse than picking any fixed centroid (sanity, not tightness)
+    # reconstruction is nearest-centroid by L2, so the SOUND bound is on
+    # L2: per subvector, ||v - c*||₂ ≤ ||v - c0||₂ for the fixed centroid
+    # c0 (max-abs does NOT transfer — argmin-L2 can pick a centroid with
+    # a larger single-coordinate error)
     cb = S.pq_codebooks(64, 8, 16)
     vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
     for vid, codes in rows.items():
         parts = [int(c) for c in codes.split(",")]
         recon = S.pq_reconstruct(parts, cb)
-        err = np.abs(vecs[vid] - recon).max()
-        worst = max(
-            np.abs(vecs[vid][s * 8 : (s + 1) * 8] - cb[s, 0]).max()
-            for s in range(8)
-        )
-        assert err <= worst + 1e-12
+        for s in range(8):
+            sub = vecs[vid][s * 8 : (s + 1) * 8]
+            err_l2 = np.linalg.norm(sub - recon[s * 8 : (s + 1) * 8])
+            bound = np.linalg.norm(sub - cb[s, 0])
+            assert err_l2 <= bound + 1e-12, (vid, s, err_l2, bound)
 
 
 def test_rollup_cascade_reuses_hourly_exchange(spark, sf_dir):
@@ -201,3 +201,22 @@ def test_pq_adc_recall_vs_exact(spark, sf_dir):
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     total = sum(len(v) for v in truth.values())
     assert hits / total >= 0.15, f"ADC recall {hits}/{total}"
+
+
+def test_apply_changes_latest_null_predicate_keeps_key(spark):
+    """A malformed final change (delete predicate evaluates NULL) must
+    KEEP the key — unknown is not a tombstone. Guards the coalesce in
+    apply_changes_latest: a bare `~predicate` filter silently drops the
+    NULL case."""
+    rows = [
+        Row(k=1, seq=1, op="upsert", v=1.0),
+        Row(k=1, seq=2, op=None, v=2.0),  # malformed final change
+    ]
+    out = R.apply_changes_latest(
+        spark.createDataFrame(rows),
+        ["k"],
+        ["seq"],
+        delete_predicate=F.col("op") == "delete",
+    )
+    got = [(r.k, r.v) for r in out.collect()]
+    assert got == [(1, 2.0)]

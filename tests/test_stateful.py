@@ -92,21 +92,31 @@ def test_running_totals_tws_matches_batch(spark, vote_events, json_stream_dir, t
     per-key totals as the batch aggregate — same harness as the v1
     applyInPandasWithState test. Needs the RocksDB state store; set it
     on the query's session before start."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        provider_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    parsed = _parsed_stream(spark, json_stream_dir)
-    totals = S.running_totals_tws(parsed, "candidate_id", "vote")
-    q = P.start_update_aggregate(totals, "tws_totals", str(tmp_path / "ckpt_tws"))
-    q.awaitTermination(120)
-    got = {
-        r.candidate_id: (r.n_events, r.total)
-        for r in spark.sql(
-            "SELECT candidate_id, max(n_events) AS n_events, max(total) AS total "
-            "FROM tws_totals GROUP BY candidate_id"
-        ).collect()
-    }
+    try:
+        parsed = _parsed_stream(spark, json_stream_dir)
+        totals = S.running_totals_tws(parsed, "candidate_id", "vote")
+        q = P.start_update_aggregate(totals, "tws_totals", str(tmp_path / "ckpt_tws"))
+        q.awaitTermination(120)
+        got = {
+            r.candidate_id: (r.n_events, r.total)
+            for r in spark.sql(
+                "SELECT candidate_id, max(n_events) AS n_events, max(total) AS total "
+                "FROM tws_totals GROUP BY candidate_id"
+            ).collect()
+        }
+    finally:
+        # the session is shared (session-scoped fixture): restore the
+        # provider so later stateful tests run under the default store
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
     expected = {
         r.candidate_id: (r.n, float(r.s))
         for r in vote_events.groupBy("candidate_id")
