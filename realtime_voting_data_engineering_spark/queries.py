@@ -622,14 +622,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_curation_pipeline",
     "knn_pq_adc",
     "q11_value_share_analog",
-    # SURVEY §2 core fillers (green r4 rows) — 3; q3/q5/revenue_by_brand/
+    "daily_activity_reconciliation",
+    # SURVEY §2 core fillers (green r4 rows) — 2; q3/q5/revenue_by_brand/
     # top_orders_per_priority/embedding_quantization/embedding_near_dup_srp/
     # hourly_vote_counts/parse_vote_payload/vote_share/voters_by_segment/
     # assigned_candidate_counts/turnout_per_location/latest_vote_per_user/
-    # leading_candidate ceded their slots to the new registrations and
-    # rotate back in r6.
+    # leading_candidate/dedup_votes_exact ceded their slots to the new
+    # registrations and rotate back in r6.
     "votes_per_candidate",
-    "dedup_votes_exact",
     "q1_pricing_summary",
 )
 

@@ -763,3 +763,55 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_pq_adc(
         emb.filter(F.col("vec_id") < 10).limit(10), emb, dims=64, m=8, ksub=16, k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-outer reconciliation (cross-pipeline day-level diff)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_activity_reconciliation",
+    """
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+      FROM events GROUP BY 1),
+    o AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT coalesce(e.d, o.d) AS d,
+           coalesce(e.n_events, 0) AS n_events,
+           coalesce(o.n_orders, 0) AS n_orders,
+           CASE WHEN e.d IS NULL THEN 'orders_only'
+                WHEN o.d IS NULL THEN 'events_only'
+                ELSE 'both' END AS presence
+    FROM e FULL OUTER JOIN o ON e.d = o.d
+    """,
+    tags=("join", "full-outer", "reconciliation", "pipeline"),
+)
+def daily_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-pipeline reconciliation: day-level event counts FULL OUTER
+    joined against day-level order counts, flagging days present in only
+    one feed — the completeness diff run between two independently
+    ingested pipelines (the join type §2.3's inner/semi/anti/left
+    coverage was missing). Both sides aggregate BEFORE the join, so the
+    full-outer shuffle carries one row per day per side regardless of
+    raw volume."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    e = events.groupBy(F.to_date("ts").alias("d_e")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    o = orders.groupBy(F.to_date("o_orderdate").alias("d_o")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    joined = e.join(o, e.d_e == o.d_o, "full_outer")
+    return joined.select(
+        F.coalesce(F.col("d_e"), F.col("d_o")).alias("d"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.when(F.col("d_e").isNull(), F.lit("orders_only"))
+        .when(F.col("d_o").isNull(), F.lit("events_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+    )
