@@ -230,8 +230,16 @@ def normalized_text(text: Column | str) -> Column:
 def fingerprint(text: Column | str) -> Column:
     """Content fingerprint = md5 of the normalized text. md5 is available
     and bit-identical in Spark, DuckDB, and most engines — the portable
-    choice for cross-system dedup keys."""
-    return F.md5(normalized_text(text))
+    choice for cross-system dedup keys.
+
+    NULL text fingerprints as the EMPTY string (md5('')), not NULL: a
+    NULL key would silently break dedup semantics downstream (NULL never
+    equi-joins, so a LEFT ANTI against the fingerprint index would admit
+    every NULL-text doc as "new"). NULL-text and empty-text docs are
+    exact duplicates of each other under this contract. Every oracle
+    that re-derives fp applies the same coalesce(text, '')."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.md5(normalized_text(F.coalesce(col, F.lit(""))))
 
 
 #: Winnowing parameters: Rabin-Karp base/modulus for the k-gram

@@ -213,3 +213,39 @@ def test_connected_components_star_converges_logarithmically_on_path(spark):
     got = {r.id_a: r.cluster_id for r in
            D.connected_components(df, method="star", max_iter=15).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_fingerprint_null_text_is_empty_string_dup(spark):
+    """NULL-text contract: fingerprint(NULL) == fingerprint('') ==
+    md5('') — never NULL. A NULL fp would break dedup semantics (NULL
+    never equi-joins, so the incremental LEFT ANTI would admit every
+    NULL-text doc as new). Checked end to end: the DuckDB oracle
+    fragment computes the identical fp, and incremental_dedup rejects a
+    NULL-text incoming doc when an empty-text doc already exists."""
+    import duckdb
+
+    rows = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real text")],
+        "doc_id long, text string",
+    )
+    from realtime_voting_data_engineering_spark.operators.text import fingerprint
+
+    got = {r.doc_id: r.fp for r in rows.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5('')
+    assert got[1] == got[2] == got[3] == empty_md5
+    assert got[4] not in (None, empty_md5)
+    # The oracle-side fragment re-derives identical fps, NULL included.
+    oracle = duckdb.sql(
+        r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp
+        FROM (VALUES (1, NULL), (2, ''), (3, '   '), (4, 'real text'))
+             t(doc_id, text)
+        """
+    ).fetchall()
+    assert {d: fp for d, fp in oracle} == got
+    # Incremental dedup: NULL-text incoming is a dup of empty-text existing.
+    incoming = spark.createDataFrame([(10, None), (11, "fresh doc")], "doc_id long, text string")
+    existing = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    admitted = {r.doc_id for r in D.incremental_dedup(incoming, existing).collect()}
+    assert admitted == {11}

@@ -220,3 +220,31 @@ def test_apply_changes_latest_null_predicate_keeps_key(spark):
     )
     got = [(r.k, r.v) for r in out.collect()]
     assert got == [(1, 2.0)]
+
+
+def test_cdc_oracle_null_event_type_matches_operator_semantics():
+    """The cdc_latest_state ORACLE must share the operator's NULL
+    contract (unknown is not a tombstone): a key whose final change has
+    NULL event_type stays in the snapshot. Replays the registered SQL's
+    WHERE clause in DuckDB on a planted NULL — guards against the bare
+    `event_type <> 'error'` form, which silently drops the key."""
+    import duckdb
+
+    from realtime_voting_data_engineering_spark import queries as Q
+
+    sql = Q.REGISTRY["cdc_latest_state"].oracle
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE VIEW events AS
+        SELECT * FROM (VALUES
+          (1, TIMESTAMP '2024-01-01 00:00:00', 1, 'purchase', 1.0),
+          (2, TIMESTAMP '2024-01-02 00:00:00', 1, NULL,       2.0),
+          (3, TIMESTAMP '2024-01-01 00:00:00', 2, 'error',    3.0),
+          (4, TIMESTAMP '2024-01-01 00:00:00', 3, 'view',     4.0)
+        ) t(event_id, ts, user_id, event_type, value)
+        """
+    )
+    got = {r[0]: r[2] for r in con.execute(sql).fetchall()}
+    # user 1: final change NULL → kept; user 2: final 'error' → deleted.
+    assert got == {1: None, 3: "view"}
