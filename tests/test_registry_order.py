@@ -22,7 +22,7 @@ from realtime_voting_data_engineering_spark import queries as Q
 REPO = pathlib.Path(__file__).resolve().parent.parent
 # Bump to the newest snapshot each round: the rotation invariant checks
 # out-of-window queries against the LAST round's driver rows.
-PREV_CORRECTNESS = REPO / "CORRECTNESS_r04.json"
+PREV_CORRECTNESS = REPO / "CORRECTNESS_r05.json"
 WINDOW_SIZE = 50
 
 
@@ -48,6 +48,19 @@ def test_oracle_sql_subset_and_order():
     pos = {n: i for i, n in enumerate(names)}
     oracle_pos = [pos[n] for n in oracles]
     assert oracle_pos == sorted(oracle_pos)
+
+
+def test_registry_leaves_two_window_slots():
+    """Two-round evidence cadence guard (VERDICT r5 #8): with a 50-slot
+    window and evidence allowed to go at most one round stale, every
+    out-of-window query must fit back into the NEXT round's window while
+    leaving ≥2 slots free (new registrations + a core filler). That
+    bounds the registry at 2*WINDOW_SIZE - 2 = 98 — a breadth round that
+    would silently make the rotation infeasible fails here instead."""
+    assert len(Q.REGISTRY) - WINDOW_SIZE <= WINDOW_SIZE - 2, (
+        f"registry has {len(Q.REGISTRY)} queries; more than "
+        f"{2 * WINDOW_SIZE - 2} makes the 1-round-stale rotation infeasible"
+    )
 
 
 def test_out_of_window_queries_have_previous_round_rows():

@@ -180,3 +180,80 @@ def test_zero_norm_query_and_corpus_vectors_match_nothing(spark):
         # never NaN-above-everything
         for n in by_q.get(0, []):
             assert n in (1, 2, 4)
+
+
+def test_ivf_fixed_assign_matches_pq_encode_m1(spark, sf_dir):
+    """The fixed-centroid coarse quantizer IS the pq_encode m=1
+    construction — the two code paths (expression of the same md5
+    codebook + sequential L2 argmin) must agree on every assignment.
+    This ties knn_ivf_fixed's oracle evidence (which replays the PQ
+    fragment) to the assign kernel it actually runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    via_assign = {
+        r.vec_id: r.cluster
+        for r in S.ivf_fixed_assign(emb, dims=64, n_centroids=16).collect()
+    }
+    via_pq = {
+        r.vec_id: int(r.pq_codes)
+        for r in S.pq_encode(emb, dims=64, m=1, ksub=16).collect()
+    }
+    assert via_assign == via_pq
+
+
+def test_knn_ivf_fixed_probes_only_probed_lists(spark, sf_dir):
+    """Every returned neighbor must come from one of its query's nprobe
+    nearest inverted lists (the operator's pruning contract), results
+    must be stable under repartitioning, and per-query result counts
+    never exceed k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.knn_ivf_fixed(queries, emb, dims=64, k=5, n_centroids=16, nprobe=4)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert all(len(v) <= 5 for v in per_q.values())
+
+    cent = S.ivf_fixed_centroids(64, 16)
+    assigned = {
+        r.vec_id: r.cluster
+        for r in S.ivf_fixed_assign(emb, dims=64, n_centroids=16).collect()
+    }
+    import numpy as np
+
+    for r in queries.collect():
+        qv = np.array(r.embedding, dtype=np.float64)
+        d2 = ((cent - qv) ** 2).sum(axis=1)
+        probed = set(np.argsort(d2, kind="stable")[:4].tolist())
+        for nb in per_q.get(r.vec_id, ()):
+            assert assigned[nb] in probed, (r.vec_id, nb, assigned[nb], probed)
+
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_ivf_fixed(
+            queries.repartition(7), emb.repartition(5), dims=64, k=5
+        ).collect()
+    }
+    assert {(r.query_id, r.neighbor_id) for r in rows} == again
+
+
+def test_knn_ivf_fixed_recall_vs_brute_force(spark, sf_dir):
+    """Fixed (untrained) centroids trade recall for replayability — the
+    probe pipeline must still beat the random-guess floor by a wide
+    margin on the real corpus. (The k-means twin's ≥0.9 recall on
+    clustered data is pinned above; this guards the fixed variant
+    against a silent pruning bug that would zero its overlap.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_brute_force(queries, emb, k=5).collect()
+    }
+    fixed = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_ivf_fixed(queries, emb, dims=64, k=5).collect()
+    }
+    recall = len(exact & fixed) / len(exact)
+    # nprobe/n_centroids = 1/4 of the corpus scanned; random subsets
+    # would give ~0.25 expected overlap.
+    assert recall >= 0.25, f"fixed-IVF recall {recall:.2f}"
