@@ -5,14 +5,16 @@ embedding-based similarity in ``operators.similarity``.
 
 Design: for a FIXED small query-term set the whole score is expressible
 as per-row codegen expressions — per-term ``tf`` via array filters (no
-explode, no per-token shuffle), corpus stats (``N``, ``df_t``,
-``avgdl``) via ONE global aggregate broadcast back — so scoring a 100 TB
-corpus is TWO pruned scans (the stats pass and the scoring pass — Spark
-does not dedupe the shared subtree; persist the tf projection to make it
-one) plus a 1-row broadcast join, and the top-k is a TakeOrdered (no
-full sort). The classic inverted-index formulation
-shuffles every (term, doc) posting; this shape moves the (tiny) query to
-the data instead.
+explode, no per-token shuffle). The tf + doc-length projection is
+computed ONCE (persisted, disk-backed — it is id + a few ints, orders
+of magnitude smaller than the corpus it summarizes): a first job folds
+it into the 1-row corpus stats (``N``, ``df_t``, ``avgdl``), which are
+inlined as LITERALS into the scoring pass over the same persisted
+projection — so a 100 TB corpus is scanned (and tokenized) exactly
+once, there is no join at all, and the top-k is a TakeOrdered (no full
+sort). The classic inverted-index formulation shuffles every
+(term, doc) posting; this shape moves the (tiny) query to the data
+instead.
 
 Determinism contract: the BM25 idf here is the *rational* Robertson
 variant ``(N - df + 0.5) / (df + 0.5)`` — NO logarithm — so every term's
@@ -72,18 +74,28 @@ def bm25_topk(
     """Top-k documents by BM25 relevance to ``query_terms``.
 
     Plan shape (pinned in tests/test_plans.py): the tf + doc-length
-    projection feeds a global aggregate for (N, avgdl, df_t) — broadcast
-    back as a single row — and the scoring pass; the two consumers mean
-    the corpus is scanned twice (cache/persist the projection to make it
-    one at 100 TB). Zero data-sized shuffles either way; the only
-    exchange carries literally one row, and the top-k is a TakeOrdered.
+    projection is PERSISTED (disk-backed — at 100 TB it is ~tens of
+    bytes/doc vs the corpus's documents), an eager first job folds it to
+    the 1-row corpus stats (the one deliberate driver-side collect here
+    — a single row by construction, like the |Q|-bounded collects in
+    ``operators.similarity``), and the stats are inlined as literals
+    into the scoring pass over the same persisted projection. The
+    corpus parquet is scanned and tokenized exactly ONCE; there is no
+    join; zero data-sized shuffles; the top-k is a TakeOrdered. The
+    persisted projection stays registered for the DataFrame's lifetime
+    (Spark's cache manager dedupes re-persists of the same plan).
+
+    Stats become literals, so the idf arithmetic is bit-identical to
+    the former broadcast-join form — same values, same oracle.
     """
+    from pyspark.storagelevel import StorageLevel
+
     tf_aliases = [f"__tf_{i}" for i in range(len(query_terms))]
     base = docs.select(
         F.col(id_col),
         *[term_tf(text_col, t).alias(a) for t, a in zip(query_terms, tf_aliases)],
         F.size(tokens(text_col)).alias("__dl"),
-    )
+    ).persist(StorageLevel.DISK_ONLY)
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg(F.col("__dl").cast("double")).alias("__avgdl"),
@@ -91,21 +103,22 @@ def bm25_topk(
             F.sum((F.col(a) > 0).cast("bigint")).cast("double").alias(f"__df_{i}")
             for i, a in enumerate(tf_aliases)
         ],
-    )
-    joined = base.join(F.broadcast(stats))
+    ).collect()[0]
+    n_docs = F.lit(float(stats["__n"]))
+    avgdl = F.lit(float(stats["__avgdl"]) if stats["__avgdl"] is not None else 0.0)
     half = F.lit(0.5)
     tf_idf_pairs = [
         (
             F.col(a),
-            (F.col("__n") - F.col(f"__df_{i}") + half)
-            / (F.col(f"__df_{i}") + half),
+            (n_docs - F.lit(float(stats[f"__df_{i}"])) + half)
+            / (F.lit(float(stats[f"__df_{i}"])) + half),
         )
         for i, a in enumerate(tf_aliases)
     ]
-    scored = joined.select(
+    scored = base.select(
         F.col(id_col),
         F.round(
-            bm25_score(tf_idf_pairs, F.col("__dl").cast("double"), F.col("__avgdl"), k1, b),
+            bm25_score(tf_idf_pairs, F.col("__dl").cast("double"), avgdl, k1, b),
             6,
         ).alias("score"),
     ).filter(F.col("score") > 0)

@@ -88,12 +88,14 @@ def _bm25_oracle() -> str:
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 documents by BM25 relevance to a fixed 3-term query
     (``operators.search.bm25_topk``). Per-term tf + doc length are array
-    filters in the scan (no explode); (N, avgdl, df) come from ONE
-    global aggregate broadcast back as a single row (the stats and
-    scoring passes each scan the pruned corpus — two scans total);
-    scoring is pure codegen arithmetic and the top-k is a TakeOrdered.
-    The rational Robertson idf (no log) keeps every operation
-    IEEE-replayable in the oracle."""
+    filters in the scan (no explode); the tf projection is persisted so
+    the corpus is scanned and tokenized exactly ONCE — an eager first
+    job folds it to the 1-row stats (N, avgdl, df), inlined as literals
+    into the scoring pass (no join; plan pinned in
+    tests/test_plans.py::test_bm25_single_corpus_scan); scoring is pure
+    codegen arithmetic and the top-k is a TakeOrdered. The rational
+    Robertson idf (no log) keeps every operation IEEE-replayable in the
+    oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return SE.bm25_topk(
         docs, list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B

@@ -120,16 +120,17 @@ def test_stratified_sample_plan_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
-def test_bm25_plan_is_scan_plus_scalar_broadcast(spark, sf_dir):
+def test_bm25_plan_is_single_scan_no_join(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = SE.bm25_topk(docs, ["spark", "merge"], k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     # top-k must be a TakeOrdered, never a global sort
     assert "TakeOrderedAndProject" in plan
-    # the only join is the 1-row stats broadcast (nested loop is fine and
-    # bounded); a shuffle-side join here would mean the stats exchange
-    # scaled with data
-    assert "SortMergeJoin" not in plan
+    # stats are inlined as literals off the persisted tf projection —
+    # no join of any kind survives in the scoring plan
+    assert "Join" not in plan
+    # the scoring pass reads the persisted projection, not the corpus
+    assert "InMemoryTableScan" in plan
 
 
 def test_pq_encode_reconstruction_and_determinism(spark, sf_dir):

@@ -265,3 +265,19 @@ def test_interval_join_is_bucketed_equi_join(spark, sf_dir):
     assert any("__bucket" in l for l in join_keys), join_keys
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert sum("EqualTo(event_type" in l for l in pushed) == 2, pushed
+
+
+def test_bm25_single_corpus_scan(spark, sf_dir):
+    """BM25's 100 TB contract (VERDICT r5 "What's wrong" #1): the corpus
+    is scanned and tokenized exactly ONCE — the tf projection persists,
+    the eager stats job folds it to one row inlined as literals, and the
+    scoring pass re-reads the persisted projection. Two parquet scans
+    here would re-tokenize the full corpus — the dominant cost of the
+    whole query at scale."""
+    df = Q.REGISTRY["bm25_search_topk"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "InMemoryTableScan" in plan
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
