@@ -22,6 +22,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -123,6 +124,36 @@ def tws_available() -> bool:
         return False
 
 
+class RunningTotalsProcessor(StatefulProcessor):
+    """The ``transformWithState`` v2 processor behind
+    ``running_totals_tws``, hoisted to module level so its
+    ``handleInputRows`` logic (ValueState tuple handling, per-batch
+    accumulation, output shape) is unit-testable with a mocked handle
+    even where the v2 RUNTIME can't start (protobuf absent — see
+    ``tws_available``; the ``StatefulProcessor`` base class itself
+    imports fine without it)."""
+
+    def __init__(self, key_col: str = "candidate_id", value_col: str = "vote"):
+        self._key_col = key_col
+        self._value_col = value_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", "n bigint, s double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += int(len(pdf))
+            s += float(pdf[self._value_col].sum())
+        self._totals.update((n, s))
+        yield pd.DataFrame(
+            {self._key_col: [key[0]], "n_events": [n], "total": [s]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
 def running_totals_tws(
     events: DataFrame,
     key_col: str = "candidate_id",
@@ -147,32 +178,13 @@ def running_totals_tws(
     public-API usage and runs wherever protobuf is installed. Requires
     the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass``)."""
-    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-
     out_schema = f"{key_col} string, n_events bigint, total double"
-
-    class RunningTotals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState("totals", "n bigint, s double")
-
-        def handleInputRows(self, key, rows, timerValues):
-            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
-            for pdf in rows:
-                n += int(len(pdf))
-                s += float(pdf[value_col].sum())
-            self._totals.update((n, s))
-            yield pd.DataFrame(
-                {key_col: [key[0]], "n_events": [n], "total": [s]}
-            )
-
-        def close(self) -> None:
-            pass
 
     return (
         events.select(key_col, value_col)
         .groupBy(key_col)
         .transformWithStateInPandas(
-            RunningTotals(),
+            RunningTotalsProcessor(key_col, value_col),
             outputStructType=out_schema,
             outputMode="Update",
             timeMode="None",

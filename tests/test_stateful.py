@@ -124,3 +124,57 @@ def test_running_totals_tws_matches_batch(spark, vote_events, json_stream_dir, t
         .collect()
     }
     assert got == expected
+
+
+class _FakeValueState:
+    """Minimal ValueState double: the tuple get/exists/update surface
+    RunningTotalsProcessor touches."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        self.states[name] = _FakeValueState()
+        return self.states[name]
+
+
+def test_tws_processor_logic_with_mocked_handle():
+    """The transformWithState RUNTIME is protobuf-gated in this
+    container, so the integration test above always skips here; this
+    exercises RunningTotalsProcessor.handleInputRows directly against a
+    mocked handle (ADVICE r5) so the ValueState tuple handling, cross-
+    micro-batch accumulation, and output shape can't bit-rot unnoticed:
+    two batches for one key accumulate, state persists between calls,
+    and each call emits exactly one (key, n, total) row."""
+    import pandas as pd
+
+    proc = S.RunningTotalsProcessor("candidate_id", "vote")
+    handle = _FakeHandle()
+    proc.init(handle)
+    assert set(handle.states) == {"totals"}
+
+    b1 = [pd.DataFrame({"vote": [1.0, 1.0]}), pd.DataFrame({"vote": [1.0]})]
+    out1 = list(proc.handleInputRows(("alice",), iter(b1), None))
+    assert len(out1) == 1
+    row = out1[0].iloc[0]
+    assert (row["candidate_id"], row["n_events"], row["total"]) == ("alice", 3, 3.0)
+    assert handle.states["totals"].get() == (3, 3.0)
+
+    out2 = list(proc.handleInputRows(("alice",), iter([pd.DataFrame({"vote": [2.0]})]), None))
+    row2 = out2[0].iloc[0]
+    assert (row2["n_events"], row2["total"]) == (4, 5.0)
+    proc.close()
