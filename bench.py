@@ -59,7 +59,14 @@ def streaming_events_per_sec(spark, n_events: int = 100_000) -> float:
         if copies > 1:
             wire = wire.crossJoin(spark.range(copies).toDF("_replica")).drop("_replica")
         wire_dir = os.path.join(workdir, "wire")
-        wire.write.mode("overwrite").json(wire_dir)
+        # Pin the wire layout to exactly 32 files (one per local[32]
+        # slot): the crossJoin's output partitioning varies with AQE
+        # coalescing run to run, and a variable file count changes the
+        # micro-batch task structure — measured spread was ±25% round
+        # over round (SCALE.md "Measured single-node streaming
+        # throughput"). Fixed layout ⇒ the smoke measures the engine,
+        # not the previous job's partitioning.
+        wire.repartition(32).write.mode("overwrite").json(wire_dir)
         total = spark.read.json(wire_dir).count()
 
         raw = spark.readStream.schema("key STRING, value STRING").json(wire_dir)
