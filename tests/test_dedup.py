@@ -249,3 +249,38 @@ def test_fingerprint_null_text_is_empty_string_dup(spark):
     existing = spark.createDataFrame([(1, "")], "doc_id long, text string")
     admitted = {r.doc_id for r in D.incremental_dedup(incoming, existing).collect()}
     assert admitted == {11}
+
+
+def test_connected_components_empty_and_self_loop_graphs(spark):
+    """Degenerate graphs through both engines: an EMPTY pair set must
+    yield an empty cluster map (not an error — the r6 lazy-checkpoint
+    rounds still converge on round 1), and a self-loop-only pair set
+    must emit each node as its own singleton cluster. Guards the
+    localCheckpoint(eager=False) convergence path added in r6."""
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    for method in ("propagate", "star"):
+        assert D.connected_components(empty, method=method).count() == 0
+
+    loops = spark.createDataFrame([(7, 7), (9, 9)], "id_a long, id_b long")
+    for method in ("propagate", "star"):
+        got = {
+            r.id_a: r.cluster_id
+            for r in D.connected_components(loops, method=method).collect()
+        }
+        assert got == {7: 7, 9: 9}, method
+
+
+def test_minhash_pipeline_on_identical_corpus(spark):
+    """All-identical docs (the dup-farm regime the scale probe stresses
+    at 16x): every pair must verify at jaccard 1.0 and collapse to ONE
+    cluster under the min doc id."""
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again") for i in range(6)],
+        "doc_id long, text string",
+    )
+    pairs = D.minhash_dedup_pairs(docs, num_hashes=16, bands=4, threshold=0.5)
+    rows = pairs.collect()
+    assert len(rows) == 15  # C(6,2) — banding cannot miss identical docs
+    assert all(abs(r.jaccard - 1.0) < 1e-9 for r in rows)
+    clusters = {r.id_a: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert clusters == {i: 0 for i in range(6)}
