@@ -331,3 +331,44 @@ def test_apply_changes_latest_is_input_order_invariant(spark, changes, perm_seed
         if op != "delete"
     }
     assert run(rows) == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0,
+        max_size=18,
+    ),
+    method=st.sampled_from(["propagate", "star"]),
+)
+@SET
+def test_connected_components_matches_union_find_on_random_graphs(
+    spark, edges, method
+):
+    """Both CC engines vs a plain-Python union-find on RANDOM multigraphs
+    (duplicate edges, self-loops, both orientations all allowed) —
+    directly exercises the r6 lazy-checkpoint convergence path across
+    arbitrary component shapes, not just the fixed showcase graph."""
+    df = spark.createDataFrame(edges, "id_a long, id_b long") if edges else (
+        spark.createDataFrame([], "id_a long, id_b long")
+    )
+    got = {
+        r.id_a: r.cluster_id
+        for r in D.connected_components(df, method=method).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    assert got == expected
