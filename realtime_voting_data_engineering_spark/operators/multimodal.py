@@ -174,18 +174,22 @@ def sample_frames(
     frame index, computed from metadata only (pure expressions — the
     decode of the sampled frame is ``decode_features``' job). Explode is
     executor-side; no driver materialization."""
+    # NULL n_frames (unknown length) plans ZERO frames — the explicit
+    # guard matters because Spark's greatest() IGNORES null operands, so
+    # greatest(NULL - 1, 0) = 0 would silently emit frame 0 for media
+    # whose metadata is missing (SQL range(0, NULL) correctly yields
+    # nothing — tools/null_audit.py finding).
+    idxs = F.when(
+        F.col("meta.n_frames").isNotNull(),
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+            F.lit(every_nth),
+        ),
+    )
     return (
         media.filter(F.col("kind") == "video")
-        .select(
-            "media_id",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
-                    F.lit(every_nth),
-                )
-            ).alias("frame_idx"),
-        )
+        .select("media_id", F.explode(idxs).alias("frame_idx"))
     )
 
 

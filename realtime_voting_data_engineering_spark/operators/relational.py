@@ -299,6 +299,21 @@ def asof_join(
     matched row's NULL, and so do we.)
     """
     attach = list(value_cols) + ["__asof_time"]
+    # A right row with NULL time OR a NULL key can never be "the latest
+    # row at or before t for this key": NULL has no position in the
+    # as-of order, and an equi-match on NULL is never true. Both guards
+    # exist because the window formulation would otherwise DIFFER from
+    # join semantics — Spark's ASC NULLS FIRST sort would attach a
+    # NULL-time right row to the whole partition, and the NULL-key
+    # partition would happily match "unknown" to "unknown" (DuckDB's
+    # native ASOF JOIN excludes both — tools/null_audit.py findings).
+    # Left rows keep the matching contract for free: NULL-time lefts
+    # sort before every surviving right row and NULL-key lefts share
+    # their partition with no right rows, so both get NULL attach while
+    # staying in the output (left-join semantics).
+    right = right.filter(
+        F.col(right_time).isNotNull() & F.col(right_on).isNotNull()
+    )
     r = (
         right.select(
             F.col(right_on).alias(left_on),

@@ -327,11 +327,18 @@ def hourly_vote_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parse_vote_payload",
     """
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           count(json_extract_string(props, '$.k')) AS n_parsed
+           CAST(SUM(CAST(json_extract_string(
+                CASE WHEN json_valid(props) THEN props END, '$.k')
+                AS BIGINT)) AS BIGINT) AS sum_k,
+           count(json_extract_string(
+                CASE WHEN json_valid(props) THEN props END, '$.k')) AS n_parsed
     FROM events
     GROUP BY event_type
     """,
+    # json_valid guard: Spark's from_json maps unparseable input ('',
+    # truncated JSON) to a NULL struct, but DuckDB's json_extract_string
+    # RAISES on malformed input — the guard reproduces the null-on-bad-
+    # input semantics exactly (tools/null_audit.py finding).
     tags=("json", "P2", "F6"),
 )
 def parse_vote_payload(spark: SparkSession, sf_dir: str) -> DataFrame:

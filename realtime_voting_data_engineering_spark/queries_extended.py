@@ -26,7 +26,7 @@ from realtime_voting_data_engineering_spark.sources.tables import (
     """
     WITH s1 AS (
       SELECT user_id, min(ts) AS t1 FROM events
-      WHERE event_type = 'signup' GROUP BY user_id),
+      WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY user_id),
     s2 AS (
       SELECT e.user_id, min(e.ts) AS t2
       FROM events e JOIN s1 ON e.user_id = s1.user_id
@@ -57,9 +57,15 @@ def activation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     count per stage. The oracle states the same semantics as cascaded
     join CTEs — same result, different (worse-at-scale) plan shape."""
     stages = ["signup", "view", "click", "purchase"]
+    # NULL user_id rows are excluded explicitly: "all unknown users" is
+    # not a funnel participant. Without the filter the window form would
+    # let the NULL partition advance through stages while the oracle's
+    # equi-join CTEs could not (NULL never equi-joins) — the two
+    # formulations only agree under a declared non-null key
+    # (tools/null_audit.py finding).
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin(*stages))
+        .filter(F.col("event_type").isin(*stages) & F.col("user_id").isNotNull())
         .select("user_id", "event_type", "ts")
     )
     w = Window.partitionBy("user_id")
@@ -510,13 +516,19 @@ def purchase_with_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate NULLS FIRST, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS running_total,
            rank() OVER (PARTITION BY o_custkey
-                        ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+                        ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)
+               AS price_rank
     FROM orders
     """,
+    # NULL placement is spelled out because the engines' defaults differ
+    # (Spark ASC=NULLS FIRST/DESC=NULLS LAST, DuckDB the reverse) — a
+    # NULL o_orderdate would silently shift every later running_total
+    # (tools/null_audit.py finding).
     tags=("window",),
 )
 def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,9 +691,12 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            ntile(4)     OVER w2 AS value_quartile
     FROM events
     WHERE user_id % 200 = 0
-    WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
-           w2 AS (PARTITION BY user_id ORDER BY value, event_id)
+    WINDOW w  AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id),
+           w2 AS (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id)
     """,
+    # Explicit NULLS FIRST = Spark's ASC default; DuckDB defaults to
+    # NULLS LAST, which reorders rank/ntile when value is NULL
+    # (tools/null_audit.py finding).
     tags=("window",),
 )
 def event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

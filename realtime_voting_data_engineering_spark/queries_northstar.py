@@ -958,8 +958,12 @@ def quality_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     is linear+clamp arithmetic (bit-portable), so bucket edges agree
     across engines."""
     docs = load_table(spark, sf_dir, "documents")
+    # n_chars is DERIVED from text here (not read from the denormalized
+    # column) so query and oracle share one source of truth; a table
+    # whose n_chars drifted from its text would silently skew
+    # total_chars otherwise (tools/null_audit.py finding).
     scored = X.with_quality_score(
-        docs.select("n_chars", "text"), out_col="q"
+        docs.select(F.length("text").alias("n_chars"), "text"), out_col="q"
     ).select("n_chars", "q")
     return (
         scored.groupBy(

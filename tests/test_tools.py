@@ -27,3 +27,28 @@ def test_probe_runs_and_reports_all_ops(spark, sf_smoke):
     by = {(r["op"], r["k"]): r for r in results}
     assert by[("minhash_pairs_lin", 2)]["rows"] == 2 * by[("minhash_pairs_lin", 1)]["rows"]
     assert all(r["sec"] >= 0 for r in results)
+
+
+def test_null_audit_fixed_queries_stay_fixed(spark):
+    """The r6 NULL-injection audit (tools/null_audit.py) found seven
+    operator/oracle divergences on NULL-poisoned data; all were fixed
+    (as-of NULL key/time guards, explicit window NULL placement, json
+    validity guard, funnel NULL-user filter, NULL-metadata frame plans,
+    derived-vs-denormalized n_chars). Re-run exactly those seven on the
+    poisoned corpus so the semantics can't regress silently — the clean
+    corpus never exercises them."""
+    from tools import null_audit
+
+    fixed = [
+        "activation_funnel",
+        "asof_last_click",
+        "event_window_suite",
+        "media_frame_sample_plan",
+        "parse_vote_payload",
+        "quality_score_buckets",
+        "running_revenue_per_customer",
+    ]
+    report = null_audit.audit("/root/testdata/sf0.001", only=fixed)
+    assert set(report) == set(fixed)
+    bad = {n: r for n, r in report.items() if r["status"] != "match"}
+    assert not bad, f"NULL-edge regressions: {bad}"
