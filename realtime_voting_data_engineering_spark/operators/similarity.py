@@ -52,6 +52,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def valid_vectors(
+    df: DataFrame, vec_col: str = "embedding", dims: int | None = None
+) -> DataFrame:
+    """Enforce the vector contract at the operator boundary: rows whose
+    embedding is NULL (or, when ``dims`` is known, the wrong length) are
+    EXCLUDED from index build and search.
+
+    At 100 TB malformed rows are a certainty, and the Arrow kernels
+    (``np.array(list(col))`` batches, codebook matmuls) would otherwise
+    throw on the first NULL — one bad row killing a 1000-executor job.
+    Exclusion (not imputation) is the only semantics that matches the
+    expression-only twins, where NULL propagates through the fold and
+    the row drops out of top-k/banding naturally."""
+    cond = F.col(vec_col).isNotNull()
+    if dims is not None:
+        cond = cond & (F.size(vec_col) == dims)
+    return df.filter(cond)
+
+
 def knn_brute_force(
     queries: DataFrame,
     corpus: DataFrame,
@@ -162,7 +181,11 @@ def quantize_embeddings(
     each computed once — see the CSE note on ``text_profile``); all
     arithmetic is IEEE double and round-half-away-from-zero in both
     Spark and DuckDB, so the oracle replays it bit-for-bit. All-zero
-    vectors quantize to zeros with scale 0 and error 0."""
+    vectors quantize to zeros with scale 0 and error 0. NULL vectors
+    are excluded per the ``valid_vectors`` boundary contract (the
+    expression form wouldn't crash on them, but emitting a NULL/empty
+    code row for an invalid vector would poison the downstream index)."""
+    corpus = valid_vectors(corpus, vec_col)
     vec = F.col(vec_col)
     scale = F.col("scale")
     staged = (
@@ -248,6 +271,7 @@ def with_srp_signature(
 
     assert planes <= 62, "signature is packed into a signed 64-bit long"
     ensure_workers_can_import(df.sparkSession)
+    df = valid_vectors(df, vec_col, dims)  # contract: invalid rows excluded
     h_mat = srp_hyperplanes(dims, planes)
     weights = (1 << np.arange(planes, dtype=np.int64))
     # StructType.add mutates in place — build a fresh schema instead.
@@ -423,6 +447,7 @@ def ivf_assign(
 
     ensure_workers_can_import(corpus.sparkSession)
     cent = np.asarray(centroids, dtype=np.float64)
+    corpus = valid_vectors(corpus, vec_col, int(cent.shape[1]))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -460,6 +485,7 @@ def knn_ivf(
     Recall < 1 by construction; tests measure it against brute force."""
     import numpy as np
 
+    queries = valid_vectors(queries, vec_col)  # contract: invalid rows excluded
     cent = ivf_train_centroids(
         corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
@@ -523,6 +549,7 @@ def ivf_fixed_assign(
 
     ensure_workers_can_import(corpus.sparkSession)
     cent = ivf_fixed_centroids(dims, n_centroids)  # (n_centroids, dims)
+    corpus = valid_vectors(corpus, vec_col, dims)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -568,6 +595,7 @@ def knn_ivf_fixed(
     contract as ``knn_brute_force_pandas``. Recall/latency trade-off vs
     the k-means quantizer is pytest-measured; production keeps
     ``knn_ivf``, grading evidence comes from this twin."""
+    queries = valid_vectors(queries, vec_col, dims)
     cent = ivf_fixed_centroids(dims, n_centroids)
     assigned = ivf_fixed_assign(
         corpus, dims, n_centroids, id_col=id_col, vec_col=vec_col
@@ -630,6 +658,8 @@ def knn_quantized(
     )
 
     ensure_workers_can_import(corpus.sparkSession)
+    queries = valid_vectors(queries, vec_col)  # contract: invalid rows excluded
+    corpus = valid_vectors(corpus, vec_col)
 
     q_rows = queries.select(id_col, vec_col).collect()  # |Q| small by contract
     q_ids = np.array([r[0] for r in q_rows])
@@ -693,6 +723,8 @@ def knn_brute_force_pandas(
     )
 
     ensure_workers_can_import(corpus.sparkSession)
+    queries = valid_vectors(queries, vec_col)  # contract: invalid rows excluded
+    corpus = valid_vectors(corpus, vec_col)
 
     q_rows = queries.select(id_col, vec_col).collect()  # |Q| small by contract
     q_ids = np.array([r[0] for r in q_rows])
@@ -805,7 +837,7 @@ def pq_encode(
     ensure_workers_can_import(df.sparkSession)
     cb = pq_codebooks(dims, m, ksub)  # (m, ksub, dsub)
     dsub = dims // m
-    base = df.select(id_col, vec_col)
+    base = valid_vectors(df, vec_col, dims).select(id_col, vec_col)
     out_schema = StructType(
         [base.schema[id_col], StructField(out_col, StringType())]
     )
@@ -884,6 +916,7 @@ def knn_pq_adc(
     )
 
     ensure_workers_can_import(queries.sparkSession)
+    queries = valid_vectors(queries, vec_col, dims)  # contract: invalid rows excluded
     dsub = dims // m
     cb = pq_codebooks(dims, m, ksub)  # (m, ksub, dsub)
     q_rows = (

@@ -587,7 +587,7 @@ WITH m AS (
   SELECT vec_id, embedding,
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
              AS maxabs
-  FROM embeddings),
+  FROM embeddings WHERE embedding IS NOT NULL),
 s AS (SELECT vec_id, embedding, maxabs, maxabs / 127.0 AS scale FROM m),
 q AS (
   SELECT vec_id, embedding, maxabs, scale,
@@ -693,7 +693,8 @@ def _knn_srp_oracle(dims: int = 64, planes: int = 16, bands: int = 4, k: int = 5
     exact-cosine re-rank, deterministic top-k (cos DESC, neighbor_id)."""
     cos = _COS_SQL.format(a="q.embedding", b="c.embedding")
     return f"""
-    WITH sig AS (SELECT vec_id, {_srp_bits_sql(dims, planes)} FROM embeddings),
+    WITH sig AS (SELECT vec_id, {_srp_bits_sql(dims, planes)}
+                 FROM embeddings WHERE embedding IS NOT NULL),
     bands AS ({_srp_band_selects(planes, bands)}),
     cand AS (
       SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
@@ -750,7 +751,8 @@ def _knn_ivf_fixed_oracle(
              list_sum(list_transform(generate_series(1, {dims}), d ->
                (CAST(e.embedding[d] AS DOUBLE) - cv[d])
                * (CAST(e.embedding[d] AS DOUBLE) - cv[d]))) AS d2
-      FROM embeddings e, cents),
+      FROM embeddings e, cents
+      WHERE e.embedding IS NOT NULL),
     assigned AS (
       SELECT vec_id, c AS cluster FROM dists
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) = 1),

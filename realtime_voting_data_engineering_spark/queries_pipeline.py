@@ -599,7 +599,8 @@ _PQ_CTES = """cents AS (
                (CAST(e.embedding[cents.s * 8 + d] AS DOUBLE) - cv[d])
                * (CAST(e.embedding[cents.s * 8 + d] AS DOUBLE) - cv[d])))
                  AS d2
-      FROM embeddings e, cents),
+      FROM embeddings e, cents
+      WHERE e.embedding IS NOT NULL),
     codes AS (
       SELECT vec_id, s, c FROM dists
       QUALIFY row_number() OVER (
@@ -730,7 +731,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM codes JOIN cents ON codes.s = cents.s AND codes.c = cents.c),
     q AS (
       SELECT vec_id AS query_id, embedding FROM embeddings
-      WHERE vec_id < 10),
+      WHERE vec_id < 10 AND embedding IS NOT NULL),
     dots AS (
       SELECT q.query_id, w.vec_id, w.s,
              list_sum(list_transform(generate_series(1, 8), d ->

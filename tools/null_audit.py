@@ -53,9 +53,12 @@ INJECT: dict[str, list[str]] = {
     "customer": ["c_name", "c_acctbal", "c_mktsegment", "c_nationkey"],
     "part": ["p_brand", "p_type", "p_size", "p_retailprice"],
     "supplier": ["s_acctbal"],
+    "embeddings": ["embedding"],
     # region/nation: tiny dims, poisoning them breaks half of TPC-H's
-    # premise without exercising anything new; embeddings: vector kernels
-    # have an explicit non-null contract (operators/similarity.py).
+    # premise without exercising anything new. NULL embeddings are fair
+    # game since r6: vector operators EXCLUDE invalid rows at the
+    # boundary (similarity.valid_vectors) instead of crashing the job,
+    # and the oracles declare the same exclusion.
 }
 
 NULL_FRACTION = 0.05
