@@ -104,14 +104,16 @@ def bm25_topk(
             for i, a in enumerate(tf_aliases)
         ],
     ).collect()[0]
+    # SUM/AVG over an EMPTY corpus are NULL — fold them to 0.0 so an
+    # empty feed scores nothing instead of crashing the literal build.
     n_docs = F.lit(float(stats["__n"]))
-    avgdl = F.lit(float(stats["__avgdl"]) if stats["__avgdl"] is not None else 0.0)
+    avgdl = F.lit(float(stats["__avgdl"] or 0.0))
     half = F.lit(0.5)
     tf_idf_pairs = [
         (
             F.col(a),
-            (n_docs - F.lit(float(stats[f"__df_{i}"])) + half)
-            / (F.lit(float(stats[f"__df_{i}"])) + half),
+            (n_docs - F.lit(float(stats[f"__df_{i}"] or 0.0)) + half)
+            / (F.lit(float(stats[f"__df_{i}"] or 0.0)) + half),
         )
         for i, a in enumerate(tf_aliases)
     ]

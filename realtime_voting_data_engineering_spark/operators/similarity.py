@@ -662,6 +662,11 @@ def knn_quantized(
     corpus = valid_vectors(corpus, vec_col)
 
     q_rows = queries.select(id_col, vec_col).collect()  # |Q| small by contract
+    if not q_rows:  # empty query set: nothing to score (and the 1-D
+        # np.array([]) would break every axis=1 op / matmul downstream)
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double"
+        )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -727,6 +732,11 @@ def knn_brute_force_pandas(
     corpus = valid_vectors(corpus, vec_col)
 
     q_rows = queries.select(id_col, vec_col).collect()  # |Q| small by contract
+    if not q_rows:  # empty query set: nothing to score (and the 1-D
+        # np.array([]) would break every axis=1 op / matmul downstream)
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double"
+        )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)

@@ -52,3 +52,31 @@ def test_null_audit_fixed_queries_stay_fixed(spark):
     assert set(report) == set(fixed)
     bad = {n: r for n, r in report.items() if r["status"] != "match"}
     assert not bad, f"NULL-edge regressions: {bad}"
+
+
+def test_every_query_survives_an_empty_corpus(spark, tmp_path_factory):
+    """Empty feeds happen (a new partition, a filtered-out day, a fresh
+    deployment): every registered query must plan and execute on 0-row
+    tables instead of crashing. The r6 sweep found two driver-side
+    crashes (bm25's NULL global stats, the quantized-kNN empty query
+    matrix) — both fixed; this keeps the whole registry covered."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from realtime_voting_data_engineering_spark import queries as Q
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path_factory.mktemp("empty_sf"))
+    for fname in os.listdir(src):
+        if fname.endswith(".parquet"):
+            t = pq.read_table(os.path.join(src, fname))
+            pq.write_table(t.slice(0, 0), os.path.join(out, fname))
+
+    failures = {}
+    for name, spec in Q.REGISTRY.items():
+        try:
+            spec.fn(spark, out).count()
+        except Exception as exc:  # noqa: BLE001 — collecting, not masking
+            failures[name] = f"{type(exc).__name__}: {exc}"
+    assert not failures, f"queries crashing on an empty corpus: {failures}"
