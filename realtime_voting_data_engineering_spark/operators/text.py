@@ -220,11 +220,26 @@ def with_quality_score(
     )
 
 
+#: ASCII case-fold tables for the portable normalization below.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 def normalized_text(text: Column | str) -> Column:
-    """Canonical form for exact-dup fingerprinting: lowercase, collapse
-    whitespace runs, trim."""
+    """Canonical form for exact-dup fingerprinting: ASCII-case-fold,
+    collapse whitespace runs, trim.
+
+    ASCII folding (``translate``), NOT full ``lower()``: Unicode case
+    mapping is engine-dependent — measured on this container, Spark
+    (Java) lowers ``İ`` to ``i`` + combining dot and applies Greek
+    final-sigma context (``ΟΣ`` → ``ος``) while DuckDB (utf8proc) gives
+    ``i`` and per-char ``οσ`` — so an md5 over ``lower()`` output is NOT
+    a portable dedup key. ``translate`` over the 26 ASCII letters is
+    bit-identical everywhere; non-ASCII case variants stay distinct,
+    which errs in the conservative no-false-merge direction."""
     col = F.col(text) if isinstance(text, str) else text
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    folded = F.translate(col, _ASCII_UPPER, _ASCII_LOWER)
+    return F.trim(F.regexp_replace(folded, r"\s+", " "))
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -146,7 +146,7 @@ SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
             + greatest(1.0 - (n_punct * 1.0 / greatest(n_chars, 1)) * 10.0, 0.0))
             / 3.0, 6) AS quality_score,
        {_LANG_CASE} AS lang_pred,
-       md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fingerprint
+       md5(trim(regexp_replace(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'))) AS fingerprint
 FROM feat
 """
 
@@ -202,7 +202,7 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_fingerprint_clusters",
     r"""
-    SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp,
+    SELECT md5(trim(regexp_replace(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'))) AS fp,
            count(*) AS n_docs,
            min(doc_id) AS canonical_id
     FROM documents
@@ -297,7 +297,7 @@ _WINNOW_ORACLE = r"""
 WITH codes AS (
   SELECT doc_id,
          list_transform(
-           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
+           string_split(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g')), ''),
            c -> CAST(unicode(c) AS BIGINT)) AS cs
   FROM documents
 ),

@@ -253,7 +253,7 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH fps AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp
+             md5(trim(regexp_replace(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'))) AS fp
       FROM documents),
     inc AS (SELECT * FROM fps WHERE doc_id % 10 = 7),
     ex AS (SELECT fp FROM fps WHERE doc_id % 10 <> 7)
@@ -650,7 +650,7 @@ _CURATE_RATES = {"en": 0.3}
     rf"""
     WITH base AS (
       SELECT doc_id, lang, n_chars, text,
-             md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp,
+             md5(trim(regexp_replace(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'))) AS fp,
              length(text) AS len_chars,
              regexp_split_to_array(trim(text), '\s+') AS w,
              len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct

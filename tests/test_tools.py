@@ -80,3 +80,67 @@ def test_every_query_survives_an_empty_corpus(spark, tmp_path_factory):
         except Exception as exc:  # noqa: BLE001 — collecting, not masking
             failures[name] = f"{type(exc).__name__}: {exc}"
     assert not failures, f"queries crashing on an empty corpus: {failures}"
+
+
+UNICODE_DOCS = [
+    "The QUICK brown fox.",
+    "İstanbul DİYARBAKIR ıssız İİİ lower test",   # dotted/dotless I
+    "naïve café résumé Über STRASSE ß",
+    "日本語のテキスト 中文文本 한국어 텍스트 the of and",
+    "emoji 🎉🔥 mix 💯 the end",
+    "combining é acute vs precomposed é equal?",
+    "ΣΊΣΥΦΟΣ greek sigma ς σ",                    # final-sigma casing
+    "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 math bold 𝐀𝐁𝐂",
+    ".,;:!? only punct !!!",
+]
+
+
+def test_text_family_agrees_on_unicode_corpus(spark, tmp_path_factory):
+    """Unicode case mapping is ENGINE-DEPENDENT: Spark (Java) lowers İ to
+    i+combining-dot and applies Greek final-sigma context, DuckDB
+    (utf8proc) gives i and per-char σ — measured on this container. The
+    r6 fix folds only ASCII case in the fingerprint normalization
+    (text.normalized_text uses translate, not lower), which both engines
+    compute bit-identically. This test appends case-adversarial docs to
+    the corpus and re-checks every fingerprint-consuming oracle."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from realtime_voting_data_engineering_spark import queries as Q
+    from tests.oracle_harness import compare_query
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path_factory.mktemp("unicode_sf"))
+    tbl = pq.read_table(os.path.join(src, "documents.parquet"))
+    n = len(UNICODE_DOCS)
+    extra = pa.table(
+        {
+            "doc_id": pa.array(range(1_000_000, 1_000_000 + n), pa.int64()),
+            "text": pa.array(UNICODE_DOCS, tbl.schema.field("text").type),
+            "lang": pa.array(["xx"] * n, tbl.schema.field("lang").type),
+            "source": pa.array(["unicode"] * n, tbl.schema.field("source").type),
+            "n_chars": pa.array([len(t) for t in UNICODE_DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([tbl.select(extra.column_names), extra]),
+        os.path.join(out, "documents.parquet"),
+    )
+    for fname in os.listdir(src):
+        if fname.endswith(".parquet") and fname != "documents.parquet":
+            shutil.copy(os.path.join(src, fname), os.path.join(out, fname))
+
+    for name in [
+        "text_profile",
+        "doc_fingerprint_clusters",
+        "incremental_new_docs",
+        "winnow_overlap_topk",
+        "corpus_curation_pipeline",
+        "minhash_lsh_dedup",
+        "language_histogram",
+    ]:
+        spec = Q.REGISTRY[name]
+        compare_query(spark, name, spec.fn, spec.oracle, out)
