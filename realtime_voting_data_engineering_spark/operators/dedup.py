@@ -119,7 +119,11 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def shingle_index(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    dedup: bool = True,
 ) -> DataFrame:
     """Inverted index: one row per (doc, distinct shingle).
 
@@ -140,7 +144,17 @@ def shingle_index(
     shingles = F.array_distinct(
         F.when(F.size(toks) >= n, grams).otherwise(F.array())
     )
-    return toks_df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    # The index is a SET of (doc, shingle): array_distinct handles
+    # within-row repeats, the trailing distinct() handles DUPLICATE
+    # doc_id rows (an ingestion glitch a 100 TB pipeline will see) —
+    # without it set sizes double and Jaccard exceeds 1.0 (found by the
+    # r6 duplicate-row audit). The exchange it adds keys on the same
+    # columns the downstream joins shuffle on anyway, and it SHRINKS
+    # the frame before them. Pass ``dedup=False`` ONLY when the consumer
+    # is multiplicity-insensitive (min/max aggregation) and the exchange
+    # would be pure overhead — see ``minhash_signatures``.
+    out = toks_df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return out.distinct() if dedup else out
 
 
 def ngram_jaccard_pairs(
@@ -228,7 +242,10 @@ def minhash_signatures(
     select the expensive hash runs once per shingle and each permutation
     is three int64 ops — measured ~2.3× faster than the previous
     16-md5-per-shingle form at sf0.1."""
-    idx = shingle_index(df, text_col, id_col, n).select(
+    # dedup=False: min() is multiset-invariant, so duplicate (doc,
+    # shingle) rows cannot change a signature — the distinct exchange
+    # would cost a full shuffle of the exploded index for nothing.
+    idx = shingle_index(df, text_col, id_col, n, dedup=False).select(
         F.col(id_col), minhash_base_hash(F.col("shingle")).alias("__base")
     )
     aggs = [

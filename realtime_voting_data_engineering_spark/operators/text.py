@@ -320,10 +320,15 @@ def winnow_fingerprints(
         ),
         lambda j: F.array_min(F.slice("__kh", j, window)),
     )
+    # distinct() guards duplicate doc_id rows the same way the shingle
+    # index does (dedup.shingle_index): without it a doubled row doubles
+    # every per-doc fingerprint and inflates overlap counts AND the
+    # document-frequency cut (r6 duplicate-row audit). The per-row
+    # array_distinct alone only covers within-document repeats.
     return hashed.select(
         F.col(id_col),
         F.explode(F.array_distinct(mins)).alias("fp"),
-    )
+    ).distinct()
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -813,15 +813,21 @@ def approx_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_last_click",
     """
     WITH rc AS (
-      SELECT user_id, ts AS cts, max(event_id) AS last_click_id,
-             arg_max(value, event_id) AS last_click_value
-      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT user_id, ts AS cts, event_id AS last_click_id,
+             value AS last_click_value
+      FROM events WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+          ORDER BY event_id DESC, value DESC NULLS LAST) = 1)
     SELECT e.event_id, e.user_id, e.ts,
            r.last_click_id, r.last_click_value,
            epoch_us(e.ts) - epoch_us(r.cts) AS micros_since_click
     FROM (SELECT * FROM events WHERE event_type = 'purchase') e
     ASOF LEFT JOIN rc r ON e.user_id = r.user_id AND e.ts >= r.cts
     """,
+    # The pre-reduce uses a TOTAL order (event_id DESC, value DESC):
+    # arg_max(value, event_id) left the winner undefined when a
+    # duplicated event_id carried different values — the r6
+    # duplicate-row audit caught the two engines picking different rows.
     headline=True,  # window-heavy union over full events — track its cost
     tags=("join", "asof"),
 )
@@ -836,12 +842,22 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_voting_data_engineering_spark.operators import relational as R
 
     events = load_table(spark, sf_dir, "events")
+    # Total-order pre-reduce (asof_join uniqueness contract): one row
+    # per (user, ts), winner = greatest (event_id, value) — max_by keyed
+    # on event_id alone is undefined when duplicated event_ids carry
+    # different values (r6 duplicate-row audit finding).
+    w_click = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc(), F.col("value").desc_nulls_last()
+    )
     clicks = (
         events.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(
-            F.max("event_id").alias("last_click_id"),
-            F.max_by("value", "event_id").alias("last_click_value"),
+        .withColumn("__rn", F.row_number().over(w_click))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("last_click_id"),
+            F.col("value").alias("last_click_value"),
         )
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(

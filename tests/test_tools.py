@@ -144,3 +144,69 @@ def test_text_family_agrees_on_unicode_corpus(spark, tmp_path_factory):
     ]:
         spec = Q.REGISTRY[name]
         compare_query(spark, name, spec.fn, spec.oracle, out)
+
+
+def test_tie_breaks_survive_duplicate_rows(spark, tmp_path_factory):
+    """Duplicate-row audit (r6): append copies of ~5% of rows that keep
+    every KEY and ORDERING column identical but perturb one payload
+    column — any window/top-k/argmax whose declared order is not total
+    tie-breaks nondeterministically and the two engines pick different
+    rows. First run found four: the shingle and winnowing inverted
+    indexes counted duplicated doc_id rows double (Jaccard > 1.0), and
+    asof_last_click's max_by(value, event_id) pre-reduce was undefined
+    for duplicated event_ids. All fixed (set-semantics indexes, a
+    total-order pre-reduce); this re-checks those queries plus the
+    tie-sensitive window family."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from realtime_voting_data_engineering_spark import queries as Q
+    from tests.oracle_harness import compare_query
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path_factory.mktemp("ties_sf"))
+    perturb = {
+        "events": ("value", 1000.0),
+        "orders": ("o_totalprice", 5000.0),
+        "lineitem": ("l_extendedprice", 7000.0),
+        "documents": (None, None),
+    }
+    for fname in os.listdir(src):
+        if not fname.endswith(".parquet"):
+            continue
+        tname = fname[: -len(".parquet")]
+        tbl = pq.read_table(os.path.join(src, fname))
+        if tname in perturb:
+            n = len(tbl)
+            idx = [
+                i for i in range(n)
+                if hashlib.md5(f"{tname}|{i}".encode()).digest()[0] < 13
+            ]
+            dup = tbl.take(pa.array(idx, pa.int64()))
+            col, delta = perturb[tname]
+            if col is not None and len(dup):
+                j = dup.schema.get_field_index(col)
+                dup = dup.set_column(
+                    j, dup.schema.field(j), pc.add(dup.column(j), delta)
+                )
+            tbl = pa.concat_tables([tbl, dup])
+        pq.write_table(tbl, os.path.join(out, fname))
+
+    for name in [
+        "asof_last_click",
+        "minhash_lsh_dedup",
+        "ngram_near_dup_pairs",
+        "winnow_overlap_topk",
+        "near_dup_clusters",
+        "cdc_latest_state",
+        "latest_vote_per_user",
+        "running_revenue_per_customer",
+        "top_orders_per_priority",
+        "event_window_suite",
+    ]:
+        spec = Q.REGISTRY[name]
+        compare_query(spark, name, spec.fn, spec.oracle, out)
