@@ -568,80 +568,82 @@ from realtime_voting_data_engineering_spark import queries_pipeline  # noqa: E40
 # which queries get a driver-side correctness row each round. We order
 # explicitly rather than leaning on import side-effect order.
 #
-# Round-6 window (a DEPTH round — VERDICT r5 "Next round" #1): the 48
-# queries that sat OUT of the r5 window all rotate back in (their driver
-# evidence is CORRECTNESS_r04 and the rotation invariant forces them in
-# before it goes two rounds stale), leaving exactly 2 free slots: one
-# for the round's single new registration (knn_ivf_fixed — no prior
-# driver row, so it MUST be in-window; it replaces the retired rows-only
-# knn_ann_ivf registration, keeping the registry at 98 so the rotation
-# stays feasible with 2-slot slack — pinned below by
-# tests/test_registry_order.py::test_registry_leaves_two_window_slots)
-# and one SURVEY-§2 core filler (votes_per_candidate, green r5 row).
+# Round-7 window (a DEPTH round — VERDICT r6 "Next round" #1): the 48
+# queries whose last driver row is CORRECTNESS_r05 all rotate back in
+# (the rotation invariant forces them in before their evidence goes two
+# rounds stale), leaving exactly 2 free slots. Those go to the round's
+# 2 new registrations (VERDICT r6 #2 — no prior driver rows, so they
+# MUST be in-window): the accuracy-contract graduations of the two
+# sketch queries. They REPLACE the retired rows-only registrations
+# ``approx_distinct_users`` / ``approx_value_quartiles`` (same swap
+# pattern as r6's knn_ann_ivf → knn_ivf_fixed), keeping the registry at
+# 98 so the rotation stays feasible with 2-slot slack — pinned below by
+# tests/test_registry_order.py::test_registry_leaves_two_window_slots.
 # Every query OUTSIDE this window has a green row in
-# CORRECTNESS_r05.json, so no component's driver evidence is more than
+# CORRECTNESS_r06.json, so no component's driver evidence is more than
 # one round stale (rotation policy: PARITY.md "Driver-window rotation";
 # invariant pinned by tests/test_registry_order.py).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Out of the r5 window (last driver row: r4) — 48, forced in
-    "turnout_per_location",
-    "leading_candidate",
-    "vote_share",
-    "latest_vote_per_user",
-    "dedup_votes_exact",
-    "assigned_candidate_counts",
-    "voters_by_segment",
-    "hourly_vote_counts",
-    "parse_vote_payload",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "revenue_by_brand",
-    "top_orders_per_priority",
-    "activation_funnel",
-    "weekly_retention_cohorts",
-    "data_quality_report",
-    "distinct_counts",
-    "order_status_rollup",
-    "event_type_cube",
-    "grouping_sets_revenue",
-    "customers_with_orders_by_segment",
-    "customers_without_orders",
-    "high_balance_accounts_union",
-    "purchase_and_error_users",
-    "purchase_only_users",
-    "event_counts_pivot",
-    "user_sessions",
-    "purchase_with_prior_view",
-    "running_revenue_per_customer",
-    "scalar_function_profile",
-    "order_date_parts",
-    "value_quartiles_by_type",
-    "approx_distinct_users",
-    "event_window_suite",
-    "embedding_array_profile",
-    "top_words",
-    "approx_value_quartiles",
-    "purchases_after_error",
-    "document_chunks",
-    "doc_fingerprint_clusters",
-    "ngram_near_dup_pairs",
-    "near_dup_clusters_star",
-    "winnow_overlap_topk",
-    "simhash_near_dup",
-    "knn_cosine_topk",
-    "embedding_near_dup_pairs",
-    "embedding_near_dup_srp",
-    "embedding_quantization",
-    # New r6 registration (no prior driver row → must be in-window) — 1
-    "knn_ivf_fixed",
-    # SURVEY §2 core filler (green r5 row) — 1
-    "votes_per_candidate",
+    # Out of the r6 window (last driver row: r5) — 48, forced in
+    "q1_pricing_summary",
+    "voter_pagination",
+    "scalar_counts",
+    "asof_last_click",
+    "text_profile",
+    "minhash_lsh_dedup",
+    "near_dup_clusters",
+    "deterministic_doc_sample",
+    "train_val_test_split",
+    "knn_quantized",
+    "knn_ann_srp",
+    "media_feature_stats",
+    "media_frame_sample_plan",
+    "language_histogram",
+    "quality_score_buckets",
+    "q2_min_cost_supplier",
+    "q4_late_ship_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_margin_by_nation_year",
+    "q10_returned_items",
+    "q11_value_share_analog",
+    "q12_priority_lines",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_promo_heavy_suppliers",
+    "q21_sole_late_supplier",
+    "q22_idle_high_balance",
+    "bm25_search_topk",
+    "event_rollup_multires",
+    "stratified_doc_sample",
+    "cdc_latest_state",
+    "incremental_new_docs",
+    "salted_event_totals",
+    "canonical_docs_per_cluster",
+    "benchmark_contamination",
+    "hourly_gap_filled",
+    "per_group_doc_sample",
+    "embedding_pq_codes",
+    "corpus_curation_pipeline",
+    "knn_pq_adc",
+    "daily_activity_reconciliation",
+    # New r7 registrations (no prior driver rows → must be in-window) — 2
+    "approx_distinct_users_check",
+    "approx_value_quartiles_check",
 )
 
 
 def _ordered_names() -> list[str]:
-    """DRIVER_WINDOW first, then every other registered query (these all
-    have a green CORRECTNESS_r02 row; they rotate back in future rounds)."""
+    """DRIVER_WINDOW first, then every other registered query (each
+    out-of-window query has a green row in the PREVIOUS round's
+    CORRECTNESS file — the invariant tests/test_registry_order.py pins —
+    and rotates back into the window next round)."""
     window = set(DRIVER_WINDOW)
     missing = window - REGISTRY.keys()
     if missing:  # fail loudly at import, not silently mis-order

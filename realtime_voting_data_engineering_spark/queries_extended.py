@@ -654,7 +654,7 @@ def value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches DuckDB's ``quantile_cont`` bit-for-bit (same linear
     interpolation over the sorted run). Exact percentiles sort within
     groups; at 100 TB prefer ``approx_percentile`` (KLL-sketch mergeable
-    in the partial-aggregate pass) — see ``approx_distinct_users``."""
+    in the partial-aggregate pass) — see ``approx_distinct_users_check``."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.percentile("value", 0.25).alias("q1"),
@@ -665,18 +665,55 @@ def value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users", None, tags=("agg", "sketch"))
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-user estimate per event type — the sketch
-    form of COUNT(DISTINCT): mergeable partial aggregates, one shuffle
-    row per (partition, key), no exact-distinct's per-key row explosion.
-    Estimates are engine-specific → rows-only driver check; pytest bounds
-    the error against the exact count (``distinct_counts`` is the exact
-    twin in this registry)."""
+@register(
+    "approx_distinct_users_check",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           1 AS within_tolerance
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "sketch"),
+)
+def approx_distinct_users_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type, graduated to
+    driver-hash evidence via an ACCURACY CONTRACT (the IVF/PQ playbook,
+    VERDICT r6 #2): the sketch estimates are engine-specific (Spark HLL++
+    vs DuckDB's HLL differ bit-for-bit by design), so instead of hashing
+    the estimate we hash the CONTRACT — per group, the exact distinct
+    count (oracle-computable) plus ``within_tolerance`` = 1 iff the
+    Spark-side HLL estimate lands within 5σ (= 5 × rsd 0.02 = 10%,
+    floor 1) of that exact count. DuckDB replays exact + literal 1, so a
+    sketch drifting out of its error bound flips the bit and RED-fails
+    the hash row — a strictly stronger gate than the old rows-only check.
+
+    The sketch still runs (the bit is derived from it). Scale story is
+    unchanged: at 100 TB you run ONLY the ``approx_count_distinct``
+    branch (mergeable partial aggregates, one shuffle row per
+    (partition, key), no exact-distinct per-key row explosion); the
+    exact branch here is the certification harness, same shape as the
+    exact twin ``distinct_counts``. INT (not BOOLEAN) for the bit: the
+    driver's value hash has proven int-family folding, no boolean
+    precedent across the registry (oracle_harness._type_family).
+    Reference anchor: the dashboard's distinct-turnout card
+    (reference ``streamlit-app.py`` voter-count metric) is this
+    aggregate's exact form."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    tol = F.greatest(F.lit(1.0), F.col("exact_users") * 0.10)
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= tol)
+        .cast("int")
+        .alias("within_tolerance"),
     )
 
 
@@ -793,19 +830,79 @@ def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_value_quartiles", None, tags=("agg", "sketch"))
-def approx_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles per group (``approx_percentile``) — the
-    scale path promised by ``value_quartiles_by_type``: the quantile
-    sketch is mergeable in the partial-aggregate pass, so no per-group
-    sort and a shuffle of sketches instead of rows. Estimates are
-    engine-specific → rows-only driver check; pytest bounds the error
-    against the exact percentiles."""
+@register(
+    "approx_value_quartiles_check",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS q1,
+           quantile_cont(value, 0.5)  AS median,
+           quantile_cont(value, 0.75) AS q3,
+           1 AS within_tolerance
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "sketch", "percentile"),
+)
+def approx_value_quartiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles per group, graduated to driver-hash evidence
+    via an ACCURACY CONTRACT (VERDICT r6 #2, same playbook as
+    ``approx_distinct_users_check``): the Greenwald-Khanna estimates from
+    ``approx_percentile`` are engine-specific, so the hashed output is
+    the EXACT interpolated quartiles (bit-matching DuckDB
+    ``quantile_cont`` — proven by the exact twin
+    ``value_quartiles_by_type``) plus ``within_tolerance`` = 1 iff each
+    sketch estimate lies inside the ORDER-STATISTIC envelope
+    [percentile_disc(p-0.01), percentile_disc(p+0.01)]. The envelope
+    must be rank-space, not interpolated: GK returns an actual data
+    element, and for tiny groups the interpolated value at p±0.01 can
+    sit strictly between two elements, excluding the element the exact
+    sketch correctly returns (found by tools/null_audit.py on the
+    poisoned corpus's 2-3-row '' / NULL event-type groups). The
+    discrete envelope encodes the real contract: GK with accuracy
+    10 000 guarantees rank error ≤ n/10 000, two orders of magnitude
+    inside the ±0.01·n rank envelope; for n < accuracy the sketch is
+    exact and at integer-rank boundaries the envelope spans both
+    adjacent order statistics, covering either rank convention — so the
+    bit is deterministically 1 on any corpus unless the sketch
+    implementation regresses, which is exactly the signal the gate
+    should catch. All-NULL value groups yield NULL from both the
+    sketch and the envelope → the NULL-branch keeps the bit at 1 (both
+    engines agree on NULL quartiles; the poisoned corpus exercises
+    this).
+
+    The sketch still runs per group; at 100 TB you run ONLY the sketch
+    branch (mergeable in the partial-aggregate pass — shuffles sketches,
+    not rows, no per-group sort); the exact branch is the certification
+    harness."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_percentile("value", 0.25, 10_000).alias("q1"),
-        F.approx_percentile("value", 0.5, 10_000).alias("median"),
-        F.approx_percentile("value", 0.75, 10_000).alias("q3"),
+    probes = {
+        "q1": 0.25,
+        "median": 0.5,
+        "q3": 0.75,
+    }
+    aggs = []
+    for name, p in probes.items():
+        aggs.append(F.percentile("value", p).alias(name))
+        aggs.append(F.approx_percentile("value", p, 10_000).alias(f"_a_{name}"))
+        aggs.append(
+            F.expr(
+                f"percentile_disc({p - 0.01}) WITHIN GROUP (ORDER BY value)"
+            ).alias(f"_lo_{name}")
+        )
+        aggs.append(
+            F.expr(
+                f"percentile_disc({p + 0.01}) WITHIN GROUP (ORDER BY value)"
+            ).alias(f"_hi_{name}")
+        )
+    agg = events.groupBy("event_type").agg(*aggs)
+    ok = F.lit(True)
+    for name in probes:
+        a, lo, hi = (F.col(f"_{p}_{name}") for p in ("a", "lo", "hi"))
+        ok = ok & F.when(a.isNull(), lo.isNull()).otherwise(
+            (a >= lo) & (a <= hi)
+        )
+    return agg.select(
+        "event_type", "q1", "median", "q3", ok.cast("int").alias("within_tolerance")
     )
 
 

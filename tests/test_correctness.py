@@ -63,30 +63,51 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
+    """The raw HLL++ estimate stays within 5% of exact (tighter than the
+    10% accuracy contract ``approx_distinct_users_check`` certifies),
+    and the contract query itself reports every group in-tolerance with
+    the exact count the oracle will recompute."""
     from realtime_voting_data_engineering_spark import queries as Q
     from realtime_voting_data_engineering_spark.sources.tables import load_table
 
-    approx = {
-        r.event_type: r.approx_users
-        for r in Q.REGISTRY["approx_distinct_users"].fn(spark, sf_dir).collect()
-    }
-    exact = {
-        r.event_type: r.n
-        for r in load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
+    events = load_table(spark, sf_dir, "events")
+    both = {
+        r.event_type: (r.approx_users, r.exact_users)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
         .collect()
     }
-    for et, n in exact.items():
-        assert abs(approx[et] - n) / n < 0.05, (et, approx[et], n)
+    for et, (a, n) in both.items():
+        assert abs(a - n) / n < 0.05, (et, a, n)
+
+    check = Q.REGISTRY["approx_distinct_users_check"].fn(spark, sf_dir).collect()
+    assert check and all(r.within_tolerance == 1 for r in check), check
+    assert {r.event_type: r.exact_users for r in check} == {
+        et: n for et, (_, n) in both.items()
+    }
 
 
 def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    """Raw GK estimates within 2% of exact quartiles (tighter than the
+    p±0.01 envelope the contract certifies); the contract query reports
+    all groups in-tolerance and its exact quartiles match the exact
+    twin ``value_quartiles_by_type``."""
     from realtime_voting_data_engineering_spark import queries as Q
+    from realtime_voting_data_engineering_spark.sources.tables import load_table
 
+    events = load_table(spark, sf_dir, "events")
     approx = {
         r.event_type: (r.q1, r.median, r.q3)
-        for r in Q.REGISTRY["approx_value_quartiles"].fn(spark, sf_dir).collect()
+        for r in events.groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", 0.25, 10_000).alias("q1"),
+            F.approx_percentile("value", 0.5, 10_000).alias("median"),
+            F.approx_percentile("value", 0.75, 10_000).alias("q3"),
+        )
+        .collect()
     }
     exact = {
         r.event_type: (r.q1, r.median, r.q3)
@@ -96,3 +117,12 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         a1, amed, a3 = approx[et]
         for a, e in ((a1, q1), (amed, med), (a3, q3)):
             assert abs(a - e) <= max(0.5, 0.02 * abs(e)), (et, a, e)
+
+    check = {
+        r.event_type: r
+        for r in Q.REGISTRY["approx_value_quartiles_check"].fn(spark, sf_dir).collect()
+    }
+    assert check and all(r.within_tolerance == 1 for r in check.values()), check
+    for et, (q1, med, q3) in exact.items():
+        r = check[et]
+        assert (r.q1, r.median, r.q3) == (q1, med, q3), (et, r)
