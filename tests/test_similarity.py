@@ -182,6 +182,36 @@ def test_zero_norm_query_and_corpus_vectors_match_nothing(spark):
             assert n in (1, 2, 4)
 
 
+def test_ragged_vectors_are_excluded_not_fatal(spark):
+    """One malformed (wrong-length) row must not kill the job (r6 ADVICE
+    #1: NULL filtering alone left ``np.array(list(...))`` to die on
+    ragged batches): wrong-length corpus rows are excluded from scoring
+    and wrong-length query rows are dropped, in the quantized,
+    brute-force-pandas, and k-means-IVF paths alike."""
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [2.0, 4.0, 6.0, 8.0]),
+        (3, [1.0, 0.0, 0.0, 1.0]),
+        (4, [5.0, 5.0]),            # ragged: too short
+        (5, [1.0] * 7),             # ragged: too long
+        (6, None),                  # NULL
+    ]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    corpus = spark.createDataFrame(rows, schema)
+    queries = corpus.filter(F.col("vec_id").isin(1, 4, 6))  # 4/6 invalid
+    for fn in (S.knn_quantized, S.knn_brute_force_pandas, S.knn_ivf):
+        got = fn(queries, corpus, k=5).collect()
+        assert {r.query_id for r in got} <= {1}, (fn.__name__, got)
+        bad = {4, 5, 6} & {r.neighbor_id for r in got}
+        assert not bad, (fn.__name__, bad)
+    # quantize_embeddings with dims drops ragged/NULL code rows too
+    ids = {r.vec_id for r in S.quantize_embeddings(corpus, dims=4).collect()}
+    assert ids == {1, 2, 3}
+
+
 def test_ivf_fixed_assign_matches_pq_encode_m1(spark, sf_dir):
     """The fixed-centroid coarse quantizer IS the pq_encode m=1
     construction — the two code paths (expression of the same md5

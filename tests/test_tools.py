@@ -23,9 +23,16 @@ def test_probe_runs_and_reports_all_ops(spark, sf_smoke):
         "minhash_pairs_dupfarm",
         "cc_dupfarm",
     } <= ops
-    # replication doubles the verified-pair universe in the lin regime
+    # Replication grows the verified-pair universe roughly linearly in
+    # the lin regime. NOT exact 2×: k=1 uses unsuffixed text while k≥2
+    # suffixes every replica's tokens, so the two sides hash different
+    # shingle universes and band collisions can differ incidentally
+    # (r6 ADVICE #3) — pin the structural claim (no shrink, no blowup),
+    # not the incidental equality.
     by = {(r["op"], r["k"]): r for r in results}
-    assert by[("minhash_pairs_lin", 2)]["rows"] == 2 * by[("minhash_pairs_lin", 1)]["rows"]
+    r1 = by[("minhash_pairs_lin", 1)]["rows"]
+    r2 = by[("minhash_pairs_lin", 2)]["rows"]
+    assert r1 <= r2 <= 3 * max(r1, 1), (r1, r2)
     assert all(r["sec"] >= 0 for r in results)
 
 
@@ -207,6 +214,65 @@ def test_tie_breaks_survive_duplicate_rows(spark, tmp_path_factory):
         "running_revenue_per_customer",
         "top_orders_per_priority",
         "event_window_suite",
+    ]:
+        spec = Q.REGISTRY[name]
+        compare_query(spark, name, spec.fn, spec.oracle, out)
+
+
+def test_similarity_family_survives_duplicate_embeddings(spark, tmp_path_factory):
+    """Duplicate-row audit, embedding side (VERDICT r6 #7): the text
+    audit above perturbs payloads under duplicated keys; the embedding
+    analogue is duplicated VECTORS under fresh ids — identical vectors
+    land in the same SRP band, IVF cell, and PQ bucket as their
+    original, and every pairwise score they produce is an EXACT tie, so
+    any candidate generator that double-counts band collisions or any
+    top-k whose ordering isn't total past the score column diverges
+    between the engines here. ~5% of embeddings are cloned with
+    vec_id + 1_000_000; every embedding-family oracle must still
+    hash-match DuckDB on the widened corpus."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from realtime_voting_data_engineering_spark import queries as Q
+    from tests.oracle_harness import compare_query
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path_factory.mktemp("dup_emb_sf"))
+    for fname in os.listdir(src):
+        if not fname.endswith(".parquet"):
+            continue
+        if fname != "embeddings.parquet":
+            shutil.copy(os.path.join(src, fname), os.path.join(out, fname))
+            continue
+        tbl = pq.read_table(os.path.join(src, fname))
+        idx = [
+            i for i in range(len(tbl))
+            if hashlib.md5(f"emb|{i}".encode()).digest()[0] < 13
+        ]
+        dup = tbl.take(pa.array(idx, pa.int64()))
+        j = dup.schema.get_field_index("vec_id")
+        dup = dup.set_column(
+            j, dup.schema.field(j), pc.add(dup.column(j), 1_000_000)
+        )
+        pq.write_table(
+            pa.concat_tables([tbl, dup]), os.path.join(out, fname)
+        )
+
+    for name in [
+        "knn_cosine_topk",
+        "knn_ann_srp",
+        "knn_ivf_fixed",
+        "knn_pq_adc",
+        "knn_quantized",
+        "embedding_near_dup_pairs",
+        "embedding_near_dup_srp",
+        "embedding_quantization",
+        "embedding_pq_codes",
     ]:
         spec = Q.REGISTRY[name]
         compare_query(spark, name, spec.fn, spec.oracle, out)
