@@ -60,6 +60,19 @@ def dec(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     """Exact-decimal cast used before SUM/AVG in oracle-checked queries so
     Spark and the DuckDB oracle aggregate identical exact values —
     floating-point summation order is engine-dependent; decimal math is
-    not. Final outputs cast back to DOUBLE on both sides."""
+    not. Final outputs cast back to DOUBLE on both sides.
+
+    NaN/±Inf fold to NULL (= excluded from the aggregate) BEFORE the
+    cast: under ANSI mode (Spark 4 default — the driver's vanilla
+    session) ``CAST(NaN AS DECIMAL)`` throws, so one non-finite measure
+    in 100 TB would kill the whole job (r7 float audit,
+    ``tools/float_audit.py``); DuckDB hard-errors on the same cast even
+    under TRY_CAST. Exclude-as-NULL is the one semantics both engines
+    express deterministically, and oracles over poisonable float
+    columns mirror it with ``CASE WHEN isfinite(x) THEN x END``. The
+    guard is a no-op on finite or NULL input, so unguarded oracles over
+    contract-clean decimal columns (TPC-H money) hash identically."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({precision},{scale})")
+    d = c.cast("double")
+    finite = ~F.isnan(d) & (F.abs(d) != F.lit(float("inf")))
+    return F.when(finite, c).cast(f"decimal({precision},{scale})")

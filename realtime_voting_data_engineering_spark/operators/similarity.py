@@ -52,20 +52,43 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+#: DuckDB predicate mirroring ``valid_vectors`` (format with the column
+#: name): non-NULL, and no NULL/NaN/±Inf component. Oracles over
+#: embedding consumers MUST use this so both engines exclude the same
+#: rows — see the finiteness note in ``valid_vectors``.
+ORACLE_VALID_VEC = (
+    "({col} IS NOT NULL AND len(list_filter({col}, "
+    "x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)"
+)
+
+
 def valid_vectors(
     df: DataFrame, vec_col: str = "embedding", dims: int | None = None
 ) -> DataFrame:
     """Enforce the vector contract at the operator boundary: rows whose
-    embedding is NULL (or, when ``dims`` is known, the wrong length) are
-    EXCLUDED from index build and search.
+    embedding is NULL, contains a NULL/NaN/±Inf component, or (when
+    ``dims`` is known) has the wrong length are EXCLUDED from index
+    build and search.
 
     At 100 TB malformed rows are a certainty, and the Arrow kernels
     (``np.array(list(col))`` batches, codebook matmuls) would otherwise
     throw on the first NULL — one bad row killing a 1000-executor job.
-    Exclusion (not imputation) is the only semantics that matches the
-    expression-only twins, where NULL propagates through the fold and
-    the row drops out of top-k/banding naturally."""
-    cond = F.col(vec_col).isNotNull()
+    FINITENESS is part of the contract since the r7 float audit
+    (``tools/float_audit.py``): a NaN component makes every cosine NaN,
+    and NaN sorts ABOVE every real score in descending top-k in BOTH
+    engines — the poisoned row would win every ranking while
+    hash-matching the oracle, i.e. semantically-garbage agreement; and
+    the int8 quantization cast of a NaN code throws under ANSI mode
+    (the default in the driver's vanilla Spark 4 session). Exclusion
+    (not imputation) is the only semantics expressible identically in
+    both engines (``ORACLE_VALID_VEC``)."""
+    vec = F.col(vec_col)
+    bad_component = lambda x: (  # noqa: E731 — local predicate
+        x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf")))
+    )
+    cond = vec.isNotNull() & ~F.exists(vec, bad_component)
     if dims is not None:
         cond = cond & (F.size(vec_col) == dims)
     return df.filter(cond)
@@ -107,10 +130,10 @@ def knn_brute_force(
 
     Output: (query_id, neighbor_id, cos) — self-matches excluded.
     """
-    q = queries.select(
+    q = valid_vectors(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = valid_vectors(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(
@@ -138,6 +161,7 @@ def near_dup_embeddings(
     """Embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
     All-pairs form — the verification tier; at scale run
     ``srp_candidate_pairs`` first and verify only candidates."""
+    corpus = valid_vectors(corpus, vec_col)
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))

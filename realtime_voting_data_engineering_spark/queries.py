@@ -88,7 +88,7 @@ def _revenue_expr():
     """
     SELECT event_type,
            count(*) AS total_votes,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -303,7 +303,7 @@ def scalar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS hour,
            event_type,
            count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,

@@ -639,9 +639,9 @@ def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_quartiles_by_type",
     """
     SELECT event_type,
-           quantile_cont(value, 0.25) AS q1,
-           quantile_cont(value, 0.5)  AS median,
-           quantile_cont(value, 0.75) AS q3,
+           quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.25) AS q1,
+           quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.5)  AS median,
+           quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.75) AS q3,
            min(value) AS min_value,
            max(value) AS max_value
     FROM events
@@ -652,14 +652,23 @@ def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group — Spark's ``percentile``
     matches DuckDB's ``quantile_cont`` bit-for-bit (same linear
-    interpolation over the sorted run). Exact percentiles sort within
-    groups; at 100 TB prefer ``approx_percentile`` (KLL-sketch mergeable
-    in the partial-aggregate pass) — see ``approx_distinct_users_check``."""
+    interpolation over the sorted run). INTERPOLATED stats declare a
+    FINITE-domain contract (non-finite folds to NULL = excluded): the
+    r7 float audit measured that the two engines place NaN differently
+    inside a quantile sort, so interpolation over a NaN/Inf-bearing run
+    is not cross-engine deterministic — while min/max stay raw because
+    the engines AGREE there (NaN greatest, above +Inf, in both) and a
+    raw extreme is honest data observability. Exact percentiles sort
+    within groups; at 100 TB prefer ``approx_percentile`` (sketch
+    mergeable in the partial-aggregate pass) — see
+    ``approx_value_quartiles_check``."""
     events = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    fin = F.when(~F.isnan(v) & (F.abs(v) != F.lit(float("inf"))), v)
     return events.groupBy("event_type").agg(
-        F.percentile("value", 0.25).alias("q1"),
-        F.percentile("value", 0.5).alias("median"),
-        F.percentile("value", 0.75).alias("q3"),
+        F.percentile(fin, 0.25).alias("q1"),
+        F.percentile(fin, 0.5).alias("median"),
+        F.percentile(fin, 0.75).alias("q3"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
@@ -834,9 +843,9 @@ def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_value_quartiles_check",
     """
     SELECT event_type,
-           quantile_cont(value, 0.25) AS q1,
-           quantile_cont(value, 0.5)  AS median,
-           quantile_cont(value, 0.75) AS q3,
+           quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.25) AS q1,
+           quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.5)  AS median,
+           quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.75) AS q3,
            1 AS within_tolerance
     FROM events
     GROUP BY event_type
@@ -874,7 +883,16 @@ def approx_value_quartiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch (mergeable in the partial-aggregate pass — shuffles sketches,
     not rows, no per-group sort); the exact branch is the certification
     harness."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        # Finite-domain contract, same as value_quartiles_by_type: every
+        # order statistic here (exact, sketch, and disc envelope) reads
+        # the finite fold so the contract bit compares like with like.
+        "__fv",
+        F.when(
+            ~F.isnan("value") & (F.abs("value") != F.lit(float("inf"))),
+            F.col("value"),
+        ),
+    )
     probes = {
         "q1": 0.25,
         "median": 0.5,
@@ -882,16 +900,16 @@ def approx_value_quartiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     aggs = []
     for name, p in probes.items():
-        aggs.append(F.percentile("value", p).alias(name))
-        aggs.append(F.approx_percentile("value", p, 10_000).alias(f"_a_{name}"))
+        aggs.append(F.percentile("__fv", p).alias(name))
+        aggs.append(F.approx_percentile("__fv", p, 10_000).alias(f"_a_{name}"))
         aggs.append(
             F.expr(
-                f"percentile_disc({p - 0.01}) WITHIN GROUP (ORDER BY value)"
+                f"percentile_disc({p - 0.01}) WITHIN GROUP (ORDER BY __fv)"
             ).alias(f"_lo_{name}")
         )
         aggs.append(
             F.expr(
-                f"percentile_disc({p + 0.01}) WITHIN GROUP (ORDER BY value)"
+                f"percentile_disc({p + 0.01}) WITHIN GROUP (ORDER BY __fv)"
             ).alias(f"_hi_{name}")
         )
     agg = events.groupBy("event_type").agg(*aggs)
@@ -992,7 +1010,7 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts AS pts, value
       FROM events WHERE event_type = 'purchase')
     SELECT e.error_id, count(*) AS n_purchases,
-           CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+           CAST(SUM(CAST(CASE WHEN isfinite(p.value) THEN p.value END AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
     FROM p JOIN e
       ON p.user_id = e.user_id AND p.pts >= e.w_start AND p.pts <= e.w_end
     GROUP BY e.error_id

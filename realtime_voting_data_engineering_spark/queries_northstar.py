@@ -399,9 +399,11 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_ORACLE = f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 10 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)
 ),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+      WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
 scored AS (
   SELECT query_id, neighbor_id, {_COS_SQL.format(a="qv", b="cv")} AS cos_raw
   FROM q, c WHERE query_id != neighbor_id
@@ -431,7 +433,8 @@ _NEAR_DUP_EMB_ORACLE = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) >= 0.4
+WHERE (a.embedding IS NOT NULL AND len(list_filter(a.embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0) AND (b.embedding IS NOT NULL AND len(list_filter(b.embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)
+  AND round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) >= 0.4
 """
 
 
@@ -489,7 +492,8 @@ def _srp_oracle(
     band_selects = _srp_band_selects(planes, bands)
     cos = _COS_SQL.format(a="ea.embedding", b="eb.embedding")
     return f"""
-    WITH sig AS (SELECT vec_id, {bit_cols} FROM embeddings),
+    WITH sig AS (SELECT vec_id, {bit_cols} FROM embeddings
+                 WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
     bands AS ({band_selects}),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -587,7 +591,7 @@ WITH m AS (
   SELECT vec_id, embedding,
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
              AS maxabs
-  FROM embeddings WHERE embedding IS NOT NULL),
+  FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
 s AS (SELECT vec_id, embedding, maxabs, maxabs / 127.0 AS scale FROM m),
 q AS (
   SELECT vec_id, embedding, maxabs, scale,
@@ -634,7 +638,8 @@ WITH m AS (
   SELECT vec_id, embedding,
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
              AS maxabs
-  FROM embeddings),
+  FROM embeddings
+  WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
 s AS (SELECT vec_id, embedding, maxabs, maxabs / 127.0 AS scale FROM m),
 qz AS (
   SELECT vec_id, scale,
@@ -653,7 +658,7 @@ qs AS (
   SELECT vec_id AS query_id, embedding AS qv,
          sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS q_norm
-  FROM embeddings WHERE vec_id < 10),
+  FROM embeddings WHERE vec_id < 10 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
 scored AS (
   SELECT qs.query_id, cn.vec_id AS neighbor_id,
          (list_sum(list_transform(list_zip(cn.qvec, qs.qv),
@@ -694,7 +699,7 @@ def _knn_srp_oracle(dims: int = 64, planes: int = 16, bands: int = 4, k: int = 5
     cos = _COS_SQL.format(a="q.embedding", b="c.embedding")
     return f"""
     WITH sig AS (SELECT vec_id, {_srp_bits_sql(dims, planes)}
-                 FROM embeddings WHERE embedding IS NOT NULL),
+                 FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
     bands AS ({_srp_band_selects(planes, bands)}),
     cand AS (
       SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
@@ -752,7 +757,7 @@ def _knn_ivf_fixed_oracle(
                (CAST(e.embedding[d] AS DOUBLE) - cv[d])
                * (CAST(e.embedding[d] AS DOUBLE) - cv[d]))) AS d2
       FROM embeddings e, cents
-      WHERE e.embedding IS NOT NULL),
+      WHERE (e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
     assigned AS (
       SELECT vec_id, c AS cluster FROM dists
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) = 1),

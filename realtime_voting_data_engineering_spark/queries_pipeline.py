@@ -129,7 +129,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (
       SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
-             SUM(CAST(value AS DECIMAL(18,6))) AS dv
+             SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS dv
       FROM events GROUP BY 1),
     d AS (
       SELECT date_trunc('day', bucket) AS bucket,
@@ -303,7 +303,7 @@ def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_event_totals",
     """
     SELECT event_type, count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
     """,
     tags=("agg", "skew", "pipeline"),
@@ -617,7 +617,7 @@ _PQ_CTES = """cents AS (
                * (CAST(e.embedding[cents.s * 8 + d] AS DOUBLE) - cv[d])))
                  AS d2
       FROM embeddings e, cents
-      WHERE e.embedding IS NOT NULL),
+      WHERE (e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
     codes AS (
       SELECT vec_id, s, c FROM dists
       QUALIFY row_number() OVER (
@@ -748,7 +748,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM codes JOIN cents ON codes.s = cents.s AND codes.c = cents.c),
     q AS (
       SELECT vec_id AS query_id, embedding FROM embeddings
-      WHERE vec_id < 10 AND embedding IS NOT NULL),
+      WHERE vec_id < 10 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
     dots AS (
       SELECT q.query_id, w.vec_id, w.s,
              list_sum(list_transform(generate_series(1, 8), d ->

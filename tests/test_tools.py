@@ -61,6 +61,39 @@ def test_null_audit_fixed_queries_stay_fixed(spark):
     assert not bad, f"NULL-edge regressions: {bad}"
 
 
+def test_float_audit_fixed_queries_stay_fixed(spark):
+    """The r7 non-finite-float audit (tools/float_audit.py) found ten
+    divergences in four classes: DuckDB hard-errors casting NaN to
+    DECIMAL (decimal-sum oracles over events.value), interpolated
+    percentiles disagree over NaN/Inf-bearing runs, Spark's ANSI
+    tinyint cast kills the quantizer on a NaN component, and SRP
+    banding splits on NaN signatures. All fixed (isfinite folds in the
+    decimal/percentile contracts; finiteness joined the vector-validity
+    boundary). Re-run the affected families on the poisoned corpus so
+    the float semantics can't silently regress — the clean corpus never
+    exercises them."""
+    from tools import float_audit
+
+    fixed = [
+        "votes_per_candidate",
+        "hourly_vote_counts",
+        "salted_event_totals",
+        "event_rollup_multires",
+        "purchases_after_error",
+        "value_quartiles_by_type",
+        "approx_value_quartiles_check",
+        "embedding_quantization",
+        "knn_quantized",
+        "knn_ann_srp",
+        "embedding_near_dup_srp",
+        "knn_cosine_topk",
+    ]
+    report = float_audit.audit("/root/testdata/sf0.001", only=fixed)
+    assert set(report) == set(fixed)
+    bad = {n: r for n, r in report.items() if r["status"] != "match"}
+    assert not bad, f"non-finite-float regressions: {bad}"
+
+
 def test_every_query_survives_an_empty_corpus(spark, tmp_path_factory):
     """Empty feeds happen (a new partition, a filtered-out day, a fresh
     deployment): every registered query must plan and execute on 0-row
