@@ -135,12 +135,21 @@ def assert_driver_canonicalizable(name: str, spark_schema) -> None:
     )
 
 
-def compare_query(spark, name: str, fn, oracle: str, sf_dir: str) -> None:
+def compare_query(
+    spark, name: str, fn, oracle: str, sf_dir: str, oracle_sf_dir: str | None = None
+) -> None:
+    """Spark (on ``sf_dir``) vs DuckDB oracle (on ``oracle_sf_dir``,
+    default the same dir). Passing a DIFFERENT oracle dir turns the
+    compare into an invariance check — e.g. tools/order_audit.py runs
+    Spark on a row-permuted corpus against the oracle on the clean one,
+    certifying no query's result depends on incidental row order."""
     sdf = fn(spark, sf_dir)
     assert_driver_canonicalizable(name, sdf.schema)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
-    duck_cols, duck_rows, duck_schema = duckdb_run_typed(oracle, sf_dir)
+    duck_cols, duck_rows, duck_schema = duckdb_run_typed(
+        oracle, oracle_sf_dir or sf_dir
+    )
     assert_types_compatible(name, sdf.limit(0).toArrow().schema, duck_schema)
 
     assert sorted(spark_cols) == sorted(duck_cols), (

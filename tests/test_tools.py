@@ -94,6 +94,35 @@ def test_float_audit_fixed_queries_stay_fixed(spark):
     assert not bad, f"non-finite-float regressions: {bad}"
 
 
+def test_order_invariance_of_tie_sensitive_queries(spark):
+    """Row-order invariance (r7, tools/order_audit.py): Spark on an
+    md5-permuted corpus must hash-equal the DuckDB oracle on the CLEAN
+    corpus — results are a function of the row SET, not the sequence,
+    which is what shuffle-ordered 1000-executor execution requires. The
+    full 98-query audit passed 98/98; this pins the most tie-sensitive
+    subset (window/top-k/argmax/pagination family) so a future
+    non-total ordering can't slip back in."""
+    from tools import order_audit
+
+    pinned = [
+        "leading_candidate",
+        "latest_vote_per_user",
+        "voter_pagination",
+        "top_orders_per_priority",
+        "event_window_suite",
+        "asof_last_click",
+        "cdc_latest_state",
+        "canonical_docs_per_cluster",
+        "per_group_doc_sample",
+        "knn_cosine_topk",
+        "winnow_overlap_topk",
+    ]
+    report = order_audit.audit("/root/testdata/sf0.001", only=pinned)
+    assert set(report) == set(pinned)
+    bad = {n: r for n, r in report.items() if r["status"] != "match"}
+    assert not bad, f"row-order-dependence regressions: {bad}"
+
+
 def test_every_query_survives_an_empty_corpus(spark, tmp_path_factory):
     """Empty feeds happen (a new partition, a filtered-out day, a fresh
     deployment): every registered query must plan and execute on 0-row
