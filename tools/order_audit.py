@@ -41,7 +41,14 @@ sys.path.insert(0, REPO)
 WORKDIR = "/tmp/rtv_order_audit"
 
 
-def poison(sf_dir: str) -> str:
+def poison(sf_dir: str, split: int = 1) -> str:
+    """Permute rows; with ``split`` > 1 additionally write each table as
+    ``split`` separate part files under a ``<name>.parquet/`` directory.
+    The driver corpus is single-file single-row-group, so every scan is
+    SERIAL locally — splitting makes Spark plan a genuinely parallel
+    multi-partition scan with arbitrary file-to-task assignment, the
+    shape a 1000-executor cluster always sees. Results must still be
+    invariant (the clean-corpus oracle is the referee)."""
     os.makedirs(WORKDIR, exist_ok=True)
     out_dir = os.path.join(WORKDIR, os.path.basename(os.path.normpath(sf_dir)))
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -58,16 +65,29 @@ def poison(sf_dir: str) -> str:
         ]
         order = sorted(range(len(tbl)), key=keys.__getitem__)
         tbl = tbl.take(pa.array(order, pa.int64()))
-        pq.write_table(tbl, os.path.join(out_dir, fname))
+        if split <= 1 or len(tbl) < split:
+            pq.write_table(tbl, os.path.join(out_dir, fname))
+        else:
+            part_dir = os.path.join(out_dir, fname)  # <name>.parquet/ dir
+            os.makedirs(part_dir)
+            step = (len(tbl) + split - 1) // split
+            for p in range(split):
+                chunk = tbl.slice(p * step, step)
+                if len(chunk):
+                    pq.write_table(
+                        chunk, os.path.join(part_dir, f"part-{p:03d}.parquet")
+                    )
     return out_dir
 
 
-def audit(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
+def audit(
+    sf_dir: str, only: list[str] | None = None, split: int = 1
+) -> dict[str, dict]:
     from realtime_voting_data_engineering_spark import queries as Q
     from realtime_voting_data_engineering_spark.session import get_spark
     from tests.oracle_harness import compare_query
 
-    poisoned = poison(sf_dir)
+    poisoned = poison(sf_dir, split=split)
     spark = get_spark(app_name="order-audit")
     spark.sparkContext.setLogLevel("ERROR")
     report: dict[str, dict] = {}
@@ -99,9 +119,13 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument(
+        "--split", type=int, default=1,
+        help="write each permuted table as N part files (parallel scans)",
+    )
     args = ap.parse_args()
     only = args.only.split(",") if args.only else None
-    rep = audit(args.sf_dir, only)
+    rep = audit(args.sf_dir, only, split=args.split)
     bad = {n: r for n, r in rep.items() if r["status"] != "match"}
     print(f"\n# {len(rep)} audited, {len(rep) - len(bad)} match, {len(bad)} flagged")
     for n, r in sorted(bad.items()):
