@@ -281,3 +281,29 @@ def test_bm25_single_corpus_scan(spark, sf_dir):
     assert "InMemoryTableScan" in plan
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sketch_contract_queries_are_single_scan(spark, sf_dir):
+    """The r7 accuracy-contract queries certify the sketches WITHOUT
+    extra passes: one parquet scan feeding one aggregation (the HLL
+    check pays the expected extra exchange for its exact-distinct
+    certification branch; the quartile check is a single
+    partial+final agg). No Expand, no join, no second scan — the
+    certification harness must not distort the plan family it
+    certifies."""
+    for name, max_exchanges in (
+        ("approx_distinct_users_check", 2),
+        ("approx_value_quartiles_check", 1),
+    ):
+        df = Q.REGISTRY[name].fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AQE's toString prints the FINAL plan followed by the pre-AQE
+        # "Initial Plan" — count nodes in the final section only.
+        plan = plan.split("Initial Plan")[0]
+        assert plan.count("Scan parquet") == 1, (name, plan)
+        assert "Expand" not in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert plan.count("Exchange") <= max_exchanges + plan.count(
+            "ReusedExchange"
+        ), (name, plan)
