@@ -124,4 +124,8 @@ def bm25_topk(
             6,
         ).alias("score"),
     ).filter(F.col("score") > 0)
-    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    out = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    # Handle for cache owners (the bm25_search_topk memo) to unpersist
+    # the index when the corpus it was built from is rewritten.
+    out._bm25_projection = base
+    return out

@@ -96,22 +96,32 @@ def valid_vectors(
 
 def collect_query_matrix(queries: DataFrame, id_col: str, vec_col: str):
     """Collect the (small by contract) query set into numpy, enforcing
-    the full vector contract driver-side: NULL rows are excluded by
-    ``valid_vectors``; ragged rows (wrong length vs the FIRST valid
-    query's dims) are dropped here, because a single ragged row turns
-    ``np.array(list(...))`` into a dtype=object ragged batch that kills
-    the Arrow kernels — the class of crash r6's boundary contract only
-    half-closed (r6 ADVICE #1). Returns ``(q_ids, q_mat, dims)``, or
-    ``(None, None, None)`` when no valid query rows remain; callers must
-    pass ``dims`` on to the corpus-side ``valid_vectors`` so the corpus
-    batches are rectangular too."""
+    the full vector contract driver-side: NULL/non-finite rows are
+    excluded by ``valid_vectors``; ragged rows (wrong length vs the
+    MODAL query dims) are dropped here, because a single ragged row
+    turns ``np.array(list(...))`` into a dtype=object ragged batch that
+    kills the Arrow kernels — the class of crash r6's boundary contract
+    only half-closed (r6 ADVICE #1). Dims is the MODAL length (ties
+    broken toward the smaller dims), same as ``ivf_train_centroids``:
+    taking the first row's length would make the result depend on
+    incidental row order — a leading ragged row would silently exclude
+    every valid query AND the whole corpus (r7 review finding) — and
+    row-order dependence is exactly what tools/order_audit.py certifies
+    against. Returns ``(q_ids, q_mat, dims)``, or ``(None, None,
+    None)`` when no valid query rows remain; callers must pass ``dims``
+    on to the corpus-side ``valid_vectors`` so the corpus batches are
+    rectangular too."""
     import numpy as np
 
     q_rows = valid_vectors(queries, vec_col).select(id_col, vec_col).collect()
     if not q_rows:
         return None, None, None
-    dims = len(q_rows[0][1])
-    kept = [r for r in q_rows if len(r[1]) == dims]
+    lengths = [len(r[1]) for r in q_rows]
+    dims = max(set(lengths), key=lambda d: (lengths.count(d), -d))
+    kept = sorted(  # deterministic matrix order (NULL ids sort last)
+        (r for r in q_rows if len(r[1]) == dims),
+        key=lambda r: (r[0] is None, r[0] if r[0] is not None else 0),
+    )
     q_ids = np.array([r[0] for r in kept])
     q_mat = np.array([r[1] for r in kept], dtype=np.float64)
     return q_ids, q_mat, dims

@@ -350,8 +350,9 @@ def winnow_fingerprints_kernel(
     same document, ~500× less straggler exposure). Normalization runs
     as the SAME Spark expression (``normalized_text``) before the
     kernel, and every hash step is exact int64 — the outputs are
-    row-identical to the expression form (property-pinned in
-    tests/test_pipeline_ops.py), so either can feed the overlap join.
+    row-identical to the expression form (pinned on the corpus in
+    tests/test_dedup.py and on hypothesis-random unicode text in
+    tests/test_properties.py), so either can feed the overlap join.
     Same duplicate-row guard: trailing ``distinct()``."""
     import numpy as np
     from numpy.lib.stride_tricks import sliding_window_view
@@ -365,10 +366,19 @@ def winnow_fingerprints_kernel(
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_ids, out_fps = [], []
+            out_ids: list = []
+            out_fps: list = []
             for did, s in zip(pdf[id_col], pdf["__norm"]):
                 if s is None or len(s) < k:
                     continue
+                # Arrow hands a nullable long column to pandas as
+                # float64 with NaN for NULL ids; np.full(..., NaN,
+                # dtype=int64) would wrap to int64-min and merge every
+                # NULL-id doc's fingerprints under one garbage id (r7
+                # review finding). Keep NULL as None — the expression
+                # twin emits doc_id=NULL for the same input, and the
+                # two forms must stay row-identical.
+                did = None if pd.isna(did) else int(did)
                 codes = np.frombuffer(
                     s.encode("utf-32-le"), dtype=np.uint32
                 ).astype(np.int64)
@@ -382,12 +392,12 @@ def winnow_fingerprints_kernel(
                 else:  # same semantics as slice past the end: min of all
                     mins = h.min(keepdims=True)
                 fps = np.unique(mins)
-                out_ids.append(np.full(len(fps), did, dtype=np.int64))
+                out_ids.extend([did] * len(fps))
                 out_fps.append(fps)
             if out_ids:
                 yield pd.DataFrame(
                     {
-                        id_col: np.concatenate(out_ids),
+                        id_col: pd.array(out_ids, dtype="Int64"),
                         "fp": np.concatenate(out_fps),
                     }
                 )

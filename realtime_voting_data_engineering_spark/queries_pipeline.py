@@ -30,11 +30,33 @@ from realtime_voting_data_engineering_spark.sources.tables import load_table
 # ---------------------------------------------------------------------------
 
 _BM25_TERMS = ("spark", "merge", "query")
-#: (session, sf_dir) -> the one persisted-index top-k DataFrame; see
-#: ``bm25_search_topk``'s memoization note. Sessions are few and
-#: long-lived in every runner (driver, bench, pytest), so a plain dict
-#: keyed on the session object cannot grow meaningfully.
+#: (session, sf_dir, corpus_token) -> the one persisted-index top-k
+#: DataFrame; see ``bm25_search_topk``'s memoization note. Entries for a
+#: rewritten path are evicted (and their projections unpersisted) on the
+#: next call, so the dict is bounded by the number of DISTINCT live
+#: corpus paths a session touches.
 _BM25_MEMO: dict = {}
+
+
+def _corpus_token(sf_dir: str):
+    """Cheap content fingerprint of the documents table: (mtime_ns,
+    size) of the file, or the sorted part-file listing's (mtime_ns,
+    size) pairs for a directory-style table. Changes whenever the audit
+    tools (or anything else) rewrite the path in place."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            return tuple(
+                (f, os.stat(os.path.join(path, f)).st_mtime_ns,
+                 os.stat(os.path.join(path, f)).st_size)
+                for f in sorted(os.listdir(path))
+            )
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
 _BM25_K = 10
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -102,16 +124,29 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Robertson idf (no log) keeps every operation IEEE-replayable in the
     oracle.
 
-    Memoized per (session, corpus): repeated invocations (bench
+    Memoized per (session, corpus CONTENT): repeated invocations (bench
     min-of-3, driver sweep after bench) REUSE the one DataFrame —
     re-building an identical plan re-ran ``persist`` on it, which
     Spark's CacheManager dedupes with a WARN (`Asked to cache already
     cached data`, the r6 bench-tail cosmetic, VERDICT r6 #4). Reuse is
     also the honest serving shape: the persisted tf projection IS the
-    index, built once per corpus and amortized across queries."""
-    key = (spark, sf_dir)
+    index, built once per corpus and amortized across queries. The key
+    includes the documents file's (mtime, size): bm25_topk bakes the
+    corpus stats in as LITERALS at build time, so serving a cached plan
+    for a path whose contents were rewritten (the audit tools rmtree+
+    rewrite fixed /tmp paths per run) would silently score against the
+    OLD index (r7 review finding). A changed token rebuilds and
+    unpersists the stale projection."""
+    key = (spark, sf_dir, _corpus_token(sf_dir))
     cached = _BM25_MEMO.get(key)
     if cached is None:
+        # Evict stale entries for the same (session, path): the corpus
+        # content changed, so their persisted projections are dead disk.
+        for old_key in [k for k in _BM25_MEMO if k[:2] == (spark, sf_dir)]:
+            old = _BM25_MEMO.pop(old_key)
+            proj = getattr(old, "_bm25_projection", None)
+            if proj is not None:
+                proj.unpersist()
         docs = load_table(spark, sf_dir, "documents")
         cached = _BM25_MEMO[key] = SE.bm25_topk(
             docs, list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B

@@ -310,7 +310,8 @@ def test_winnow_kernel_handles_giant_and_degenerate_docs(spark):
 
     words = ["alpha", "beta", "gamma", "delta", "spark", "merge"]
     big = " ".join(words[i % 6] + str(i % 977) for i in range(150_000))  # ~1.1MB
-    rows = [(1, big), (2, ""), (3, "spam " * 50_000), (4, None)]
+    rows = [(1, big), (2, ""), (3, "spam " * 50_000), (4, None),
+            (None, "a real document with a NULL id and plenty of text")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = X.winnow_fingerprints_kernel(df).collect()
     by_doc = {}
@@ -320,3 +321,12 @@ def test_winnow_kernel_handles_giant_and_degenerate_docs(spark):
     assert 2 not in by_doc  # shorter than k → no rows
     assert len(by_doc.get(3, ())) <= 4  # degenerate repetition collapses
     assert 4 not in by_doc
+    # NULL-id docs keep a NULL id — the float64-NaN wraparound to
+    # int64-min would merge every NULL-id doc under one garbage id and
+    # diverge from the expression twin (r7 review finding).
+    assert None in by_doc and len(by_doc[None]) > 0
+    assert -9223372036854775808 not in by_doc
+    expr = {
+        (r.doc_id, r.fp) for r in X.winnow_fingerprints(df).collect()
+    }
+    assert {(d, f) for d, fs in by_doc.items() for f in fs} == expr

@@ -249,3 +249,36 @@ def test_cdc_oracle_null_event_type_matches_operator_semantics():
     got = {r[0]: r[2] for r in con.execute(sql).fetchall()}
     # user 1: final change NULL → kept; user 2: final 'error' → deleted.
     assert got == {1: None, 3: "view"}
+
+
+def test_bm25_memo_invalidates_on_corpus_rewrite(spark, tmp_path):
+    """The bm25_search_topk memo bakes corpus stats in as literals, so a
+    (session, path) hit on a path whose CONTENTS changed would silently
+    score against the old index (r7 review finding). The memo key
+    carries a (mtime, size) content token: rewriting documents.parquet
+    in place must yield a fresh index, and the stale entry's persisted
+    projection is unpersisted on eviction."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow.parquet as pq_  # noqa: N813 — avoid fixture clash
+
+    from realtime_voting_data_engineering_spark import queries as Q
+    from realtime_voting_data_engineering_spark.queries_pipeline import _BM25_MEMO
+
+    src = "/root/testdata/sf0.001"
+    work = str(tmp_path / "corpus")
+    os.makedirs(work)
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), os.path.join(work, f))
+    fn = Q.REGISTRY["bm25_search_topk"].fn
+    r1 = {(r.doc_id, r.score) for r in fn(spark, work).collect()}
+    n_entries = sum(1 for k in _BM25_MEMO if k[1] == work)
+    assert n_entries == 1
+    t = pq_.read_table(os.path.join(work, "documents.parquet"))
+    time.sleep(0.01)  # ensure a distinct mtime_ns on coarse filesystems
+    pq_.write_table(t.slice(0, len(t) // 2), os.path.join(work, "documents.parquet"))
+    r2 = {(r.doc_id, r.score) for r in fn(spark, work).collect()}
+    assert r1 != r2, "memo served a stale index after the corpus rewrite"
+    assert sum(1 for k in _BM25_MEMO if k[1] == work) == 1, "stale entry not evicted"

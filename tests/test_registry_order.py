@@ -81,3 +81,35 @@ def test_out_of_window_queries_have_previous_round_rows():
     assert not stale, "out-of-window queries lack fresh driver evidence:\n" + "\n".join(
         stale
     )
+
+
+def test_embedding_oracles_state_the_vector_validity_contract():
+    """The vector-validity boundary (similarity.valid_vectors: non-NULL,
+    all components finite) must be mirrored VERBATIM by every
+    embedding-consuming oracle via similarity.ORACLE_VALID_VEC — the
+    contract lives in one constant, and this pin fails if an oracle
+    drops the predicate or the constant changes without the oracles
+    following (r7 review: the predicate was inlined in 11 places with
+    nothing enforcing they stay in sync)."""
+    from realtime_voting_data_engineering_spark.operators.similarity import (
+        ORACLE_VALID_VEC,
+    )
+
+    expected_cols = {
+        "knn_cosine_topk": ["embedding"],
+        "embedding_near_dup_pairs": ["a.embedding", "b.embedding"],
+        "embedding_near_dup_srp": ["embedding"],
+        "embedding_quantization": ["embedding"],
+        "knn_quantized": ["embedding"],
+        "knn_ann_srp": ["embedding"],
+        "knn_ivf_fixed": ["e.embedding"],
+        "embedding_pq_codes": ["e.embedding"],
+        "knn_pq_adc": ["e.embedding", "embedding"],
+    }
+    missing = []
+    for name, cols in expected_cols.items():
+        oracle = Q.REGISTRY[name].oracle
+        for col in cols:
+            if ORACLE_VALID_VEC.format(col=col) not in oracle:
+                missing.append(f"{name}: no valid-vector predicate on {col}")
+    assert not missing, "\n".join(missing)

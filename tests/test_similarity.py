@@ -201,12 +201,19 @@ def test_ragged_vectors_are_excluded_not_fatal(spark):
         T.StructField("embedding", T.ArrayType(T.FloatType())),
     ])
     corpus = spark.createDataFrame(rows, schema)
-    queries = corpus.filter(F.col("vec_id").isin(1, 4, 6))  # 4/6 invalid
+    # Valid 4-dim queries 1 and 3, ragged 4, NULL 6 — the valid dims is
+    # modal. The RAGGED-FIRST ordering is the adversarial case: dims
+    # inference must be modal, not first-row, or a leading ragged query
+    # silently excludes every valid query and the whole corpus
+    # (r7 review finding; verified order-dependent before the fix).
+    queries = corpus.filter(F.col("vec_id").isin(1, 3, 4, 6))
+    queries_ragged_first = queries.orderBy(F.col("vec_id").desc())
     for fn in (S.knn_quantized, S.knn_brute_force_pandas, S.knn_ivf):
-        got = fn(queries, corpus, k=5).collect()
-        assert {r.query_id for r in got} <= {1}, (fn.__name__, got)
-        bad = {4, 5, 6} & {r.neighbor_id for r in got}
-        assert not bad, (fn.__name__, bad)
+        for q in (queries, queries_ragged_first):
+            got = fn(q, corpus, k=5).collect()
+            assert {r.query_id for r in got} == {1, 3}, (fn.__name__, got)
+            bad = {4, 5, 6} & {r.neighbor_id for r in got}
+            assert not bad, (fn.__name__, bad)
     # quantize_embeddings with dims drops ragged/NULL code rows too
     ids = {r.vec_id for r in S.quantize_embeddings(corpus, dims=4).collect()}
     assert ids == {1, 2, 3}

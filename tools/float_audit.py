@@ -127,6 +127,8 @@ def audit(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
     from tests.oracle_harness import compare_query
 
     poisoned = poison(sf_dir)
+    _sanity_check_poison(poisoned)  # a broken injector must fail loudly,
+    # not let every query trivially "match" on effectively-clean data
     spark = get_spark(app_name="float-audit")
     spark.sparkContext.setLogLevel("ERROR")
     report: dict[str, dict] = {}
@@ -166,9 +168,6 @@ if __name__ == "__main__":
     args = ap.parse_args()
     only = args.only.split(",") if args.only else None
     rep = audit(args.sf_dir, only)
-    _sanity_check_poison(
-        os.path.join(WORKDIR, os.path.basename(os.path.normpath(args.sf_dir)))
-    )
     bad = {n: r for n, r in rep.items() if r["status"] != "match"}
     print(f"\n# {len(rep)} audited, {len(rep) - len(bad)} match, {len(bad)} flagged")
     for n, r in sorted(bad.items()):

@@ -98,12 +98,21 @@ def poison(sf_dir: str) -> str:
     return out_dir
 
 
+def _sanity_check_poison(out_dir: str) -> None:
+    """The poison must actually be present — a silently-broken injector
+    would let every query trivially 'match' on clean data (r7 review)."""
+    tbl = pq.read_table(os.path.join(out_dir, "events.parquet"))
+    n_null = tbl.column("value").null_count + tbl.column("user_id").null_count
+    assert n_null > 0, "NULL injection produced no NULLs"
+
+
 def audit(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
     from realtime_voting_data_engineering_spark import queries as Q
     from realtime_voting_data_engineering_spark.session import get_spark
     from tests.oracle_harness import compare_query
 
     poisoned = poison(sf_dir)
+    _sanity_check_poison(poisoned)
     spark = get_spark(app_name="null-audit")
     spark.sparkContext.setLogLevel("ERROR")
     report: dict[str, dict] = {}

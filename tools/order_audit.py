@@ -80,6 +80,24 @@ def poison(sf_dir: str, split: int = 1) -> str:
     return out_dir
 
 
+def _sanity_check_poison(sf_dir: str, out_dir: str, split: int) -> None:
+    """The permutation (and split) must actually have happened — a
+    silently-broken permuter would reduce the audit to a same-order
+    re-run (r7 review)."""
+    src = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    dst_path = os.path.join(out_dir, "events.parquet")
+    if os.path.isdir(dst_path):
+        assert split > 1 and len(os.listdir(dst_path)) > 1, "split missing"
+        import glob
+        parts = sorted(glob.glob(os.path.join(dst_path, "*.parquet")))
+        dst = pq.read_table(parts[0])
+    else:
+        dst = pq.read_table(dst_path)
+    head_src = src.column("event_id").to_pylist()[:50]
+    head_dst = dst.column("event_id").to_pylist()[:50]
+    assert head_src != head_dst, "permutation produced identical row order"
+
+
 def audit(
     sf_dir: str, only: list[str] | None = None, split: int = 1
 ) -> dict[str, dict]:
@@ -88,6 +106,7 @@ def audit(
     from tests.oracle_harness import compare_query
 
     poisoned = poison(sf_dir, split=split)
+    _sanity_check_poison(sf_dir, poisoned, split)
     spark = get_spark(app_name="order-audit")
     spark.sparkContext.setLogLevel("ERROR")
     report: dict[str, dict] = {}
