@@ -56,6 +56,23 @@ def uniform_pick(key: Column | str, n: int, seed: int = 21) -> Column:
     return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(n)).cast("int")
 
 
+def finite_or_null(col: Column | str) -> Column:
+    """THE non-finite fold: NaN/±Inf become NULL; finite values and NULL
+    pass through unchanged. The single Spark-side spelling of the
+    finiteness contract shared by the decimal family (``dec``) and the
+    interpolated-percentile family (the quartile queries) — its DuckDB
+    mirror is ``CASE WHEN isfinite(x) THEN x END``. One helper, not
+    inline copies: the r7 review found the predicate hand-copied in
+    four places, where a future semantics tweak would silently diverge
+    the contracts that all claim the SAME fold. (The vector boundary in
+    ``operators.similarity.valid_vectors`` stays separate on purpose —
+    it also rejects NULL components, a per-element contract this
+    row-level fold doesn't express.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    d = c.cast("double")
+    return F.when(~F.isnan(d) & (F.abs(d) != F.lit(float("inf"))), c)
+
+
 def dec(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     """Exact-decimal cast used before SUM/AVG in oracle-checked queries so
     Spark and the DuckDB oracle aggregate identical exact values —
@@ -63,16 +80,14 @@ def dec(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     not. Final outputs cast back to DOUBLE on both sides.
 
     NaN/±Inf fold to NULL (= excluded from the aggregate) BEFORE the
-    cast: under ANSI mode (Spark 4 default — the driver's vanilla
-    session) ``CAST(NaN AS DECIMAL)`` throws, so one non-finite measure
-    in 100 TB would kill the whole job (r7 float audit,
-    ``tools/float_audit.py``); DuckDB hard-errors on the same cast even
-    under TRY_CAST. Exclude-as-NULL is the one semantics both engines
-    express deterministically, and oracles over poisonable float
-    columns mirror it with ``CASE WHEN isfinite(x) THEN x END``. The
-    guard is a no-op on finite or NULL input, so unguarded oracles over
-    contract-clean decimal columns (TPC-H money) hash identically."""
-    c = F.col(col) if isinstance(col, str) else col
-    d = c.cast("double")
-    finite = ~F.isnan(d) & (F.abs(d) != F.lit(float("inf")))
-    return F.when(finite, c).cast(f"decimal({precision},{scale})")
+    cast (``finite_or_null``): under ANSI mode (Spark 4 default — the
+    driver's vanilla session) ``CAST(NaN AS DECIMAL)`` throws, so one
+    non-finite measure in 100 TB would kill the whole job (r7 float
+    audit, ``tools/float_audit.py``); DuckDB hard-errors on the same
+    cast even under TRY_CAST. Exclude-as-NULL is the one semantics both
+    engines express deterministically, and oracles over poisonable
+    float columns mirror it with ``CASE WHEN isfinite(x) THEN x END``.
+    The guard is a no-op on finite or NULL input, so unguarded oracles
+    over contract-clean decimal columns (TPC-H money) hash
+    identically."""
+    return finite_or_null(col).cast(f"decimal({precision},{scale})")

@@ -61,6 +61,16 @@ ORACLE_VALID_VEC = (
     "x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)"
 )
 
+#: The dims-gated form: mirrors ``valid_vectors(..., dims=...)`` where
+#: the Spark side ALSO excludes wrong-length vectors (quantized/SRP/IVF/
+#: PQ paths). Without the length clause the two engines disagree on a
+#: ragged row — DuckDB's list ops pad/skip and can still emit a partial
+#: score where Spark excludes the row (r7 review finding).
+ORACLE_VALID_VEC_DIMS = (
+    "({col} IS NOT NULL AND len({col}) = {dims} AND len(list_filter({col}, "
+    "x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)"
+)
+
 
 def valid_vectors(
     df: DataFrame, vec_col: str = "embedding", dims: int | None = None
@@ -133,17 +143,24 @@ def knn_brute_force(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine. The (small) query set
     is broadcast against the corpus — the corpus is scanned once, never
     shuffled; per-query top-k is a windowed row_number over |Q|·k rows.
 
+    Pass ``dims`` when the corpus declares a dimensionality: a ragged
+    vector's cosine is NULL under Spark's NULL-padding ``zip_with``
+    fold but a REAL partial score under DuckDB's NULL-skipping
+    ``list_sum`` — excluded-by-dims is the one semantics both engines
+    express identically (r7 review finding).
+
     Output: (query_id, neighbor_id, cos) — self-matches excluded.
     """
-    q = valid_vectors(queries, vec_col).select(
+    q = valid_vectors(queries, vec_col, dims).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = valid_vectors(corpus, vec_col).select(
+    c = valid_vectors(corpus, vec_col, dims).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(
@@ -167,11 +184,13 @@ def near_dup_embeddings(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
     All-pairs form — the verification tier; at scale run
-    ``srp_candidate_pairs`` first and verify only candidates."""
-    corpus = valid_vectors(corpus, vec_col)
+    ``srp_candidate_pairs`` first and verify only candidates. ``dims``
+    as in ``knn_brute_force`` (ragged-row engine divergence)."""
+    corpus = valid_vectors(corpus, vec_col, dims)
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
@@ -576,7 +595,10 @@ def knn_ivf(
         qv = np.asarray(r[1], dtype=np.float64)
         d2 = ((cent - qv) ** 2).sum(axis=1)
         for c in np.argsort(d2, kind="stable")[:nprobe]:
-            probe_rows.append((int(r[0]), [float(v) for v in r[1]], int(c)))
+            # NULL query ids stay NULL (the sibling kernel paths keep
+            # them; int(None) would kill the whole job driver-side).
+            qid = None if r[0] is None else int(r[0])
+            probe_rows.append((qid, [float(v) for v in r[1]], int(c)))
     probes = queries.sparkSession.createDataFrame(
         probe_rows, schema="query_id long, q_vec array<float>, cluster int"
     )
@@ -692,7 +714,8 @@ def knn_ivf_fixed(
                 acc = acc + diff * diff
             d2.append(acc)
         for c in sorted(range(n_centroids), key=lambda i: (d2[i], i))[:nprobe]:
-            probe_rows.append((int(r[0]), qv, int(c)))
+            qid = None if r[0] is None else int(r[0])  # NULL ids stay NULL
+            probe_rows.append((qid, qv, int(c)))
     probes = queries.sparkSession.createDataFrame(
         probe_rows, schema="query_id long, q_vec array<float>, cluster int"
     )

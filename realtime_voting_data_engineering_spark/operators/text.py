@@ -362,7 +362,17 @@ def winnow_fingerprints_kernel(
     )
 
     ensure_workers_can_import(df.sparkSession)
-    base = df.select(F.col(id_col), normalized_text(text_col).alias("__norm"))
+    # Ids ride through the kernel as STRINGS: Arrow hands a nullable
+    # long column to pandas as float64, which both wraps NULL ids to
+    # int64-min via np.full (merging every NULL-id doc under one
+    # garbage id) and silently rounds ids above 2^53 — either way
+    # diverging from the expression twin (r7 review findings). A string
+    # round-trip is exact for every int64 and NULL-safe; the cast back
+    # below restores the declared long type.
+    base = df.select(
+        F.col(id_col).cast("string").alias(id_col),
+        normalized_text(text_col).alias("__norm"),
+    )
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -371,14 +381,6 @@ def winnow_fingerprints_kernel(
             for did, s in zip(pdf[id_col], pdf["__norm"]):
                 if s is None or len(s) < k:
                     continue
-                # Arrow hands a nullable long column to pandas as
-                # float64 with NaN for NULL ids; np.full(..., NaN,
-                # dtype=int64) would wrap to int64-min and merge every
-                # NULL-id doc's fingerprints under one garbage id (r7
-                # review finding). Keep NULL as None — the expression
-                # twin emits doc_id=NULL for the same input, and the
-                # two forms must stay row-identical.
-                did = None if pd.isna(did) else int(did)
                 codes = np.frombuffer(
                     s.encode("utf-32-le"), dtype=np.uint32
                 ).astype(np.int64)
@@ -397,12 +399,15 @@ def winnow_fingerprints_kernel(
             if out_ids:
                 yield pd.DataFrame(
                     {
-                        id_col: pd.array(out_ids, dtype="Int64"),
+                        id_col: pd.array(out_ids, dtype="string"),
                         "fp": np.concatenate(out_fps),
                     }
                 )
 
-    return base.mapInPandas(kern, schema=f"{id_col} long, fp long").distinct()
+    out = base.mapInPandas(kern, schema=f"{id_col} string, fp long")
+    return out.select(
+        F.col(id_col).cast("long").alias(id_col), "fp"
+    ).distinct()
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from realtime_voting_data_engineering_spark.functions.scalar import dec
+from realtime_voting_data_engineering_spark.functions.scalar import dec, finite_or_null
 from realtime_voting_data_engineering_spark.queries import register
 from realtime_voting_data_engineering_spark.sources.tables import (
     load_table,
@@ -663,8 +663,7 @@ def value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable in the partial-aggregate pass) — see
     ``approx_value_quartiles_check``."""
     events = load_table(spark, sf_dir, "events")
-    v = F.col("value")
-    fin = F.when(~F.isnan(v) & (F.abs(v) != F.lit(float("inf"))), v)
+    fin = finite_or_null("value")
     return events.groupBy("event_type").agg(
         F.percentile(fin, 0.25).alias("q1"),
         F.percentile(fin, 0.5).alias("median"),
@@ -888,10 +887,7 @@ def approx_value_quartiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         # order statistic here (exact, sketch, and disc envelope) reads
         # the finite fold so the contract bit compares like with like.
         "__fv",
-        F.when(
-            ~F.isnan("value") & (F.abs("value") != F.lit(float("inf"))),
-            F.col("value"),
-        ),
+        finite_or_null("value"),
     )
     probes = {
         "q1": 0.25,

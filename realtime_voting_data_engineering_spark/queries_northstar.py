@@ -397,13 +397,24 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- similarity search ------------------------------------------------------
 
+#: Single-source vector-validity predicates for every embedding oracle
+#: (the constants live with the operator contract in
+#: operators.similarity; pinned verbatim-in-oracle by
+#: tests/test_registry_order.py). The 64 is the corpus's declared
+#: embedding dimensionality (TESTDATA.md) — used wherever the Spark
+#: side is dims-gated.
+_VALID_EMB = S.ORACLE_VALID_VEC.format(col="embedding")
+_VALID_EMB64_A = S.ORACLE_VALID_VEC_DIMS.format(col="a.embedding", dims=64)
+_VALID_EMB64_B = S.ORACLE_VALID_VEC_DIMS.format(col="b.embedding", dims=64)
+_VALID_EMB64 = S.ORACLE_VALID_VEC_DIMS.format(col="embedding", dims=64)
+
 _KNN_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE vec_id < 10 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)
+  WHERE vec_id < 10 AND {_VALID_EMB64}
 ),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
-      WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
+      WHERE {_VALID_EMB64}),
 scored AS (
   SELECT query_id, neighbor_id, {_COS_SQL.format(a="qv", b="cv")} AS cos_raw
   FROM q, c WHERE query_id != neighbor_id
@@ -425,7 +436,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query-side bound plan-visible, so the broadcast-hint scale lint in
     # tests/test_plans.py can prove the broadcast is SF-independent.
     queries = emb.filter(F.col("vec_id") < 10).limit(10)
-    out = S.knn_brute_force(queries, emb, k=5)
+    out = S.knn_brute_force(queries, emb, k=5, dims=64)
     return out.withColumn("cos", F.round("cos", 6))
 
 
@@ -433,7 +444,7 @@ _NEAR_DUP_EMB_ORACLE = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE (a.embedding IS NOT NULL AND len(list_filter(a.embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0) AND (b.embedding IS NOT NULL AND len(list_filter(b.embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)
+WHERE {_VALID_EMB64_A} AND {_VALID_EMB64_B}
   AND round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) >= 0.4
 """
 
@@ -445,7 +456,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.4) — all-pairs exact
     form; the SRP-LSH candidate generator is the scale path (tested via
     recall in pytest)."""
-    return S.near_dup_embeddings(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+    return S.near_dup_embeddings(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, dims=64
+    )
 
 
 def _srp_bits_sql(dims: int, planes: int) -> str:
@@ -490,10 +503,11 @@ def _srp_oracle(
     is the already-proven-portable _COS_SQL."""
     bit_cols = _srp_bits_sql(dims, planes)
     band_selects = _srp_band_selects(planes, bands)
+    valid = S.ORACLE_VALID_VEC_DIMS.format(col="embedding", dims=dims)
     cos = _COS_SQL.format(a="ea.embedding", b="eb.embedding")
     return f"""
     WITH sig AS (SELECT vec_id, {bit_cols} FROM embeddings
-                 WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
+                 WHERE {valid}),
     bands AS ({band_selects}),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -586,12 +600,12 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUANT_ORACLE = """
+_QUANT_ORACLE = f"""
 WITH m AS (
   SELECT vec_id, embedding,
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
              AS maxabs
-  FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
+  FROM embeddings WHERE {_VALID_EMB}),
 s AS (SELECT vec_id, embedding, maxabs, maxabs / 127.0 AS scale FROM m),
 q AS (
   SELECT vec_id, embedding, maxabs, scale,
@@ -633,13 +647,13 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_QUANT_ORACLE = """
+_KNN_QUANT_ORACLE = f"""
 WITH m AS (
   SELECT vec_id, embedding,
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
              AS maxabs
   FROM embeddings
-  WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
+  WHERE {_VALID_EMB64}),
 s AS (SELECT vec_id, embedding, maxabs, maxabs / 127.0 AS scale FROM m),
 qz AS (
   SELECT vec_id, scale,
@@ -658,7 +672,7 @@ qs AS (
   SELECT vec_id AS query_id, embedding AS qv,
          sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS q_norm
-  FROM embeddings WHERE vec_id < 10 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
+  FROM embeddings WHERE vec_id < 10 AND {_VALID_EMB64}),
 scored AS (
   SELECT qs.query_id, cn.vec_id AS neighbor_id,
          (list_sum(list_transform(list_zip(cn.qvec, qs.qv),
@@ -697,9 +711,10 @@ def _knn_srp_oracle(dims: int = 64, planes: int = 16, bands: int = 4, k: int = 5
     (queries are corpus rows vec_id < 10), bucket-mate candidates,
     exact-cosine re-rank, deterministic top-k (cos DESC, neighbor_id)."""
     cos = _COS_SQL.format(a="q.embedding", b="c.embedding")
+    valid = S.ORACLE_VALID_VEC_DIMS.format(col="embedding", dims=dims)
     return f"""
     WITH sig AS (SELECT vec_id, {_srp_bits_sql(dims, planes)}
-                 FROM embeddings WHERE (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
+                 FROM embeddings WHERE {valid}),
     bands AS ({_srp_band_selects(planes, bands)}),
     cand AS (
       SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
@@ -743,6 +758,7 @@ def _knn_ivf_fixed_oracle(
     by sequential-fold L2 argmin, rank each query's nprobe nearest
     lists, probe-join on cluster, exact-cosine re-rank, top-k."""
     cos = _COS_SQL.format(a="q.embedding", b="c.embedding")
+    valid_e = S.ORACLE_VALID_VEC_DIMS.format(col="e.embedding", dims=dims)
     return f"""
     WITH cents AS (
       SELECT c.c,
@@ -757,7 +773,7 @@ def _knn_ivf_fixed_oracle(
                (CAST(e.embedding[d] AS DOUBLE) - cv[d])
                * (CAST(e.embedding[d] AS DOUBLE) - cv[d]))) AS d2
       FROM embeddings e, cents
-      WHERE (e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
+      WHERE {valid_e}),
     assigned AS (
       SELECT vec_id, c AS cluster FROM dists
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) = 1),

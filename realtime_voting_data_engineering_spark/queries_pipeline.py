@@ -21,6 +21,9 @@ from realtime_voting_data_engineering_spark.functions.scalar import dec
 from realtime_voting_data_engineering_spark.operators import dedup as D
 from realtime_voting_data_engineering_spark.operators import relational as R
 from realtime_voting_data_engineering_spark.operators import search as SE
+from realtime_voting_data_engineering_spark.operators.similarity import (
+    ORACLE_VALID_VEC_DIMS,
+)
 from realtime_voting_data_engineering_spark.operators.text import STOPWORDS
 from realtime_voting_data_engineering_spark.queries import register
 from realtime_voting_data_engineering_spark.sources.tables import load_table
@@ -57,6 +60,8 @@ def _corpus_token(sf_dir: str):
         return (st.st_mtime_ns, st.st_size)
     except OSError:
         return None
+
+
 _BM25_K = 10
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -138,20 +143,25 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     OLD index (r7 review finding). A changed token rebuilds and
     unpersists the stale projection."""
     key = (spark, sf_dir, _corpus_token(sf_dir))
-    cached = _BM25_MEMO.get(key)
-    if cached is None:
+    entry = _BM25_MEMO.get(key)
+    if entry is None:
         # Evict stale entries for the same (session, path): the corpus
         # content changed, so their persisted projections are dead disk.
         for old_key in [k for k in _BM25_MEMO if k[:2] == (spark, sf_dir)]:
-            old = _BM25_MEMO.pop(old_key)
-            proj = getattr(old, "_bm25_projection", None)
-            if proj is not None:
-                proj.unpersist()
+            _BM25_MEMO.pop(old_key)[1].unpersist()
+        # Belt against unbounded growth across many distinct paths
+        # (pytest mints tmp corpora): cap the memo, dropping oldest.
+        while len(_BM25_MEMO) >= 16:
+            _BM25_MEMO.pop(next(iter(_BM25_MEMO)))[1].unpersist()
         docs = load_table(spark, sf_dir, "documents")
-        cached = _BM25_MEMO[key] = SE.bm25_topk(
+        topk = SE.bm25_topk(
             docs, list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
         )
-    return cached
+        # The projection handle is captured HERE, loudly — a future
+        # bm25_topk refactor that stops exposing it must fail at build
+        # time, not silently skip unpersist on eviction (r7 review).
+        entry = _BM25_MEMO[key] = (topk, topk._bm25_projection)
+    return entry[0]
 
 
 # ---------------------------------------------------------------------------
@@ -638,7 +648,12 @@ def per_group_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Shared PQ oracle fragments: centroid re-derivation from md5 fractions
 #: and the per-(vector, subspace) code assignment — used by both the
 #: encode query and the ADC search query.
-_PQ_CTES = """cents AS (
+#: PQ paths are dims-gated Spark-side (valid_vectors(..., dims=64));
+#: the oracles mirror via ORACLE_VALID_VEC_DIMS.
+_VALID_EMB64_E = ORACLE_VALID_VEC_DIMS.format(col="e.embedding", dims=64)
+_VALID_EMB64 = ORACLE_VALID_VEC_DIMS.format(col="embedding", dims=64)
+
+_PQ_CTES = f"""cents AS (
       SELECT s.s, c.c,
              list_transform(generate_series(0, 7), d ->
                0.5 * (CAST(('0x' || substr(
@@ -652,7 +667,7 @@ _PQ_CTES = """cents AS (
                * (CAST(e.embedding[cents.s * 8 + d] AS DOUBLE) - cv[d])))
                  AS d2
       FROM embeddings e, cents
-      WHERE (e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
+      WHERE {_VALID_EMB64_E}),
     codes AS (
       SELECT vec_id, s, c FROM dists
       QUALIFY row_number() OVER (
@@ -783,7 +798,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM codes JOIN cents ON codes.s = cents.s AND codes.c = cents.c),
     q AS (
       SELECT vec_id AS query_id, embedding FROM embeddings
-      WHERE vec_id < 10 AND (embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)),
+      WHERE vec_id < 10 AND {_VALID_EMB64}),
     dots AS (
       SELECT q.query_id, w.vec_id, w.s,
              list_sum(list_transform(generate_series(1, 8), d ->

@@ -311,7 +311,10 @@ def test_winnow_kernel_handles_giant_and_degenerate_docs(spark):
     words = ["alpha", "beta", "gamma", "delta", "spark", "merge"]
     big = " ".join(words[i % 6] + str(i % 977) for i in range(150_000))  # ~1.1MB
     rows = [(1, big), (2, ""), (3, "spam " * 50_000), (4, None),
-            (None, "a real document with a NULL id and plenty of text")]
+            (None, "a real document with a NULL id and plenty of text"),
+            # 2^53+1: not float64-representable — the id must survive
+            # the kernel exactly (string round-trip, r7 review finding)
+            (9007199254740993, "precision test document with enough text")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = X.winnow_fingerprints_kernel(df).collect()
     by_doc = {}
@@ -326,6 +329,7 @@ def test_winnow_kernel_handles_giant_and_degenerate_docs(spark):
     # diverge from the expression twin (r7 review finding).
     assert None in by_doc and len(by_doc[None]) > 0
     assert -9223372036854775808 not in by_doc
+    assert 9007199254740993 in by_doc  # not rounded to 2^53
     expr = {
         (r.doc_id, r.fp) for r in X.winnow_fingerprints(df).collect()
     }

@@ -93,23 +93,32 @@ def test_embedding_oracles_state_the_vector_validity_contract():
     nothing enforcing they stay in sync)."""
     from realtime_voting_data_engineering_spark.operators.similarity import (
         ORACLE_VALID_VEC,
+        ORACLE_VALID_VEC_DIMS,
     )
 
-    expected_cols = {
-        "knn_cosine_topk": ["embedding"],
-        "embedding_near_dup_pairs": ["a.embedding", "b.embedding"],
-        "embedding_near_dup_srp": ["embedding"],
-        "embedding_quantization": ["embedding"],
-        "knn_quantized": ["embedding"],
-        "knn_ann_srp": ["embedding"],
-        "knn_ivf_fixed": ["e.embedding"],
-        "embedding_pq_codes": ["e.embedding"],
-        "knn_pq_adc": ["e.embedding", "embedding"],
+    base = ORACLE_VALID_VEC
+    dims64 = ORACLE_VALID_VEC_DIMS  # Spark side is valid_vectors(dims=64)
+    expected = {
+        "knn_cosine_topk": [(dims64, "embedding")],
+        "embedding_near_dup_pairs": [
+            (dims64, "a.embedding"),
+            (dims64, "b.embedding"),
+        ],
+        # quantization is per-row (no cross-row kernel), so ragged rows
+        # quantize identically in both engines: base form is correct.
+        "embedding_quantization": [(base, "embedding")],
+        "embedding_near_dup_srp": [(dims64, "embedding")],
+        "knn_quantized": [(dims64, "embedding")],
+        "knn_ann_srp": [(dims64, "embedding")],
+        "knn_ivf_fixed": [(dims64, "e.embedding")],
+        "embedding_pq_codes": [(dims64, "e.embedding")],
+        "knn_pq_adc": [(dims64, "e.embedding"), (dims64, "embedding")],
     }
     missing = []
-    for name, cols in expected_cols.items():
+    for name, specs in expected.items():
         oracle = Q.REGISTRY[name].oracle
-        for col in cols:
-            if ORACLE_VALID_VEC.format(col=col) not in oracle:
+        for template, col in specs:
+            pred = template.format(col=col, dims=64)
+            if pred not in oracle:
                 missing.append(f"{name}: no valid-vector predicate on {col}")
     assert not missing, "\n".join(missing)

@@ -293,8 +293,10 @@ def test_similarity_family_survives_duplicate_embeddings(spark, tmp_path_factory
     any candidate generator that double-counts band collisions or any
     top-k whose ordering isn't total past the score column diverges
     between the engines here. ~5% of embeddings are cloned with
-    vec_id + 1_000_000; every embedding-family oracle must still
-    hash-match DuckDB on the widened corpus."""
+    vec_id + 1_000_000, and four RAGGED rows are appended — both
+    engines must exclude them identically (the Spark dims gate vs
+    ORACLE_VALID_VEC_DIMS, r7 review finding). Every embedding-family
+    oracle must still hash-match DuckDB on the widened corpus."""
     import hashlib
     import os
     import shutil
@@ -324,9 +326,33 @@ def test_similarity_family_survives_duplicate_embeddings(spark, tmp_path_factory
         dup = dup.set_column(
             j, dup.schema.field(j), pc.add(dup.column(j), 1_000_000)
         )
-        pq.write_table(
-            pa.concat_tables([tbl, dup]), os.path.join(out, fname)
+        # Four RAGGED rows: wrong-length vectors of all-finite floats.
+        # The dims gate (valid_vectors(dims=64) / ORACLE_VALID_VEC_DIMS)
+        # is the ONLY thing excluding them — without it Spark's
+        # NULL-padding zip_with and DuckDB's NULL-skipping list_sum
+        # score them differently and the hashes diverge.
+        ragged = pa.table(
+            {
+                "vec_id": pa.array(
+                    [2_000_001, 2_000_002, 2_000_003, 2_000_004],
+                    pa.int64(),
+                ),
+                "embedding": pa.array(
+                    [
+                        [0.5] * 63,
+                        [0.5] * 65,
+                        [0.9, -0.9, 0.9],
+                        [0.1] * 128,
+                    ],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 1, 0, 1], pa.int32()),
+            }
         )
+        combined = pa.concat_tables(
+            [tbl, dup, ragged.cast(tbl.schema)], promote_options="none"
+        )
+        pq.write_table(combined, os.path.join(out, fname))
 
     for name in [
         "knn_cosine_topk",
