@@ -36,6 +36,40 @@ def test_probe_runs_and_reports_all_ops(spark, sf_smoke):
     assert all(r["sec"] >= 0 for r in results)
 
 
+def test_emb_probe_runs_and_reports_all_ops(spark, sf_smoke):
+    """Embedding-family analogue (VERDICT r6 #7 measured-scaling
+    standard): the probe must keep running, and the two regimes must
+    stay structurally distinguishable — a dup farm's verbatim copies
+    carry identical SRP signatures, so every exact-dup pair survives
+    banding AND cosine-verifies at 1.0, while decorrelated (circularly
+    shifted) replicas near-dup only incidentally."""
+    results = scale_probe.probe_emb(sf_smoke, factors=[1, 2])
+    ops = {r["op"] for r in results}
+    assert {
+        "srp_cands_lin",
+        "srp_verify_lin",
+        "srp_cands_dupfarm",
+        "srp_verify_dupfarm",
+        "ivf_topk",
+        "pq_encode",
+        "knn_quantized",
+    } <= ops
+    by = {(r["op"], r["k"]): r for r in results}
+    n_base = by[("pq_encode", 1)]["rows"]  # valid base vectors
+    # k=2 dup farm: each base vector gains one verbatim copy → ≥ n_base
+    # verified pairs (margin for zero-norm vectors, whose self-cosine
+    # is NULL by the 0/0 contract and drops out of verify).
+    assert by[("srp_verify_dupfarm", 2)]["rows"] >= 0.9 * n_base
+    # lin regime: decorrelated replicas — near-dups stay a small
+    # incidental set, nowhere near one-per-vector.
+    assert by[("srp_verify_lin", 2)]["rows"] < 0.5 * n_base
+    # PQ encode emits exactly one code row per valid vector.
+    assert by[("pq_encode", 2)]["rows"] == 2 * n_base
+    # Fixed query set: top-k row count is |Q|·k, corpus-size-invariant.
+    assert by[("ivf_topk", 1)]["rows"] == by[("ivf_topk", 2)]["rows"]
+    assert all(r["sec"] >= 0 for r in results)
+
+
 def test_null_audit_fixed_queries_stay_fixed(spark):
     """The r6 NULL-injection audit (tools/null_audit.py) found seven
     operator/oracle divergences on NULL-poisoned data; all were fixed

@@ -25,7 +25,28 @@ replicated corpora under /tmp and times the operators at 1x/4x/16x:
   stay O(diameter) (near-dup clusters are shallow no matter how many
   members they have), so CC time grows with edge volume, not rounds.
 
-Run: ``python tools/scale_probe.py [--sf-dir DIR] [--factors 1,4,16]``
+``--family emb`` probes the embedding/ANN family the same way
+(VERDICT r6 #7's measured-not-argued standard, embedding side):
+
+- **SRP candidate gen + cosine verify** over ``embeddings`` replicated
+  with shifted vec_ids, in the same two regimes: ``lin`` circular-shifts
+  each replica's components (replicas decorrelate: shifted near-uniform
+  vectors have ~0 expected cosine) and ``dupfarm`` copies vectors
+  VERBATIM (every vector gains K-1 exact dups — identical signatures
+  collide in EVERY band, the LSH worst case). The probe sizes bits-per-
+  band as ceil(log2(N)) exactly as a real deployment must: this corpus
+  is near-uniform (the hardest case for LSH — no cluster structure to
+  prune on), so at FIXED banding the random-collision pair count is
+  ~N^2 * 2^-r * bands; growing r logarithmically holds expected random
+  candidates ~linear in N. Expectation: lin candidates ~linear under
+  log-scaled r; dupfarm wall time tracks EMITTED pairs (~K^2 per dup
+  family), never corpus^2.
+- **IVF probe-path top-k / PQ encode / int8-quantized top-k** over the
+  lin corpus: all corpus-linear by plan shape (assign scan, Arrow
+  kernel, int8 scan) — the probe checks the wall clock agrees.
+
+Run: ``python tools/scale_probe.py [--sf-dir DIR] [--factors 1,4,16]
+[--family text|emb|all]``
 Prints one JSON line per (operator, factor) with wall seconds and the
 relevant output cardinality, then a summary of measured growth ratios.
 Results are recorded in SCALE.md ("Round-6 measured scaling"). This is
@@ -54,10 +75,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_voting_data_engineering_spark.operators import dedup as D
+from realtime_voting_data_engineering_spark.operators import similarity as S
 from realtime_voting_data_engineering_spark.session import get_spark
 from realtime_voting_data_engineering_spark.sources.tables import load_table
 
 WORKDIR = "/tmp/rtv_scale_probe"
+EMB_DIMS = 64  # the corpus's declared dimensionality (TESTDATA.md)
 
 
 def replicate_lineitem(li: DataFrame, k: int) -> DataFrame:
@@ -95,6 +118,34 @@ def replicate_docs(docs: DataFrame, k: int, decorrelate: bool) -> DataFrame:
     return rep.select(
         (F.col("doc_id") + F.col("__r") * F.lit(max_id)).alias("doc_id"),
         text.alias("text"),
+    )
+
+
+def replicate_embeddings(emb: DataFrame, k: int, decorrelate: bool) -> DataFrame:
+    """K copies with shifted vec_ids. ``decorrelate=True`` circularly
+    shifts each replica's components by a replica-unique offset
+    (norm-preserving; shifted near-uniform vectors have ~0 expected
+    cosine, so replicas are NOT near-dups of each other — the honest
+    "corpus got K times bigger" regime); ``False`` copies vectors
+    verbatim (duplicate farm: K-1 exact dups per vector, identical SRP
+    signatures, the banding worst case)."""
+    if k == 1:
+        return emb
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    rep = emb.crossJoin(F.broadcast(
+        SparkSession.getActiveSession().range(k).toDF("__r")))
+    vec = F.col("embedding")
+    if decorrelate:
+        # offset 7 is coprime with 64 → all k ≤ 64 replicas get distinct
+        # rotations; slice is 1-based, length-0 slice is the empty array.
+        s = F.pmod(F.col("__r") * F.lit(7), F.lit(EMB_DIMS)).cast("int")
+        vec = F.concat(
+            F.slice(vec, s + F.lit(1), F.lit(EMB_DIMS) - s),
+            F.slice(vec, F.lit(1), s),
+        )
+    return rep.select(
+        (F.col("vec_id") + F.col("__r") * F.lit(max_id)).alias("vec_id"),
+        vec.alias("embedding"),
     )
 
 
@@ -186,6 +237,85 @@ def probe(sf_dir: str, factors: list[int]) -> list[dict]:
     return results
 
 
+def probe_emb(sf_dir: str, factors: list[int]) -> list[dict]:
+    import math
+
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(WORKDIR, exist_ok=True)
+    results: list[dict] = []
+
+    def record(op: str, k: int, sec: float, n: int, **extra):
+        row = {"op": op, "k": k, "sec": round(sec, 3), "rows": n, **extra}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    emb_base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # Queries stay FIXED as the corpus grows (the serving contract: |Q|
+    # small, corpus huge) — scaling should show corpus-linear cost.
+    queries = emb_base.filter(F.col("vec_id") < 10).limit(10)
+
+    for k in factors:
+        for regime, decorrelate in (("lin", True), ("dupfarm", False)):
+            e_path = os.path.join(WORKDIR, f"emb_{regime}_x{k}")
+            materialize(replicate_embeddings(emb_base, k, decorrelate), e_path)
+            emb = spark.read.parquet(e_path)
+            n = emb.count()
+
+            # Deployment-honest banding: bits-per-band r = ceil(log2 N)
+            # holds EXPECTED random-collision candidates ~linear in N on
+            # clusterless (near-uniform) data; 3 bands keeps planes = 3r
+            # under with_srp_signature's 62-bit signature pack.
+            r_bits = min(20, max(8, math.ceil(math.log2(max(n, 2)))))
+            bands = 3
+            planes = bands * r_bits
+
+            def cands_fn():
+                return S.srp_candidate_pairs(
+                    emb, EMB_DIMS, planes=planes, bands=bands
+                ).localCheckpoint()
+
+            sec, cands = timed(cands_fn, runs=1)
+            n_cand = cands.count()
+            record(f"srp_cands_{regime}", k, sec, n_cand, planes=planes)
+
+            a = emb.select(F.col("vec_id").alias("id_a"),
+                           F.col("embedding").alias("va"))
+            b = emb.select(F.col("vec_id").alias("id_b"),
+                           F.col("embedding").alias("vb"))
+
+            def verify_fn():
+                return (
+                    cands.join(a, "id_a").join(b, "id_b")
+                    .filter(
+                        F.round(S.cosine(F.col("va"), F.col("vb")), 6)
+                        >= 0.4
+                    )
+                    .count()
+                )
+
+            sec, n_ver = timed(verify_fn, runs=1)
+            record(f"srp_verify_{regime}", k, sec, n_ver)
+
+            if regime != "lin":
+                continue
+            # Corpus-linear serving paths, lin regime only (a dup farm
+            # changes WHICH rows fill the cells, not the plan shape).
+            sec, out = timed(
+                lambda: S.knn_ivf_fixed(queries, emb, EMB_DIMS).count()
+            )
+            record("ivf_topk", k, sec, out)
+            sec, out = timed(lambda: S.pq_encode(emb, EMB_DIMS).count())
+            record("pq_encode", k, sec, out)
+            sec, out = timed(lambda: S.knn_quantized(queries, emb).count())
+            record("knn_quantized", k, sec, out)
+
+    shutil.rmtree(WORKDIR, ignore_errors=True)
+    return results
+
+
 def summarize(results: list[dict]) -> None:
     by_op: dict[str, dict[int, dict]] = {}
     for r in results:
@@ -209,6 +339,14 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--factors", default="1,4,16")
+    ap.add_argument(
+        "--family", default="text", choices=("text", "emb", "all")
+    )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
-    summarize(probe(args.sf_dir, factors))
+    results: list[dict] = []
+    if args.family in ("text", "all"):
+        results += probe(args.sf_dir, factors)
+    if args.family in ("emb", "all"):
+        results += probe_emb(args.sf_dir, factors)
+    summarize(results)
