@@ -1,0 +1,151 @@
+"""Meta-tests for the oracle harness itself (tests/oracle_harness.py).
+
+Every green CORRECTNESS row in this repo flows through ``compare_query``
+— if one of its detectors silently stopped firing, the entire evidence
+base would go green-by-vacuity without any query changing. These tests
+feed the harness KNOWN-BAD pairs and assert each detector actually
+raises, plus known-good controls for the equivalences the harness is
+supposed to tolerate (row order, column order)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_voting_data_engineering_spark.sources.tables import load_table
+from tests.oracle_harness import compare_query
+
+SF = "/root/testdata/sf0.001"
+
+
+def _regionkeys(spark, sf_dir):
+    return load_table(spark, sf_dir, "region").select("r_regionkey")
+
+
+def test_control_identical_results_pass(spark):
+    compare_query(
+        spark, "ctl", _regionkeys, "SELECT r_regionkey FROM region", SF
+    )
+
+
+def test_detects_value_mutation(spark):
+    with pytest.raises(AssertionError, match="value mismatch"):
+        compare_query(
+            spark,
+            "mut_val",
+            _regionkeys,
+            "SELECT r_regionkey + 1 AS r_regionkey FROM region",
+            SF,
+        )
+
+
+def test_detects_row_count_drift(spark):
+    with pytest.raises(AssertionError, match="row count"):
+        compare_query(
+            spark,
+            "mut_rows",
+            _regionkeys,
+            "SELECT r_regionkey FROM region WHERE r_regionkey < 3",
+            SF,
+        )
+
+
+def test_detects_column_name_drift(spark):
+    """The driver sorts columns BY NAME before hashing — a mis-aliased
+    oracle column is a real driver red row even with identical values."""
+    with pytest.raises(AssertionError, match="column mismatch|type mismatch"):
+        compare_query(
+            spark,
+            "mut_cols",
+            _regionkeys,
+            "SELECT r_regionkey AS regionkey FROM region",
+            SF,
+        )
+
+
+def test_detects_type_family_drift(spark):
+    """int64 vs string must be rejected up front (the driver's hash is
+    type-sensitive — DuckDB HUGEINT vs bigint was a real r1 red row)."""
+    with pytest.raises(AssertionError, match="type mismatch"):
+        compare_query(
+            spark,
+            "mut_type",
+            _regionkeys,
+            "SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey FROM region",
+            SF,
+        )
+
+
+def test_detects_hugeint_sum(spark):
+    """The canonical footgun the type gate exists for: a bare DuckDB SUM
+    over integers yields decimal128 (HUGEINT), which the driver hashes
+    differently from Spark's bigint even when values are equal."""
+
+    def fn(spark, sf_dir):
+        return (
+            load_table(spark, sf_dir, "region")
+            .agg(F.sum("r_regionkey").alias("s"))
+        )
+
+    with pytest.raises(AssertionError, match="type mismatch"):
+        compare_query(
+            spark, "mut_hugeint", fn, "SELECT SUM(r_regionkey) AS s FROM region", SF
+        )
+    compare_query(  # the documented fix must then pass
+        spark,
+        "ctl_bigint",
+        fn,
+        "SELECT CAST(SUM(r_regionkey) AS BIGINT) AS s FROM region",
+        SF,
+    )
+
+
+def test_rejects_non_scalar_output(spark):
+    """Array output is un-hashable by the real driver's pandas
+    canonicalizer (r3 red row) — the harness must refuse it even though
+    ITS OWN stringify-compare could handle it."""
+
+    def fn(spark, sf_dir):
+        return (
+            load_table(spark, sf_dir, "region")
+            .select(F.array("r_regionkey").alias("a"))
+        )
+
+    with pytest.raises(AssertionError, match="non-scalar"):
+        compare_query(spark, "mut_arr", fn, "SELECT [r_regionkey] AS a FROM region", SF)
+
+
+def test_tolerates_row_and_column_order(spark):
+    """The equivalences the harness MUST accept: the driver sorts rows
+    and columns canonically, so presentation order is not signal."""
+
+    def fn(spark, sf_dir):
+        return (
+            load_table(spark, sf_dir, "region")
+            .select("r_regionkey", "r_name")
+            .orderBy(F.desc("r_regionkey"))
+        )
+
+    compare_query(
+        spark,
+        "ctl_order",
+        fn,
+        "SELECT r_name, r_regionkey FROM region ORDER BY r_regionkey",
+        SF,
+    )
+
+
+def test_detects_null_vs_value(spark):
+    """NULL and 0 canonicalize differently (∅ vs '0') — a NULL-edge
+    divergence can never hide behind falsy coercion."""
+
+    def fn(spark, sf_dir):
+        return (
+            load_table(spark, sf_dir, "region")
+            .select(F.lit(None).cast("long").alias("v"))
+        )
+
+    with pytest.raises(AssertionError, match="value mismatch"):
+        compare_query(
+            spark, "mut_null", fn, "SELECT CAST(0 AS BIGINT) AS v FROM region", SF
+        )
