@@ -73,6 +73,53 @@ def finite_or_null(col: Column | str) -> Column:
     return F.when(~F.isnan(d) & (F.abs(d) != F.lit(float("inf"))), c)
 
 
+#: Event-time validity window (r7 extreme-value audit,
+#: ``tools/extreme_audit.py``). Event analytics REQUIRES a bounded time
+#: domain, exactly as watermarking does: the gap-fill grid and the
+#: rollup cascade are DERIVED from min/max(ts), so one corrupted
+#: year-38503 row asks ``sequence()`` for ~300M buckets and kills the
+#: whole job (measured: SparkContext shutdown at sf0.001); timestamps
+#: past year 9999 cannot even cross the Arrow→Python driver boundary
+#: (``ValueError: year 38504 is out of range``), and pre-Gregorian
+#: values sit on the proleptic-vs-hybrid calendar divergence between
+#: engines (a 0001-01-01 input rendered as year 0). Out-of-window
+#: timestamps are sensor garbage by contract and fold to NULL — the
+#: same exclusion semantics the NULL audit already certifies. The
+#: window is a deployment constant, deliberately generous (a century).
+EVENT_TS_LO = "2000-01-01 00:00:00"
+EVENT_TS_HI = "2100-01-01 00:00:00"
+
+#: DuckDB mirror of ``valid_event_ts`` — oracles over poisonable
+#: timestamp columns inline this verbatim (pinned by
+#: tests/test_registry_order.py).
+ORACLE_VALID_TS = (
+    "CASE WHEN {col} >= TIMESTAMP '2000-01-01 00:00:00' "
+    "AND {col} < TIMESTAMP '2100-01-01 00:00:00' THEN {col} END"
+)
+
+
+#: The whole-table oracle mirror of ``sources.tables.load_events``:
+#: oracles over time-consuming queries open with ``WITH {ORACLE_EV_CTE}``
+#: and read ``ev`` wherever the Spark side reads ``load_events`` (CTE
+#: name ≠ ``events`` because DuckDB rejects self-shadowing CTEs).
+ORACLE_EV_CTE = (
+    "ev AS (SELECT * REPLACE (" + ORACLE_VALID_TS.format(col="ts")
+    + " AS ts) FROM events)"
+)
+
+
+def valid_event_ts(col: Column | str) -> Column:
+    """Fold timestamps outside [``EVENT_TS_LO``, ``EVENT_TS_HI``) to
+    NULL; in-window values and NULL pass through unchanged. See the
+    constant's rationale. Both bounds compare in the session timezone
+    (UTC by ``ensure_session_confs``), matching the oracle's naive
+    TIMESTAMP literals."""
+    c = F.col(col) if isinstance(col, str) else col
+    lo = F.lit(EVENT_TS_LO).cast("timestamp")
+    hi = F.lit(EVENT_TS_HI).cast("timestamp")
+    return F.when((c >= lo) & (c < hi), c)
+
+
 def dec(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     """Exact-decimal cast used before SUM/AVG in oracle-checked queries so
     Spark and the DuckDB oracle aggregate identical exact values —
@@ -87,7 +134,14 @@ def dec(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     cast even under TRY_CAST. Exclude-as-NULL is the one semantics both
     engines express deterministically, and oracles over poisonable
     float columns mirror it with ``CASE WHEN isfinite(x) THEN x END``.
-    The guard is a no-op on finite or NULL input, so unguarded oracles
-    over contract-clean decimal columns (TPC-H money) hash
-    identically."""
-    return finite_or_null(col).cast(f"decimal({precision},{scale})")
+
+    The cast itself is a ``try_cast`` (r7 extreme audit): a FINITE
+    1e308 passes the finiteness fold but overflows the decimal domain,
+    and the ANSI cast would again kill the job on one bad row.
+    try_cast folds out-of-domain values to NULL identically in both
+    engines (oracles over poisonable columns use ``TRY_CAST``; no
+    representable double lands in the rounding half-ulp at the domain
+    edge, so the engines cannot disagree there). Both guards are no-ops
+    on contract-clean decimal columns (TPC-H money), whose unguarded
+    ``CAST`` oracles hash identically."""
+    return finite_or_null(col).try_cast(f"decimal({precision},{scale})")

@@ -104,6 +104,32 @@ def valid_vectors(
     return df.filter(cond)
 
 
+def unique_by_id(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """Id-uniqueness boundary (r7 extreme audit): an index keyed by id
+    (PQ code words, IVF inverted lists) must hold ONE entry per id, but
+    corrupted upstream ids can collide — two different vectors under the
+    same extreme id would let per-id argmins mix subspace codes from
+    different rows into a chimera. Keep, per id, the lexicographically
+    least VALID embedding (array compare is element-wise in both Spark
+    and DuckDB; equal-length by the dims gate, no NaN by validity — a
+    total, engine-portable rule). One exchange on the id — the honest
+    price of an enforced key contract; a no-op pass-through when ids are
+    unique, and Catalyst's exchange reuse shares the shuffle with any
+    downstream keyed op."""
+    from pyspark.sql import Window
+
+    df = valid_vectors(df, vec_col, dims)
+    w = Window.partitionBy(id_col).orderBy(vec_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def collect_query_matrix(queries: DataFrame, id_col: str, vec_col: str):
     """Collect the (small by contract) query set into numpy, enforcing
     the full vector contract driver-side: NULL/non-finite rows are

@@ -27,9 +27,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realtime_voting_data_engineering_spark.functions.scalar import dec
+from realtime_voting_data_engineering_spark.functions.scalar import ORACLE_EV_CTE, dec
 from realtime_voting_data_engineering_spark.operators import relational as R
-from realtime_voting_data_engineering_spark.sources.tables import load_table
+from realtime_voting_data_engineering_spark.sources.tables import (
+    load_events,
+    load_table,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -88,7 +91,7 @@ def _revenue_expr():
     """
     SELECT event_type,
            count(*) AS total_votes,
-           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -171,9 +174,10 @@ def vote_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "latest_vote_per_user",
-    """
+    f"""
+    WITH {ORACLE_EV_CTE}
     SELECT user_id, event_id, event_type, ts, value
-    FROM events
+    FROM ev
     QUALIFY row_number() OVER (
         PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
     """,
@@ -182,8 +186,12 @@ def vote_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def latest_vote_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 — latest-per-key compaction, the fix the reference dashboard
     needed (streamlit-app.py:14,91-96 re-reads the whole update log).
-    One shuffle on the key; row_number window with event_id tiebreak."""
-    events = load_table(spark, sf_dir, "events")
+    One shuffle on the key; row_number window with event_id tiebreak.
+    Event-time boundary (``load_events``): out-of-window ts folds to
+    NULL, which sorts LAST under DESC in BOTH engines — a user whose
+    only events carry garbage time still compacts (by id tiebreak)
+    rather than letting a year-38503 row win "latest" forever."""
+    events = load_events(spark, sf_dir)
     return R.latest_per_key(
         events.select("user_id", "event_id", "event_type", "ts", "value"),
         ["user_id"],
@@ -211,7 +219,7 @@ def dedup_votes_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assigned_candidate_counts",
     """
     SELECT n_name AS candidate, count(*) AS total_votes
-    FROM events JOIN nation ON user_id % 25 = n_nationkey
+    FROM events JOIN nation ON ((user_id % 25) + 25) % 25 = n_nationkey
     GROUP BY n_name
     """,
     tags=("join", "J1"),
@@ -299,12 +307,13 @@ def scalar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hourly_vote_counts",
-    """
+    f"""
+    WITH {ORACLE_EV_CTE}
     SELECT date_trunc('hour', ts) AS hour,
            event_type,
            count(*) AS n_events,
-           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-    FROM events
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM ev
     GROUP BY 1, 2
     """,
     tags=("agg", "window-time"),
@@ -312,8 +321,10 @@ def scalar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hourly_vote_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregate — the windowed variant of A1/A2 that
     SURVEY.md §2.7 recommends so watermarks can actually bound state; in
-    batch form a date_trunc group-by (streaming form in streaming/)."""
-    events = load_table(spark, sf_dir, "events")
+    batch form a date_trunc group-by (streaming form in streaming/).
+    Event-time boundary: garbage-time rows land in one NULL-hour bucket
+    instead of minting unbounded phantom windows."""
+    events = load_events(spark, sf_dir)
     return events.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"),
         "event_type",

@@ -13,9 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from realtime_voting_data_engineering_spark.functions.scalar import dec, finite_or_null
+from realtime_voting_data_engineering_spark.functions.scalar import (
+    ORACLE_EV_CTE,
+    dec,
+    finite_or_null,
+)
 from realtime_voting_data_engineering_spark.queries import register
 from realtime_voting_data_engineering_spark.sources.tables import (
+    load_events,
     load_table,
     register_views,
 )
@@ -23,21 +28,22 @@ from realtime_voting_data_engineering_spark.sources.tables import (
 
 @register(
     "activation_funnel",
-    """
-    WITH s1 AS (
-      SELECT user_id, min(ts) AS t1 FROM events
+    f"""
+    WITH {ORACLE_EV_CTE},
+    s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM ev
       WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY user_id),
     s2 AS (
       SELECT e.user_id, min(e.ts) AS t2
-      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      FROM ev e JOIN s1 ON e.user_id = s1.user_id
       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
     s3 AS (
       SELECT e.user_id, min(e.ts) AS t3
-      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      FROM ev e JOIN s2 ON e.user_id = s2.user_id
       WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
     s4 AS (
       SELECT e.user_id, min(e.ts) AS t4
-      FROM events e JOIN s3 ON e.user_id = s3.user_id
+      FROM ev e JOIN s3 ON e.user_id = s3.user_id
       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id)
     SELECT 'signup' AS stage, count(*) AS n_users FROM s1
     UNION ALL SELECT 'view', count(*) FROM s2
@@ -64,7 +70,7 @@ def activation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # formulations only agree under a declared non-null key
     # (tools/null_audit.py finding).
     ev = (
-        load_table(spark, sf_dir, "events")
+        load_events(spark, sf_dir)
         .filter(F.col("event_type").isin(*stages) & F.col("user_id").isNotNull())
         .select("user_id", "event_type", "ts")
     )
@@ -93,17 +99,18 @@ def activation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "weekly_retention_cohorts",
-    """
-    WITH firsts AS (
+    f"""
+    WITH {ORACLE_EV_CTE},
+    firsts AS (
       SELECT user_id,
              CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
-      FROM events GROUP BY user_id),
+      FROM ev GROUP BY user_id),
     activity AS (
       SELECT DISTINCT e.user_id, f.cohort_week,
              CAST(date_diff('day', CAST(f.cohort_week AS DATE),
                             CAST(date_trunc('week', e.ts) AS DATE)) / 7
                   AS BIGINT) AS weeks_since
-      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+      FROM ev e JOIN firsts f ON e.user_id = f.user_id)
     SELECT cohort_week, weeks_since, count(*) AS n_active_users
     FROM activity GROUP BY cohort_week, weeks_since
     """,
@@ -116,7 +123,7 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, then dedup of (user, week)); the final rollup groups a
     frame of |users|·|weeks| at most. weeks_since is exact integer date
     arithmetic, portable to the oracle."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_events(spark, sf_dir)
     firsts = events.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
@@ -242,9 +249,12 @@ def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_type_cube",
     """
-    SELECT event_type, user_id % 2 AS user_parity, count(*) AS n
+    -- pmod mirror: Spark's pmod is non-negative; SQL % keeps the
+    -- dividend sign, so extreme NEGATIVE ids would mint divergent
+    -- parity groups (r7 extreme audit)
+    SELECT event_type, ((user_id % 2) + 2) % 2 AS user_parity, count(*) AS n
     FROM events
-    GROUP BY CUBE (event_type, user_id % 2)
+    GROUP BY CUBE (event_type, ((user_id % 2) + 2) % 2)
     """,
     tags=("agg", "cube"),
 )
@@ -387,7 +397,7 @@ def purchase_only_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_counts_pivot",
     """
-    SELECT user_id % 10 AS user_bucket,
+    SELECT ((user_id % 10) + 10) % 10 AS user_bucket,  -- pmod mirror
            count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
            count(CASE WHEN event_type = 'view'     THEN 1 END) AS "view",
            count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
@@ -419,11 +429,13 @@ def event_counts_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_sessions",
-    """
-    WITH ordered AS (
+    f"""
+    WITH {ORACLE_EV_CTE},
+    ordered AS (
       SELECT user_id, ts,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-      FROM events
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts NULLS FIRST, event_id) AS prev_ts
+      FROM ev
     ),
     flagged AS (
       SELECT user_id, ts,
@@ -444,8 +456,11 @@ def event_counts_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag-gap > 30 min starts a new session; count
     sessions per user. One shuffle on user_id shared by the window and
-    the aggregate (Catalyst reuses the partitioning)."""
-    events = load_table(spark, sf_dir, "events")
+    the aggregate (Catalyst reuses the partitioning). Event-time
+    boundary: garbage-time rows sort first (NULLS FIRST pinned — the
+    engines' ASC defaults differ) and open one session each; a real-ts
+    row following them re-opens via the prev_ts IS NULL arm."""
+    events = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = events.select(
         "user_id",
@@ -469,14 +484,15 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "purchase_with_prior_view",
-    """
-    WITH tagged AS (
+    f"""
+    WITH {ORACLE_EV_CTE},
+    tagged AS (
       SELECT user_id, event_id, ts, event_type, value,
              last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                  AS prior_view_value
-      FROM events WHERE event_type IN ('view', 'purchase')
+      FROM ev WHERE event_type IN ('view', 'purchase')
     )
     SELECT user_id, event_id, ts, value, prior_view_value
     FROM tagged WHERE event_type = 'purchase'
@@ -487,8 +503,10 @@ def purchase_with_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join expressed as a merged-stream window (Spark has no
     native as-of): each purchase picks up the most recent earlier 'view'
     value for the same user — last non-null over an ordered frame ending
-    1 row before current. One shuffle on user_id; no range-join blowup."""
-    events = load_table(spark, sf_dir, "events")
+    1 row before current. One shuffle on user_id; no range-join blowup.
+    Event-time boundary: NULLS FIRST pinned on ts (engine ASC defaults
+    differ), so garbage-time rows sort deterministically."""
+    events = load_events(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -727,15 +745,16 @@ def approx_distinct_users_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_window_suite",
-    """
+    f"""
+    WITH {ORACLE_EV_CTE}
     SELECT user_id, event_id, ts, value,
            lag(value)  OVER w AS prev_value,
            lead(value) OVER w AS next_value,
            rank()       OVER w2 AS value_rank,
            dense_rank() OVER w2 AS value_dense_rank,
            ntile(4)     OVER w2 AS value_quartile
-    FROM events
-    WHERE user_id % 200 = 0
+    FROM ev
+    WHERE ((user_id % 200) + 200) % 200 = 0
     WINDOW w  AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id),
            w2 AS (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id)
     """,
@@ -747,8 +766,10 @@ def approx_distinct_users_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function breadth on one frame: lag/lead over event time,
     rank/dense_rank/ntile over value — all share the single shuffle on
-    user_id; the two sort orders run as in-partition sorts."""
-    events = load_table(spark, sf_dir, "events").filter(
+    user_id; the two sort orders run as in-partition sorts. The filter
+    mirrors Spark pmod (negative extreme ids must bucket identically);
+    event-time boundary on the emitted ts."""
+    events = load_events(spark, sf_dir).filter(
         F.pmod("user_id", F.lit(200)) == 0
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -922,18 +943,28 @@ def approx_value_quartiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_last_click",
-    """
-    WITH rc AS (
+    f"""
+    WITH {ORACLE_EV_CTE},
+    rc AS (
+      -- NULL-time clicks can never be "the most recent click" — and
+      -- DuckDB's sort-based ASOF would otherwise place NULL greatest
+      -- and hand NULL-probe rows a match (r7 extreme audit), where the
+      -- operator's no-match-on-NULL-time contract attaches nothing.
       SELECT user_id, ts AS cts, event_id AS last_click_id,
              value AS last_click_value
-      FROM events WHERE event_type = 'click'
+      FROM ev WHERE event_type = 'click' AND ts IS NOT NULL
       QUALIFY row_number() OVER (PARTITION BY user_id, ts
-          ORDER BY event_id DESC, value DESC NULLS LAST) = 1)
+          ORDER BY event_id DESC, value DESC NULLS LAST) = 1),
+    p AS (SELECT * FROM ev WHERE event_type = 'purchase')
     SELECT e.event_id, e.user_id, e.ts,
            r.last_click_id, r.last_click_value,
            epoch_us(e.ts) - epoch_us(r.cts) AS micros_since_click
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    FROM (SELECT * FROM p WHERE ts IS NOT NULL) e
     ASOF LEFT JOIN rc r ON e.user_id = r.user_id AND e.ts >= r.cts
+    UNION ALL
+    SELECT event_id, user_id, ts,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM p WHERE ts IS NULL
     """,
     # The pre-reduce uses a TOTAL order (event_id DESC, value DESC):
     # arg_max(value, event_id) left the winner undefined when a
@@ -952,7 +983,7 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementations agreeing value-for-value."""
     from realtime_voting_data_engineering_spark.operators import relational as R
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_events(spark, sf_dir)
     # Total-order pre-reduce (asof_join uniqueness contract): one row
     # per (user, ts), winner = greatest (event_id, value) — max_by keyed
     # on event_id alone is undefined when duplicated event_ids carry
@@ -997,16 +1028,17 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "purchases_after_error",
-    """
-    WITH e AS (
+    f"""
+    WITH {ORACLE_EV_CTE},
+    e AS (
       SELECT event_id AS error_id, user_id, ts AS w_start,
              ts + INTERVAL 15 MINUTE AS w_end
-      FROM events WHERE event_type = 'error'),
+      FROM ev WHERE event_type = 'error'),
     p AS (
       SELECT user_id, ts AS pts, value
-      FROM events WHERE event_type = 'purchase')
+      FROM ev WHERE event_type = 'purchase')
     SELECT e.error_id, count(*) AS n_purchases,
-           CAST(SUM(CAST(CASE WHEN isfinite(p.value) THEN p.value END AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(p.value) THEN p.value END AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
     FROM p JOIN e
       ON p.user_id = e.user_id AND p.pts >= e.w_start AND p.pts <= e.w_end
     GROUP BY e.error_id
@@ -1027,7 +1059,7 @@ def purchases_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree row-for-row."""
     from realtime_voting_data_engineering_spark.operators import relational as R
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_events(spark, sf_dir)
     errors = events.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_id"),
         "user_id",

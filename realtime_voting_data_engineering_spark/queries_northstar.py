@@ -411,7 +411,7 @@ _VALID_EMB64 = S.ORACLE_VALID_VEC_DIMS.format(col="embedding", dims=64)
 _KNN_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE vec_id < 10 AND {_VALID_EMB64}
+  WHERE vec_id BETWEEN 0 AND 9 AND {_VALID_EMB64}
 ),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
       WHERE {_VALID_EMB64}),
@@ -435,7 +435,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .limit(10) is a semantic no-op (vec_id is unique) but makes the
     # query-side bound plan-visible, so the broadcast-hint scale lint in
     # tests/test_plans.py can prove the broadcast is SF-independent.
-    queries = emb.filter(F.col("vec_id") < 10).limit(10)
+    queries = emb.filter(F.col("vec_id").between(0, 9)).limit(10)
     out = S.knn_brute_force(queries, emb, k=5, dims=64)
     return out.withColumn("cos", F.round("cos", 6))
 
@@ -672,7 +672,7 @@ qs AS (
   SELECT vec_id AS query_id, embedding AS qv,
          sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS q_norm
-  FROM embeddings WHERE vec_id < 10 AND {_VALID_EMB64}),
+  FROM embeddings WHERE vec_id BETWEEN 0 AND 9 AND {_VALID_EMB64}),
 scored AS (
   SELECT qs.query_id, cn.vec_id AS neighbor_id,
          (list_sum(list_transform(list_zip(cn.qvec, qs.qv),
@@ -702,7 +702,7 @@ def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_driver_contract.py); the first committed driver row
     lands in r5 (in-window this round)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = S.knn_quantized(emb.filter(F.col("vec_id") < 10).limit(10), emb, k=5)
+    out = S.knn_quantized(emb.filter(F.col("vec_id").between(0, 9)).limit(10), emb, k=5)
     return out.withColumn("cos", F.round("cos", 6))
 
 
@@ -713,21 +713,25 @@ def _knn_srp_oracle(dims: int = 64, planes: int = 16, bands: int = 4, k: int = 5
     cos = _COS_SQL.format(a="q.embedding", b="c.embedding")
     valid = S.ORACLE_VALID_VEC_DIMS.format(col="embedding", dims=dims)
     return f"""
-    WITH sig AS (SELECT vec_id, {_srp_bits_sql(dims, planes)}
-                 FROM embeddings WHERE {valid}),
+    WITH uniq AS (
+      -- id-uniqueness boundary (r7 extreme audit): one signature and
+      -- one re-rank vector per id, same total rule as the Spark side
+      SELECT vec_id, embedding FROM embeddings WHERE {valid}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY embedding) = 1),
+    sig AS (SELECT vec_id, {_srp_bits_sql(dims, planes)} FROM uniq),
     bands AS ({_srp_band_selects(planes, bands)}),
     cand AS (
       SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.chunk = b.chunk
        AND a.vec_id != b.vec_id
-      WHERE a.vec_id < 10
+      WHERE a.vec_id BETWEEN 0 AND 9
     ),
     scored AS (
       SELECT cand.query_id, cand.neighbor_id, {cos} AS cos_raw
       FROM cand
-      JOIN embeddings q ON q.vec_id = cand.query_id
-      JOIN embeddings c ON c.vec_id = cand.neighbor_id
+      JOIN uniq q ON q.vec_id = cand.query_id
+      JOIN uniq c ON c.vec_id = cand.neighbor_id
     )
     SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos
     FROM scored
@@ -745,7 +749,11 @@ def knn_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-matches DuckDB's list_sum, so as of r4 the oracle replays the
     whole bucket→re-rank→top-k pipeline like the near-dup SRP query's."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = S.knn_ann(emb.filter(F.col("vec_id") < 10).limit(10), emb, dims=64, k=5)
+    corpus = S.unique_by_id(emb, dims=64)  # id-uniqueness boundary
+    out = S.knn_ann(
+        emb.filter(F.col("vec_id").between(0, 9)).limit(10),
+        corpus, dims=64, k=5,
+    )
     return out.withColumn("cos", F.round("cos", 6))
 
 
@@ -767,19 +775,25 @@ def _knn_ivf_fixed_oracle(
                          md5('pq|0|' || c.c || '|' || d), 1, 8))
                       AS BIGINT) / 4294967296.0) - 0.25) AS cv
       FROM generate_series(0, {n_centroids - 1}) c(c)),
+    uniq AS (
+      -- id-uniqueness boundary (r7 extreme audit): one inverted-list
+      -- entry per id, same total rule as the Spark side
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      WHERE {valid_e}
+      QUALIFY row_number() OVER (
+          PARTITION BY e.vec_id ORDER BY e.embedding) = 1),
     dists AS (
       SELECT e.vec_id, cents.c,
              list_sum(list_transform(generate_series(1, {dims}), d ->
                (CAST(e.embedding[d] AS DOUBLE) - cv[d])
                * (CAST(e.embedding[d] AS DOUBLE) - cv[d]))) AS d2
-      FROM embeddings e, cents
-      WHERE {valid_e}),
+      FROM uniq e, cents),
     assigned AS (
       SELECT vec_id, c AS cluster FROM dists
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) = 1),
     probes AS (
       SELECT vec_id AS query_id, c AS cluster FROM dists
-      WHERE vec_id < 10
+      WHERE vec_id BETWEEN 0 AND 9
       QUALIFY row_number() OVER (
           PARTITION BY vec_id ORDER BY d2, c) <= {nprobe}),
     cand AS (
@@ -789,8 +803,8 @@ def _knn_ivf_fixed_oracle(
     scored AS (
       SELECT cand.query_id, cand.neighbor_id, {cos} AS cos_raw
       FROM cand
-      JOIN embeddings q ON q.vec_id = cand.query_id
-      JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+      JOIN uniq q ON q.vec_id = cand.query_id
+      JOIN uniq c ON c.vec_id = cand.neighbor_id)
     SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos
     FROM scored
     QUALIFY row_number() OVER (
@@ -812,9 +826,10 @@ def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall on clustered data); its recall and assignment determinism
     stay pytest-bounded in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
+    corpus = S.unique_by_id(emb, dims=64)  # id-uniqueness boundary
     out = S.knn_ivf_fixed(
-        emb.filter(F.col("vec_id") < 10).limit(10),
-        emb,
+        emb.filter(F.col("vec_id").between(0, 9)).limit(10),
+        corpus,
         dims=64,
         k=5,
         n_centroids=16,
@@ -826,7 +841,7 @@ def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEDIA_STATS_ORACLE = """
 WITH h AS (
   SELECT doc_id AS media_id,
-         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         ['image','audio','video'][(((doc_id % 3) + 3) % 3) + 1] AS kind,
          md5(coalesce(text, '')) AS h1
   FROM documents),
 chain AS (
@@ -898,7 +913,7 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH media AS (
         SELECT doc_id AS media_id,
-               ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+               ['image','audio','video'][(((doc_id % 3) + 3) % 3) + 1] AS kind,
                (n_chars % 300) + 1 AS n_frames
         FROM documents)
     SELECT media_id, UNNEST(range(0, n_frames, 30)) AS frame_idx

@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realtime_voting_data_engineering_spark.functions.scalar import dec
+from realtime_voting_data_engineering_spark.functions.scalar import (
+    ORACLE_EV_CTE,
+    dec,
+)
 from realtime_voting_data_engineering_spark.operators import dedup as D
 from realtime_voting_data_engineering_spark.operators import relational as R
 from realtime_voting_data_engineering_spark.operators import search as SE
@@ -26,7 +29,10 @@ from realtime_voting_data_engineering_spark.operators.similarity import (
 )
 from realtime_voting_data_engineering_spark.operators.text import STOPWORDS
 from realtime_voting_data_engineering_spark.queries import register
-from realtime_voting_data_engineering_spark.sources.tables import load_table
+from realtime_voting_data_engineering_spark.sources.tables import (
+    load_events,
+    load_table,
+)
 
 # ---------------------------------------------------------------------------
 # BM25 ranked search
@@ -171,11 +177,12 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_rollup_multires",
-    """
-    WITH h AS (
+    f"""
+    WITH {ORACLE_EV_CTE},
+    h AS (
       SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
-             SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS dv
-      FROM events GROUP BY 1),
+             SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS dv
+      FROM ev GROUP BY 1),
     d AS (
       SELECT date_trunc('day', bucket) AS bucket,
              CAST(SUM(n) AS BIGINT) AS n, SUM(dv) AS dv
@@ -200,8 +207,9 @@ def event_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     over raw data would shuffle the full corpus three times; at 100 TB
     the cascade is the only shape that holds. Decimal partials keep the
     re-aggregation exact, so cascading does not change a single bit of
-    the totals."""
-    events = load_table(spark, sf_dir, "events")
+    the totals. Event-time boundary: a year-38503 row would otherwise
+    mint buckets the driver boundary cannot even represent."""
+    events = load_events(spark, sf_dir)
     hour = events.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(
@@ -271,12 +279,13 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cdc_latest_state",
-    """
-    WITH ranked AS (
+    f"""
+    WITH {ORACLE_EV_CTE},
+    ranked AS (
       SELECT user_id, ts, event_type, value,
              row_number() OVER (
                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events)
+      FROM ev)
     SELECT user_id, ts AS last_ts, event_type AS last_type,
            value AS last_value
     FROM ranked WHERE rn = 1 AND NOT coalesce(event_type = 'error', FALSE)
@@ -289,8 +298,10 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     treating a final 'error' as a tombstone that deletes the key — the
     MERGE-INTO-latest-snapshot compaction a Delta/Hudi-style ingest runs
     nightly. One shuffle on the key, no join; an update after a delete
-    resurrects the key because only the FINAL change decides."""
-    events = load_table(spark, sf_dir, "events")
+    resurrects the key because only the FINAL change decides. Event-time
+    boundary (``load_events``): garbage-time changes lose "latest" to
+    any real-time change (DESC puts NULL last in both engines)."""
+    events = load_events(spark, sf_dir)
     latest = R.apply_changes_latest(
         events,
         key_cols=["user_id"],
@@ -348,7 +359,7 @@ def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_event_totals",
     """
     SELECT event_type, count(*) AS n_events,
-           CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
     """,
     tags=("agg", "skew", "pipeline"),
@@ -541,11 +552,12 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hourly_gap_filled",
-    """
-    WITH h AS (
+    f"""
+    WITH {ORACLE_EV_CTE},
+    h AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket,
              count(*) AS n
-      FROM events GROUP BY 1, 2),
+      FROM ev GROUP BY 1, 2),
     spans AS (
       SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
       FROM h GROUP BY 1),
@@ -570,8 +582,18 @@ def hourly_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), per-series min/max over THAT (tiny), `sequence()` explode
     into the dense grid — O(series × hours), data-independent — and a
     left join back on (series, bucket). The grid side is derived, never
-    scanned, so 1000× the raw data changes only the first aggregate."""
-    events = load_table(spark, sf_dir, "events")
+    scanned, so 1000× the raw data changes only the first aggregate.
+
+    Event-time boundary (``load_events``) is LOAD-BEARING here, not
+    hygiene: the grid length is data-derived, so before the fold ONE
+    corrupted year-38503 timestamp asked ``sequence()`` for ~300M hourly
+    buckets per series and killed the whole JVM (measured,
+    ``tools/extreme_audit.py`` — the one-malformed-row-kills-the-job
+    class in resource form). With the fold, garbage-time rows land in a
+    NULL bucket that min/max ignore, bounding the grid by the REAL
+    activity span; series whose events are all garbage-time yield a NULL
+    span and an empty sequence in both engines."""
+    events = load_events(spark, sf_dir)
     hourly = events.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -660,14 +682,24 @@ _PQ_CTES = f"""cents AS (
                          md5('pq|' || s.s || '|' || c.c || '|' || d), 1, 8))
                       AS BIGINT) / 4294967296.0) - 0.25) AS cv
       FROM generate_series(0, 7) s(s), generate_series(0, 15) c(c)),
+    uniq AS (
+      -- id-uniqueness boundary (r7 extreme audit): colliding vec_ids
+      -- (two rows drawn to the same extreme id) would let the per-id
+      -- argmin mix subspace codes from DIFFERENT rows into a chimera
+      -- code word; keep the lexicographically-least valid embedding per
+      -- id, the same total rule the Spark side applies.
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e
+      WHERE {_VALID_EMB64_E}
+      QUALIFY row_number() OVER (
+          PARTITION BY e.vec_id ORDER BY e.embedding) = 1),
     dists AS (
       SELECT e.vec_id, cents.s, cents.c,
              list_sum(list_transform(generate_series(1, 8), d ->
                (CAST(e.embedding[cents.s * 8 + d] AS DOUBLE) - cv[d])
                * (CAST(e.embedding[cents.s * 8 + d] AS DOUBLE) - cv[d])))
                  AS d2
-      FROM embeddings e, cents
-      WHERE {_VALID_EMB64_E}),
+      FROM uniq e, cents),
     codes AS (
       SELECT vec_id, s, c FROM dists
       QUALIFY row_number() OVER (
@@ -693,10 +725,13 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     same md5 fractions in SQL and replays the L2 argmin with the
     identical dimension-sequential fold and first-min tie-break, so
     encode is hash-checked end to end — the evidence tier k-means
-    codebooks (IVF) can't reach."""
+    codebooks (IVF) can't reach. Corpus passes the id-uniqueness
+    boundary (``similarity.unique_by_id``) first: colliding corrupted
+    ids must resolve to ONE code word per id, identically in both
+    engines."""
     from realtime_voting_data_engineering_spark.operators import similarity as S
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = S.unique_by_id(load_table(spark, sf_dir, "embeddings"), dims=64)
     return S.pq_encode(emb, dims=64, m=8, ksub=16)
 
 
@@ -798,7 +833,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM codes JOIN cents ON codes.s = cents.s AND codes.c = cents.c),
     q AS (
       SELECT vec_id AS query_id, embedding FROM embeddings
-      WHERE vec_id < 10 AND {_VALID_EMB64}),
+      WHERE vec_id BETWEEN 0 AND 9 AND {_VALID_EMB64}),
     dots AS (
       SELECT q.query_id, w.vec_id, w.s,
              list_sum(list_transform(generate_series(1, 8), d ->
@@ -826,12 +861,15 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (lookup dots dimension-sequential, score
     subspace-sequential, raw-value ordering with id tie-break), so the
     oracle replays encode → LUT → score → top-k end to end; recall vs
-    exact cosine is pytest-bounded."""
+    exact cosine is pytest-bounded. Corpus passes the id-uniqueness
+    boundary (see ``embedding_pq_codes``)."""
     from realtime_voting_data_engineering_spark.operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
+    corpus = S.unique_by_id(emb, dims=64)
     return S.knn_pq_adc(
-        emb.filter(F.col("vec_id") < 10).limit(10), emb, dims=64, m=8, ksub=16, k=5
+        emb.filter(F.col("vec_id").between(0, 9)).limit(10), corpus,
+        dims=64, m=8, ksub=16, k=5
     )
 
 
@@ -842,10 +880,11 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "daily_activity_reconciliation",
-    """
-    WITH e AS (
+    f"""
+    WITH {ORACLE_EV_CTE},
+    e AS (
       SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
-      FROM events GROUP BY 1),
+      FROM ev GROUP BY 1),
     o AS (
       SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
       FROM orders GROUP BY 1)
@@ -866,8 +905,10 @@ def daily_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
     ingested pipelines (the join type §2.3's inner/semi/anti/left
     coverage was missing). Both sides aggregate BEFORE the join, so the
     full-outer shuffle carries one row per day per side regardless of
-    raw volume."""
-    events = load_table(spark, sf_dir, "events")
+    raw volume. Event-time boundary: garbage-time events reconcile under
+    one NULL day (never matching any order day) instead of minting
+    phantom days."""
+    events = load_events(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     e = events.groupBy(F.to_date("ts").alias("d_e")).agg(
         F.count(F.lit(1)).alias("n_events")

@@ -67,6 +67,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with the event-time validity window applied at the
+    source: ``ts`` outside [EVENT_TS_LO, EVENT_TS_HI) folds to NULL
+    (``functions.scalar.valid_event_ts`` — see its rationale: grid
+    explosion, driver-boundary range, calendar-rebase divergence). Every
+    time-consuming registered query loads events THROUGH this boundary;
+    oracles mirror it with an ``ev`` CTE inlining ``ORACLE_VALID_TS``.
+    Queries that never touch ``ts`` keep plain ``load_table`` (the fold
+    would be dead code Catalyst prunes anyway, but the contract is
+    clearer stated at the call site)."""
+    from realtime_voting_data_engineering_spark.functions.scalar import (
+        valid_event_ts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return events.withColumn("ts", valid_event_ts(F.col("ts")))
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:

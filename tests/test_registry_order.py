@@ -122,3 +122,36 @@ def test_embedding_oracles_state_the_vector_validity_contract():
             if pred not in oracle:
                 missing.append(f"{name}: no valid-vector predicate on {col}")
     assert not missing, "\n".join(missing)
+
+
+def test_time_consuming_oracles_state_the_event_time_boundary():
+    """Every oracle whose query loads events through the time-validity
+    boundary (sources.tables.load_events) must mirror it with the
+    shared ev CTE — a missing mirror silently diverges the engines on
+    out-of-window timestamps (r7 extreme audit). Pinned verbatim, like
+    the vector-validity contract above."""
+    from realtime_voting_data_engineering_spark.functions.scalar import (
+        ORACLE_EV_CTE,
+    )
+
+    ts_consumers = [
+        "activation_funnel",
+        "asof_last_click",
+        "cdc_latest_state",
+        "daily_activity_reconciliation",
+        "event_rollup_multires",
+        "event_window_suite",
+        "hourly_gap_filled",
+        "hourly_vote_counts",
+        "latest_vote_per_user",
+        "purchase_with_prior_view",
+        "purchases_after_error",
+        "user_sessions",
+        "weekly_retention_cohorts",
+    ]
+    missing = [
+        name
+        for name in ts_consumers
+        if ORACLE_EV_CTE not in Q.REGISTRY[name].oracle
+    ]
+    assert not missing, f"oracles missing the ev time-boundary CTE: {missing}"

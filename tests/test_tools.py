@@ -401,3 +401,50 @@ def test_similarity_family_survives_duplicate_embeddings(spark, tmp_path_factory
     ]:
         spec = Q.REGISTRY[name]
         compare_query(spark, name, spec.fn, spec.oracle, out)
+
+
+def test_extreme_audit_fixed_queries_stay_fixed(spark):
+    """The r7 extreme-value audit (tools/extreme_audit.py) found four
+    divergence classes on in-range-but-extreme values: (1) mod-sign —
+    Spark pmod is non-negative, SQL % keeps the dividend sign, so
+    negative extreme ids minted divergent buckets (pivot/cube/
+    assignment oracles now mirror pmod); (2) unbounded event time — a
+    year-38503 ts exploded the data-derived gap-fill grid (JVM death),
+    crossed the Arrow→Python driver range (year>9999 ValueError), and
+    hit the pre-Gregorian calendar divergence; all events.ts consumers
+    now fold through the validity window (valid_event_ts + the ev CTE);
+    (3) finite-but-out-of-decimal-domain values (1e308) killed the ANSI
+    decimal cast — dec() and the value oracles are try_cast now;
+    (4) colliding extreme ids turned per-id argmins into cross-row
+    chimeras (PQ/IVF/SRP) and slipped negative ids under the knn
+    query-set bound — the id-uniqueness boundary (unique_by_id + uniq
+    CTEs) and the BETWEEN 0 AND 9 window close both. Re-run the worst
+    representative of each class on the poisoned corpus so none can
+    regress silently — the clean corpus never exercises them."""
+    from tools import extreme_audit
+
+    fixed = [
+        # mod-sign
+        "assigned_candidate_counts",
+        "event_counts_pivot",
+        "event_type_cube",
+        # event-time window (incl. the JVM-killing grid)
+        "hourly_gap_filled",
+        "event_rollup_multires",
+        "cdc_latest_state",
+        "daily_activity_reconciliation",
+        "user_sessions",
+        "asof_last_click",
+        "weekly_retention_cohorts",
+        # decimal domain
+        "votes_per_candidate",
+        # id collisions / knn query window
+        "embedding_pq_codes",
+        "knn_ivf_fixed",
+        "knn_ann_srp",
+        "knn_cosine_topk",
+    ]
+    report = extreme_audit.audit("/root/testdata/sf0.001", only=fixed)
+    assert set(report) == set(fixed)
+    bad = {n: r for n, r in report.items() if r["status"] != "match"}
+    assert not bad, f"extreme-value regressions: {bad}"

@@ -44,7 +44,12 @@ WORKDIR = "/tmp/rtv_null_audit"
 #: Columns to poison, per table. Keys and join columns stay intact.
 INJECT: dict[str, list[str]] = {
     "documents": ["text", "lang", "source", "n_chars"],
-    "events": ["event_type", "value", "props", "user_id"],
+    # ts joined the poison set in r7: the event-time validity window
+    # (functions.scalar.valid_event_ts) folds extreme timestamps to
+    # NULL, making NULL-ts a first-class flow every time-consuming
+    # query must handle — windows over ts pin NULLS FIRST/LAST
+    # explicitly because the engines' ASC defaults differ.
+    "events": ["event_type", "value", "props", "user_id", "ts"],
     "lineitem": [
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate",
