@@ -620,11 +620,14 @@ def knn_ivf(
     for r in q_rows:
         qv = np.asarray(r[1], dtype=np.float64)
         d2 = ((cent - qv) ** 2).sum(axis=1)
+        if r[0] is None:
+            # A NULL-id query can produce no output anywhere (the
+            # self-match filter null-propagates and drops every
+            # candidate), so building and broadcasting its probe rows
+            # is pure dead work — skip, don't carry (r7 review).
+            continue
         for c in np.argsort(d2, kind="stable")[:nprobe]:
-            # NULL query ids stay NULL (the sibling kernel paths keep
-            # them; int(None) would kill the whole job driver-side).
-            qid = None if r[0] is None else int(r[0])
-            probe_rows.append((qid, [float(v) for v in r[1]], int(c)))
+            probe_rows.append((int(r[0]), [float(v) for v in r[1]], int(c)))
     probes = queries.sparkSession.createDataFrame(
         probe_rows, schema="query_id long, q_vec array<float>, cluster int"
     )
@@ -739,9 +742,10 @@ def knn_ivf_fixed(
                 diff = qv[d] - float(cent[c, d])
                 acc = acc + diff * diff
             d2.append(acc)
+        if r[0] is None:
+            continue  # NULL-id query: zero possible output, skip probes
         for c in sorted(range(n_centroids), key=lambda i: (d2[i], i))[:nprobe]:
-            qid = None if r[0] is None else int(r[0])  # NULL ids stay NULL
-            probe_rows.append((qid, qv, int(c)))
+            probe_rows.append((int(r[0]), qv, int(c)))
     probes = queries.sparkSession.createDataFrame(
         probe_rows, schema="query_id long, q_vec array<float>, cluster int"
     )

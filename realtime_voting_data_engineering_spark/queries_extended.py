@@ -31,8 +31,13 @@ from realtime_voting_data_engineering_spark.sources.tables import (
     f"""
     WITH {ORACLE_EV_CTE},
     s1 AS (
+      -- ts IS NOT NULL: a user whose ONLY signups carry garbage-folded
+      -- time has no qualifying stage-1 event; without the guard this
+      -- CTE emits (user, NULL) and count(*) counts them where Spark's
+      -- count(t1) skips the NULL (r7 review finding, reproduced)
       SELECT user_id, min(ts) AS t1 FROM ev
-      WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY user_id),
+      WHERE event_type = 'signup' AND user_id IS NOT NULL
+        AND ts IS NOT NULL GROUP BY user_id),
     s2 AS (
       SELECT e.user_id, min(e.ts) AS t2
       FROM ev e JOIN s1 ON e.user_id = s1.user_id

@@ -410,8 +410,12 @@ _VALID_EMB64 = S.ORACLE_VALID_VEC_DIMS.format(col="embedding", dims=64)
 
 _KNN_ORACLE = f"""
 WITH q AS (
+  -- query window deduped by id (r7 review): a colliding id inside the
+  -- window would otherwise merge two rows' candidates into a chimera
+  -- top-k while Spark's limit(10) drops one arbitrarily
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
   WHERE vec_id BETWEEN 0 AND 9 AND {_VALID_EMB64}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY embedding) = 1
 ),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
       WHERE {_VALID_EMB64}),
@@ -435,7 +439,8 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .limit(10) is a semantic no-op (vec_id is unique) but makes the
     # query-side bound plan-visible, so the broadcast-hint scale lint in
     # tests/test_plans.py can prove the broadcast is SF-independent.
-    queries = emb.filter(F.col("vec_id").between(0, 9)).limit(10)
+    # query window deduped by id (r7 review): see the oracle comment
+    queries = S.unique_by_id(emb.filter(F.col("vec_id").between(0, 9)), dims=64).limit(10)
     out = S.knn_brute_force(queries, emb, k=5, dims=64)
     return out.withColumn("cos", F.round("cos", 6))
 
@@ -672,7 +677,8 @@ qs AS (
   SELECT vec_id AS query_id, embedding AS qv,
          sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS q_norm
-  FROM embeddings WHERE vec_id BETWEEN 0 AND 9 AND {_VALID_EMB64}),
+  FROM embeddings WHERE vec_id BETWEEN 0 AND 9 AND {_VALID_EMB64}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY embedding) = 1),
 scored AS (
   SELECT qs.query_id, cn.vec_id AS neighbor_id,
          (list_sum(list_transform(list_zip(cn.qvec, qs.qv),
@@ -702,7 +708,7 @@ def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_driver_contract.py); the first committed driver row
     lands in r5 (in-window this round)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = S.knn_quantized(emb.filter(F.col("vec_id").between(0, 9)).limit(10), emb, k=5)
+    out = S.knn_quantized(S.unique_by_id(emb.filter(F.col("vec_id").between(0, 9)), dims=64).limit(10), emb, k=5)
     return out.withColumn("cos", F.round("cos", 6))
 
 
@@ -751,7 +757,7 @@ def knn_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = S.unique_by_id(emb, dims=64)  # id-uniqueness boundary
     out = S.knn_ann(
-        emb.filter(F.col("vec_id").between(0, 9)).limit(10),
+        S.unique_by_id(emb.filter(F.col("vec_id").between(0, 9)), dims=64).limit(10),
         corpus, dims=64, k=5,
     )
     return out.withColumn("cos", F.round("cos", 6))
@@ -828,7 +834,7 @@ def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = S.unique_by_id(emb, dims=64)  # id-uniqueness boundary
     out = S.knn_ivf_fixed(
-        emb.filter(F.col("vec_id").between(0, 9)).limit(10),
+        S.unique_by_id(emb.filter(F.col("vec_id").between(0, 9)), dims=64).limit(10),
         corpus,
         dims=64,
         k=5,

@@ -832,8 +832,9 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT codes.vec_id, codes.s, cents.cv
       FROM codes JOIN cents ON codes.s = cents.s AND codes.c = cents.c),
     q AS (
-      SELECT vec_id AS query_id, embedding FROM embeddings
-      WHERE vec_id BETWEEN 0 AND 9 AND {_VALID_EMB64}),
+      -- query window deduped by id (r7 review), via the uniq boundary
+      SELECT vec_id AS query_id, embedding FROM uniq
+      WHERE vec_id BETWEEN 0 AND 9),
     dots AS (
       SELECT q.query_id, w.vec_id, w.s,
              list_sum(list_transform(generate_series(1, 8), d ->
@@ -868,7 +869,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = S.unique_by_id(emb, dims=64)
     return S.knn_pq_adc(
-        emb.filter(F.col("vec_id").between(0, 9)).limit(10), corpus,
+        corpus.filter(F.col("vec_id").between(0, 9)).limit(10), corpus,
         dims=64, m=8, ksub=16, k=5
     )
 

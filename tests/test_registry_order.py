@@ -112,7 +112,10 @@ def test_embedding_oracles_state_the_vector_validity_contract():
         "knn_ann_srp": [(dims64, "embedding")],
         "knn_ivf_fixed": [(dims64, "e.embedding")],
         "embedding_pq_codes": [(dims64, "e.embedding")],
-        "knn_pq_adc": [(dims64, "e.embedding"), (dims64, "embedding")],
+        # knn_pq_adc's query CTE reads FROM the uniq boundary (which
+        # carries the e.embedding predicate), so only that spelling
+        # appears (r7 review fix: query window deduped by id).
+        "knn_pq_adc": [(dims64, "e.embedding")],
     }
     missing = []
     for name, specs in expected.items():

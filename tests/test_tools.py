@@ -448,3 +448,54 @@ def test_extreme_audit_fixed_queries_stay_fixed(spark):
     assert set(report) == set(fixed)
     bad = {n: r for n, r in report.items() if r["status"] != "match"}
     assert not bad, f"extreme-value regressions: {bad}"
+
+
+def test_funnel_counts_users_whose_only_signups_are_garbage_time(
+    spark, tmp_path_factory
+):
+    """r7 review finding (reproduced): a user whose ONLY stage-1 events
+    carry out-of-window (NULL-folded) timestamps must NOT count as
+    reaching 'signup' — Spark's count(t1) skips the NULL min, and the
+    oracle's s1 CTE now guards ts IS NOT NULL to match. The generic
+    audits missed it because no sampled user had ALL signups poisoned;
+    this corpus manufactures exactly that user."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from realtime_voting_data_engineering_spark import queries as Q
+    from tests.oracle_harness import compare_query
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path_factory.mktemp("garbage_signup_sf"))
+    for fname in os.listdir(src):
+        if not fname.endswith(".parquet"):
+            continue
+        if fname != "events.parquet":
+            shutil.copy(os.path.join(src, fname), os.path.join(out, fname))
+            continue
+        tbl = pq.read_table(os.path.join(src, fname))
+        # One fresh user whose ONLY signup sits far out of the validity
+        # window (year 2150), plus an in-window view so the user exists
+        # in later stages' scans.
+        unit = tbl.schema.field("ts").type.unit
+        mult = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        extra = pa.table(
+            {
+                "event_id": pa.array([9_000_001, 9_000_002], pa.int64()),
+                "ts": pa.array(
+                    [5_680_000_000 * mult, 1_700_000_000 * mult], pa.int64()
+                ).cast(tbl.schema.field("ts").type),
+                "user_id": pa.array([777_777, 777_777], pa.int64()),
+                "event_type": pa.array(["signup", "view"], pa.string()),
+                "value": pa.array([1.0, 2.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        ).cast(tbl.schema)
+        pq.write_table(pa.concat_tables([tbl, extra]), os.path.join(out, fname))
+
+    spec = Q.REGISTRY["activation_funnel"]
+    compare_query(spark, "activation_funnel", spec.fn, spec.oracle, out)

@@ -70,6 +70,32 @@ TS_EXTREMES_US = (
     -12_219_292_800_000_000,             # 1582-10-15 (Gregorian cutover)
 )
 
+#: A TIMESTAMP(NANOS) column cannot represent most of the µs extremes
+#: (its int64 span is only 1677–2262), and blindly casting the µs
+#: numbers into a ns column would divide every extreme by 1000 and land
+#: them all IN-window — auditing nothing (r7 review finding). The ns
+#: corruption class is the representable boundary instead.
+TS_EXTREMES_NS = (
+    0,                                   # epoch 0
+    -9_223_372_036_854_000_000,          # ~1677-09-21 (ns range floor)
+    9_223_372_036_854_000_000,           # ~2262-04-11 (ns range ceiling)
+    4_611_686_018_427_387_904,           # 2^62 ns ≈ 2116
+    -4_611_686_018_427_387_904,          # ≈ 1823
+)
+
+
+def _ts_extremes_for(unit: str):
+    if unit == "us":
+        return TS_EXTREMES_US
+    if unit == "ns":
+        return TS_EXTREMES_NS
+    if unit == "ms":
+        return tuple(v // 1000 for v in TS_EXTREMES_US)
+    if unit == "s":
+        return tuple(v // 1_000_000 for v in TS_EXTREMES_US)
+    raise ValueError(f"unsupported timestamp unit {unit!r}")
+
+
 VALUE_EXTREMES = (1e308, -1e308, 5e-324, 1.1e12, -1.1e12)
 
 ID_EXTREMES = (
@@ -124,14 +150,15 @@ def poison(sf_dir: str) -> str:
             # ts arrives as datetimes from to_pylist; round-trip via int64
             j = tbl.schema.get_field_index("ts")
             ts_field = tbl.schema.field(j)
-            micros = tbl.column(j).cast(pa.int64()).to_pylist()
+            extremes = _ts_extremes_for(ts_field.type.unit)
+            raw = tbl.column(j).cast(pa.int64()).to_pylist()
             tbl = tbl.set_column(
                 j, ts_field,
                 pa.array(
                     [
                         v if v is None or _draw("events", "ts", i)[0] >= TS_FRACTION
-                        else TS_EXTREMES_US[_draw("events", "ts", i)[1] % len(TS_EXTREMES_US)]
-                        for i, v in enumerate(micros)
+                        else extremes[_draw("events", "ts", i)[1] % len(extremes)]
+                        for i, v in enumerate(raw)
                     ],
                     pa.int64(),
                 ).cast(ts_field.type),
