@@ -98,6 +98,26 @@ ORACLE_VALID_TS = (
 )
 
 
+#: DuckDB mirror of ``dec(col, 18, 6)`` over a poisonable double (r7
+#: extreme audit, refined by the conversion-parity probe): DuckDB's
+#: NATIVE double→DECIMAL cast multiplies by 10^scale in floating point
+#: and rounds on the double grid, diverging from Spark's
+#: shortest-decimal-string HALF_UP conversion — at half-boundaries at
+#: ANY magnitude (17.0000005 → 17.000000 vs Spark's 17.000001) and
+#: everywhere above 2^53/10^6 ≈ 9e9. The VARCHAR round-trip replays
+#: Spark's string conversion exactly; the one place IT breaks is
+#: extreme-exponent scientific notation (DuckDB parses '5e-324' as
+#: ±0.000001), which the abs() < 1e-9 arm pins to the 0.000000 Spark
+#: produces — an explicit 0, not NULL, so an all-tiny group still SUMs
+#: to zero on both sides. Pinned empirically by
+#: tests/test_harness_sensitivity.py::test_double_to_decimal_conversion_parity_at_the_divergence_window.
+ORACLE_DEC_VALUE = (
+    "CASE WHEN NOT isfinite({col}) THEN NULL "
+    "WHEN abs({col}) < 1e-9 THEN CAST(0 AS DECIMAL(18,6)) "
+    "ELSE TRY_CAST(CAST({col} AS VARCHAR) AS DECIMAL(18,6)) END"
+)
+
+
 #: The whole-table oracle mirror of ``sources.tables.load_events``:
 #: oracles over time-consuming queries open with ``WITH {ORACLE_EV_CTE}``
 #: and read ``ev`` wherever the Spark side reads ``load_events`` (CTE
@@ -139,7 +159,9 @@ def dec(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     1e308 passes the finiteness fold but overflows the decimal domain,
     and the ANSI cast would again kill the job on one bad row.
     try_cast folds out-of-domain values to NULL identically in both
-    engines (oracles over poisonable columns use ``TRY_CAST``; no
+    engines (oracles over poisonable columns use ``ORACLE_DEC_VALUE``,
+    which ALSO replays Spark's string-based rounding exactly — see that
+    constant's half-boundary note; no
     representable double lands in the rounding half-ulp at the domain
     edge, so the engines cannot disagree there). Both guards are no-ops
     on contract-clean decimal columns (TPC-H money), whose unguarded

@@ -91,7 +91,7 @@ def _revenue_expr():
     """
     SELECT event_type,
            count(*) AS total_votes,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(SUM(CASE WHEN NOT isfinite(value) THEN NULL WHEN abs(value) < 1e-9 THEN CAST(0 AS DECIMAL(18,6)) ELSE TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -312,7 +312,7 @@ def scalar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS hour,
            event_type,
            count(*) AS n_events,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(SUM(CASE WHEN NOT isfinite(value) THEN NULL WHEN abs(value) < 1e-9 THEN CAST(0 AS DECIMAL(18,6)) ELSE TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
     FROM ev
     GROUP BY 1, 2
     """,

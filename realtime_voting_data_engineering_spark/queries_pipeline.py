@@ -181,7 +181,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {ORACLE_EV_CTE},
     h AS (
       SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
-             SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS dv
+             SUM(CASE WHEN NOT isfinite(value) THEN NULL WHEN abs(value) < 1e-9 THEN CAST(0 AS DECIMAL(18,6)) ELSE TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) END) AS dv
       FROM ev GROUP BY 1),
     d AS (
       SELECT date_trunc('day', bucket) AS bucket,
@@ -359,7 +359,7 @@ def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_event_totals",
     """
     SELECT event_type, count(*) AS n_events,
-           CAST(SUM(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+           CAST(SUM(CASE WHEN NOT isfinite(value) THEN NULL WHEN abs(value) < 1e-9 THEN CAST(0 AS DECIMAL(18,6)) ELSE TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
     """,
     tags=("agg", "skew", "pipeline"),

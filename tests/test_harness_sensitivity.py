@@ -149,3 +149,59 @@ def test_detects_null_vs_value(spark):
         compare_query(
             spark, "mut_null", fn, "SELECT CAST(0 AS BIGINT) AS v FROM region", SF
         )
+
+
+def test_double_to_decimal_conversion_parity_at_the_divergence_window(spark):
+    """Engine-conversion pin (r7): DuckDB's native double→DECIMAL cast
+    multiplies by 10^scale in FLOATING POINT and rounds on the double
+    grid (spacing 128 at 1e18), silently diverging from Spark's
+    shortest-decimal-string conversion for |v| > 2^53/10^scale ≈ 9.0e9
+    — inside the DECIMAL(18,6) domain, so the isfinite/try_cast guards
+    never fire. Oracles mirror Spark with a VARCHAR round-trip
+    (TRY_CAST(CAST(x AS VARCHAR) AS DECIMAL)); this test walks ulps
+    around the domain edge and the divergence window through BOTH
+    paths and (a) proves the native path really diverges (the test
+    would be vacuous otherwise), (b) proves the VARCHAR path is exact."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    cands = []
+    for base in (1e12, -1e12, 999999999999.999999, 9.1e9,
+                 12345678901.234567, 5e11):
+        x = base
+        for _ in range(4):
+            x = float(np.nextafter(x, -np.inf))
+            cands.append(x)
+        cands.append(float(base))
+    con = duckdb.connect()
+    native = [
+        con.execute(
+            "SELECT TRY_CAST(? AS DECIMAL(18,6))", [c]
+        ).fetchone()[0]
+        for c in cands
+    ]
+    via_str = [
+        con.execute(
+            "SELECT TRY_CAST(CAST(? AS VARCHAR) AS DECIMAL(18,6))", [c]
+        ).fetchone()[0]
+        for c in cands
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cands)], "i long, v double"
+    )
+    spark_vals = [
+        r.d
+        for r in df.select(
+            "i", F.col("v").try_cast("decimal(18,6)").alias("d")
+        ).orderBy("i").collect()
+    ]
+    assert any(a != b for a, b in zip(native, spark_vals)), (
+        "native DuckDB path no longer diverges — simplify the oracles"
+    )
+    mismatches = [
+        (c, s, d)
+        for c, s, d in zip(cands, spark_vals, via_str)
+        if s != d
+    ]
+    assert not mismatches, mismatches[:5]

@@ -158,3 +158,29 @@ def test_time_consuming_oracles_state_the_event_time_boundary():
         if ORACLE_EV_CTE not in Q.REGISTRY[name].oracle
     ]
     assert not missing, f"oracles missing the ev time-boundary CTE: {missing}"
+
+
+def test_decimal_value_oracles_use_the_exact_conversion_mirror():
+    """The five oracles summing a poisonable double through
+    DECIMAL(18,6) must use ORACLE_DEC_VALUE (the VARCHAR-round-trip
+    conversion that replays Spark's string-based HALF_UP exactly) — the
+    native DuckDB double→DECIMAL cast diverges at half-boundaries and
+    above 2^53/10^6 (r7 conversion-parity probe, pinned empirically in
+    tests/test_harness_sensitivity.py)."""
+    from realtime_voting_data_engineering_spark.functions.scalar import (
+        ORACLE_DEC_VALUE,
+    )
+
+    expected = {
+        "votes_per_candidate": "value",
+        "hourly_vote_counts": "value",
+        "salted_event_totals": "value",
+        "event_rollup_multires": "value",
+        "purchases_after_error": "p.value",
+    }
+    missing = [
+        name
+        for name, col in expected.items()
+        if ORACLE_DEC_VALUE.format(col=col) not in Q.REGISTRY[name].oracle
+    ]
+    assert not missing, f"oracles missing ORACLE_DEC_VALUE: {missing}"

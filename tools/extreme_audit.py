@@ -96,7 +96,17 @@ def _ts_extremes_for(unit: str):
     raise ValueError(f"unsupported timestamp unit {unit!r}")
 
 
-VALUE_EXTREMES = (1e308, -1e308, 5e-324, 1.1e12, -1.1e12)
+#: 12345678901.234567 sits in the double->DECIMAL(18,6) divergence
+#: window (|v| > 2^53/10^6 ≈ 9.0e9 but inside the decimal domain):
+#: DuckDB's native conversion multiplies by 10^scale in FLOATING POINT
+#: and rounds to the double grid (spacing 128 at 1e18) where Spark
+#: converts via the shortest decimal string (exact) — a real silent
+#: divergence this probe value permanently catches; oracles mirror
+#: Spark with TRY_CAST(CAST(x AS VARCHAR) AS DECIMAL(...)).
+VALUE_EXTREMES = (
+    1e308, -1e308, 5e-324, 1.1e12, -1.1e12,
+    12345678901.234567, -98765432109.87654,
+)
 
 ID_EXTREMES = (
     9_223_372_036_854_775_807,           # int64 max
