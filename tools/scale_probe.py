@@ -304,6 +304,10 @@ def probe_emb(sf_dir: str, factors: list[int]) -> list[dict]:
             # Corpus-linear serving paths, lin regime only (a dup farm
             # changes WHICH rows fill the cells, not the plan shape).
             sec, out = timed(
+                lambda: S.unique_by_id(emb, dims=EMB_DIMS).count()
+            )
+            record("uniq_boundary", k, sec, out)
+            sec, out = timed(
                 lambda: S.knn_ivf_fixed(queries, emb, EMB_DIMS).count()
             )
             record("ivf_topk", k, sec, out)
