@@ -618,14 +618,14 @@ def knn_ivf(
     q_rows = queries.select(id_col, vec_col).collect()  # |Q| small by contract
     probe_rows = []
     for r in q_rows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        d2 = ((cent - qv) ** 2).sum(axis=1)
         if r[0] is None:
             # A NULL-id query can produce no output anywhere (the
             # self-match filter null-propagates and drops every
-            # candidate), so building and broadcasting its probe rows
-            # is pure dead work — skip, don't carry (r7 review).
+            # candidate), so its distance math AND probe rows are pure
+            # dead work — skip before computing anything (r7 review).
             continue
+        qv = np.asarray(r[1], dtype=np.float64)
+        d2 = ((cent - qv) ** 2).sum(axis=1)
         for c in np.argsort(d2, kind="stable")[:nprobe]:
             probe_rows.append((int(r[0]), [float(v) for v in r[1]], int(c)))
     probes = queries.sparkSession.createDataFrame(
@@ -734,6 +734,8 @@ def knn_ivf_fixed(
     q_rows = queries.select(id_col, vec_col).collect()  # |Q| small by contract
     probe_rows = []
     for r in q_rows:
+        if r[0] is None:
+            continue  # NULL-id query: zero possible output, skip entirely
         qv = [float(v) for v in r[1]]
         d2 = []
         for c in range(n_centroids):
@@ -742,8 +744,6 @@ def knn_ivf_fixed(
                 diff = qv[d] - float(cent[c, d])
                 acc = acc + diff * diff
             d2.append(acc)
-        if r[0] is None:
-            continue  # NULL-id query: zero possible output, skip probes
         for c in sorted(range(n_centroids), key=lambda i: (d2[i], i))[:nprobe]:
             probe_rows.append((int(r[0]), qv, int(c)))
     probes = queries.sparkSession.createDataFrame(

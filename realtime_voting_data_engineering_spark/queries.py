@@ -27,7 +27,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realtime_voting_data_engineering_spark.functions.scalar import ORACLE_EV_CTE, dec
+from realtime_voting_data_engineering_spark.functions.scalar import (
+    ORACLE_DEC_VALUE,
+    ORACLE_EV_CTE,
+    dec,
+)
 from realtime_voting_data_engineering_spark.operators import relational as R
 from realtime_voting_data_engineering_spark.sources.tables import (
     load_events,
@@ -88,10 +92,10 @@ def _revenue_expr():
 
 @register(
     "votes_per_candidate",
-    """
+    f"""
     SELECT event_type,
            count(*) AS total_votes,
-           CAST(SUM(CASE WHEN NOT isfinite(value) THEN NULL WHEN abs(value) < 1e-9 THEN CAST(0 AS DECIMAL(18,6)) ELSE TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
+           CAST(SUM({ORACLE_DEC_VALUE.format(col='value')}) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -312,7 +316,7 @@ def scalar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS hour,
            event_type,
            count(*) AS n_events,
-           CAST(SUM(CASE WHEN NOT isfinite(value) THEN NULL WHEN abs(value) < 1e-9 THEN CAST(0 AS DECIMAL(18,6)) ELSE TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
+           CAST(SUM({ORACLE_DEC_VALUE.format(col='value')}) AS DOUBLE) AS total_value
     FROM ev
     GROUP BY 1, 2
     """,

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realtime_voting_data_engineering_spark.functions.scalar import (
+    ORACLE_DEC_VALUE,
     ORACLE_EV_CTE,
     dec,
     finite_or_null,
@@ -1043,7 +1044,7 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts AS pts, value
       FROM ev WHERE event_type = 'purchase')
     SELECT e.error_id, count(*) AS n_purchases,
-           CAST(SUM(CASE WHEN NOT isfinite(p.value) THEN NULL WHEN abs(p.value) < 1e-9 THEN CAST(0 AS DECIMAL(18,6)) ELSE TRY_CAST(CAST(p.value AS VARCHAR) AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase_value
+           CAST(SUM({ORACLE_DEC_VALUE.format(col='p.value')}) AS DOUBLE) AS purchase_value
     FROM p JOIN e
       ON p.user_id = e.user_id AND p.pts >= e.w_start AND p.pts <= e.w_end
     GROUP BY e.error_id

@@ -756,8 +756,11 @@ def knn_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole bucket→re-rank→top-k pipeline like the near-dup SRP query's."""
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = S.unique_by_id(emb, dims=64)  # id-uniqueness boundary
+    # query window from the SAME deduped frame (filter on the dedup
+    # window's partition key commutes, and it avoids a second
+    # validity+row_number pass — r7 review)
     out = S.knn_ann(
-        S.unique_by_id(emb.filter(F.col("vec_id").between(0, 9)), dims=64).limit(10),
+        corpus.filter(F.col("vec_id").between(0, 9)).limit(10),
         corpus, dims=64, k=5,
     )
     return out.withColumn("cos", F.round("cos", 6))
@@ -834,7 +837,7 @@ def knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = S.unique_by_id(emb, dims=64)  # id-uniqueness boundary
     out = S.knn_ivf_fixed(
-        S.unique_by_id(emb.filter(F.col("vec_id").between(0, 9)), dims=64).limit(10),
+        corpus.filter(F.col("vec_id").between(0, 9)).limit(10),  # same frame
         corpus,
         dims=64,
         k=5,

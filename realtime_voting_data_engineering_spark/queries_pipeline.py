@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_voting_data_engineering_spark.functions.scalar import (
+    ORACLE_DEC_VALUE,
     ORACLE_EV_CTE,
     dec,
 )
@@ -181,7 +182,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {ORACLE_EV_CTE},
     h AS (
       SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
-             SUM(CASE WHEN NOT isfinite(value) THEN NULL WHEN abs(value) < 1e-9 THEN CAST(0 AS DECIMAL(18,6)) ELSE TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) END) AS dv
+             SUM({ORACLE_DEC_VALUE.format(col='value')}) AS dv
       FROM ev GROUP BY 1),
     d AS (
       SELECT date_trunc('day', bucket) AS bucket,
@@ -357,9 +358,9 @@ def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "salted_event_totals",
-    """
+    f"""
     SELECT event_type, count(*) AS n_events,
-           CAST(SUM(CASE WHEN NOT isfinite(value) THEN NULL WHEN abs(value) < 1e-9 THEN CAST(0 AS DECIMAL(18,6)) ELSE TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) END) AS DOUBLE) AS total_value
+           CAST(SUM({ORACLE_DEC_VALUE.format(col='value')}) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
     """,
     tags=("agg", "skew", "pipeline"),

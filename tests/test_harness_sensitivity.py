@@ -166,14 +166,24 @@ def test_double_to_decimal_conversion_parity_at_the_divergence_window(spark):
     import numpy as np
     from pyspark.sql import functions as F
 
+    import random
+
     cands = []
     for base in (1e12, -1e12, 999999999999.999999, 9.1e9,
-                 12345678901.234567, 5e11):
+                 12345678901.234567, 5e11,
+                 # the small-magnitude scientific-notation region: DuckDB's
+                 # decimal parse of '5e-08'-style strings rounds by leading
+                 # mantissa digit (second review pass caught the guard at
+                 # 1e-9 missing [1e-9, 1e-7)); the widened 1e-7 arm must
+                 # cover every such value
+                 5e-8, -5e-8, 7.7e-9, 9.99e-8, 1.5e-7, 4.999995e-7):
         x = base
         for _ in range(4):
             x = float(np.nextafter(x, -np.inf))
             cands.append(x)
         cands.append(float(base))
+    random.seed(31)
+    cands += [random.uniform(-1e-6, 1e-6) for _ in range(2000)]
     con = duckdb.connect()
     native = [
         con.execute(
@@ -181,10 +191,13 @@ def test_double_to_decimal_conversion_parity_at_the_divergence_window(spark):
         ).fetchone()[0]
         for c in cands
     ]
+    from realtime_voting_data_engineering_spark.functions.scalar import (
+        ORACLE_DEC_VALUE,
+    )
+
+    mirror = ORACLE_DEC_VALUE.format(col="?")  # {col} appears 3 times
     via_str = [
-        con.execute(
-            "SELECT TRY_CAST(CAST(? AS VARCHAR) AS DECIMAL(18,6))", [c]
-        ).fetchone()[0]
+        con.execute(f"SELECT {mirror}", [c] * mirror.count("?")).fetchone()[0]
         for c in cands
     ]
     df = spark.createDataFrame(

@@ -50,6 +50,7 @@ def test_emb_probe_runs_and_reports_all_ops(spark, sf_smoke):
         "srp_verify_lin",
         "srp_cands_dupfarm",
         "srp_verify_dupfarm",
+        "uniq_boundary",
         "ivf_topk",
         "pq_encode",
         "knn_quantized",
@@ -65,6 +66,8 @@ def test_emb_probe_runs_and_reports_all_ops(spark, sf_smoke):
     assert by[("srp_verify_lin", 2)]["rows"] < 0.5 * n_base
     # PQ encode emits exactly one code row per valid vector.
     assert by[("pq_encode", 2)]["rows"] == 2 * n_base
+    # The id-uniqueness boundary passes every distinct-id row through.
+    assert by[("uniq_boundary", 2)]["rows"] == 2 * n_base
     # Fixed query set: top-k row count is |Q|·k, corpus-size-invariant.
     assert by[("ivf_topk", 1)]["rows"] == by[("ivf_topk", 2)]["rows"]
     assert all(r["sec"] >= 0 for r in results)
@@ -463,7 +466,6 @@ def test_funnel_counts_users_whose_only_signups_are_garbage_time(
     import shutil
 
     import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from realtime_voting_data_engineering_spark import queries as Q
