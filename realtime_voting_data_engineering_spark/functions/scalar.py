@@ -121,6 +121,30 @@ ORACLE_DEC_VALUE = (
 )
 
 
+#: The REVERSE conversion mirror (found by tools/fuzz_audit.py seed 2/3
+#: on the rollup cascade): DuckDB's NATIVE DECIMAL→DOUBLE cast converts
+#: the scaled int128 to double and THEN divides by 10^scale — two
+#: roundings, off by one ulp from the correctly-rounded conversion on
+#: ~13% of random decimals whose scaled integer exceeds 2^53 (|v| >
+#: 9e9 at scale 6; measured 2691/20001). Spark's Decimal→double
+#: (BigDecimal) is correctly rounded (0/5001 vs Python's exact
+#: conversion). The VARCHAR route is exact on both engines: a
+#: DECIMAL's string render is exact, and string→double parse is
+#: correctly rounded (0/20001). A 1-ulp error at 1e11 is ~1.5e-5 —
+#: invisible in any single rendered value but visible after one more
+#: aggregation level, which is exactly how the rollup cascade exposed
+#: it. Use for every decimal-aggregate → DOUBLE cast in oracle SQL.
+#: Pinned empirically by tests/test_harness_sensitivity.py::
+#: test_decimal_to_double_conversion_parity.
+ORACLE_DEC_TO_DOUBLE = "CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
+def odbl(expr: str) -> str:
+    """Oracle-SQL helper: render ``expr`` (a DECIMAL aggregate) as the
+    exactly-Spark-rounded DOUBLE via the VARCHAR route."""
+    return ORACLE_DEC_TO_DOUBLE.format(expr=expr)
+
+
 #: The whole-table oracle mirror of ``sources.tables.load_events``:
 #: oracles over time-consuming queries open with ``WITH {ORACLE_EV_CTE}``
 #: and read ``ev`` wherever the Spark side reads ``load_events`` (CTE

@@ -31,6 +31,7 @@ from realtime_voting_data_engineering_spark.functions.scalar import (
     ORACLE_DEC_VALUE,
     ORACLE_EV_CTE,
     dec,
+    odbl,
 )
 from realtime_voting_data_engineering_spark.operators import relational as R
 from realtime_voting_data_engineering_spark.sources.tables import (
@@ -72,7 +73,9 @@ def _sum_dec_double(col, alias: str, precision: int = 18, scale: int = 2):
     return F.sum(dec(col, precision, scale)).cast("double").alias(alias)
 
 
-_REVENUE_SQL = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+_REVENUE_SQL = odbl(
+    "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))"
+)
 
 
 def _revenue_expr():
@@ -95,7 +98,7 @@ def _revenue_expr():
     f"""
     SELECT event_type,
            count(*) AS total_votes,
-           CAST(SUM({ORACLE_DEC_VALUE.format(col='value')}) AS DOUBLE) AS total_value
+           CAST(CAST(SUM({ORACLE_DEC_VALUE.format(col='value')}) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -247,7 +250,7 @@ def assigned_candidate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            count(*) AS n_voters,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*)
                AS avg_acctbal
     FROM customer
     GROUP BY c_mktsegment
@@ -316,7 +319,7 @@ def scalar_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS hour,
            event_type,
            count(*) AS n_events,
-           CAST(SUM({ORACLE_DEC_VALUE.format(col='value')}) AS DOUBLE) AS total_value
+           CAST(CAST(SUM({ORACLE_DEC_VALUE.format(col='value')}) AS VARCHAR) AS DOUBLE) AS total_value
     FROM ev
     GROUP BY 1, 2
     """,
@@ -378,17 +381,17 @@ def parse_vote_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                AS sum_base_price,
            {_REVENUE_SQL} AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-               AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+               AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*)
                AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*)
                AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*)
                AS avg_disc,
            count(*) AS count_order
     FROM lineitem
@@ -523,7 +526,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT p_brand,
            {_REVENUE_SQL} AS revenue,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty,
            count(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand

@@ -237,7 +237,7 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -276,7 +276,7 @@ def event_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_revenue",
     """
     SELECT o_orderstatus, o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -539,11 +539,10 @@ def purchase_with_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_revenue_per_customer",
     """
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate NULLS FIRST, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_total,
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total,
            rank() OVER (PARTITION BY o_custkey
                         ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)
                AS price_rank
@@ -1044,7 +1043,7 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts AS pts, value
       FROM ev WHERE event_type = 'purchase')
     SELECT e.error_id, count(*) AS n_purchases,
-           CAST(SUM({ORACLE_DEC_VALUE.format(col='p.value')}) AS DOUBLE) AS purchase_value
+           CAST(CAST(SUM({ORACLE_DEC_VALUE.format(col='p.value')}) AS VARCHAR) AS DOUBLE) AS purchase_value
     FROM p JOIN e
       ON p.user_id = e.user_id AND p.pts >= e.w_start AND p.pts <= e.w_end
     GROUP BY e.error_id

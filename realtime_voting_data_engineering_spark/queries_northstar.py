@@ -876,9 +876,9 @@ doc AS (
              AS std_value
   FROM px)
 SELECT kind, count(*) AS n_media,
-       round(CAST(SUM(CAST(mean_value AS DECIMAL(18,12))) AS DOUBLE)
+       round(CAST(CAST(SUM(CAST(mean_value AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE)
              / count(*), 6) AS avg_mean_value,
-       round(CAST(SUM(CAST(std_value AS DECIMAL(18,12))) AS DOUBLE)
+       round(CAST(CAST(SUM(CAST(std_value AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE)
              / count(*), 6) AS avg_std_value
 FROM doc GROUP BY kind
 """

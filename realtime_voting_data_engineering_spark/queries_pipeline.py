@@ -193,9 +193,9 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(n) AS BIGINT) AS n, SUM(dv) AS dv
       FROM d GROUP BY 1)
     SELECT 'hour' AS resolution, bucket, n AS n_events,
-           CAST(dv AS DOUBLE) AS total_value FROM h
-    UNION ALL SELECT 'day', bucket, n, CAST(dv AS DOUBLE) FROM d
-    UNION ALL SELECT 'week', bucket, n, CAST(dv AS DOUBLE) FROM w
+           CAST(CAST(dv AS VARCHAR) AS DOUBLE) AS total_value FROM h
+    UNION ALL SELECT 'day', bucket, n, CAST(CAST(dv AS VARCHAR) AS DOUBLE) FROM d
+    UNION ALL SELECT 'week', bucket, n, CAST(CAST(dv AS VARCHAR) AS DOUBLE) FROM w
     """,
     headline=True,  # new operator class: hierarchical rollup cascade
     tags=("rollup", "window-time", "pipeline"),
@@ -360,7 +360,7 @@ def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_event_totals",
     f"""
     SELECT event_type, count(*) AS n_events,
-           CAST(SUM({ORACLE_DEC_VALUE.format(col='value')}) AS DOUBLE) AS total_value
+           CAST(CAST(SUM({ORACLE_DEC_VALUE.format(col='value')}) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
     """,
     tags=("agg", "skew", "pipeline"),

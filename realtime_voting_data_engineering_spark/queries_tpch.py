@@ -38,8 +38,7 @@ def _ts(lit: str):
 @register(
     "q6_forecast_revenue",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
-               AS DOUBLE) AS revenue
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -239,11 +238,11 @@ def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     """
-    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+    SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-               AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue_pct
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01'
       AND l_shipdate <  TIMESTAMP '1997-04-01'
@@ -314,12 +313,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_qty_revenue",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / 7.0
                AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
       AND l_quantity < (
-        SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        SELECT 0.2 * (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                       / count(*))
         FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
     """,
@@ -352,7 +351,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     """
     SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM customer
     JOIN orders   ON c_custkey  = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -447,9 +446,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01')
     SELECT o_year,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol
-                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-           / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS mkt_share
     FROM all_sales
     GROUP BY o_year
     """,
@@ -498,9 +497,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_margin_by_nation_year",
     """
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                          - p_retailprice * l_quantity * 0.05
-                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_margin
+                         AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_margin
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN supplier ON s_suppkey  = l_suppkey
@@ -600,12 +599,12 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_high_balance",
     """
     WITH avg_bal AS (
-        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                / count(*) AS v
         FROM customer WHERE c_acctbal > 0.0)
     SELECT c_nationkey,
            count(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT v FROM avg_bal)
       AND NOT EXISTS (
@@ -638,8 +637,8 @@ def q22_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH unit AS (
         SELECT l_partkey, l_suppkey,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                    AS unit_price
         FROM lineitem
         GROUP BY l_partkey, l_suppkey),
@@ -692,10 +691,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH shipped AS (
         SELECT l_suppkey,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
-               CAST(SUM(CASE WHEN p_type = 'PROMO'
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_qty,
+               CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                              THEN CAST(l_quantity AS DECIMAL(18,2))
-                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
                    AS promo_qty
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -799,9 +798,9 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n_name = 'NATION_7'),
     per_part AS (
       SELECT l_partkey AS ps_partkey,
-             CAST(SUM(v) AS DOUBLE) AS part_value
+             CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS part_value
       FROM natline GROUP BY 1),
-    total AS (SELECT CAST(SUM(v) AS DOUBLE) AS t FROM natline)
+    total AS (SELECT CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS t FROM natline)
     SELECT ps_partkey, part_value
     FROM per_part, total
     WHERE part_value > t * 0.001

@@ -279,3 +279,60 @@ def test_round6_parity_bound_random_clean_crafted_diverges(spark):
         "crafted half-boundaries no longer diverge — re-measure and "
         "simplify the SCALE.md residual-risk note"
     )
+
+
+def test_decimal_to_double_conversion_parity(spark):
+    """The REVERSE engine-conversion pin (r7, found by the fuzz audit on
+    the rollup cascade): DuckDB's native DECIMAL→DOUBLE cast converts
+    the scaled int128 to double and THEN divides by 10^scale — two
+    roundings, 1 ulp off the correctly-rounded conversion on ~13% of
+    random decimals whose scaled integer exceeds 2^53. Spark's
+    Decimal→double is correctly rounded. Oracles therefore render
+    decimal aggregates via the VARCHAR route (decimal→string is exact,
+    string→double is correctly rounded). This test proves, on the
+    found divergence value plus random decimals across the window:
+    (a) the native DuckDB path really diverges (else the mirror is
+    dead weight), (b) the VARCHAR path matches Python's correctly
+    rounded conversion exactly, and (c) Spark's cast agrees with it."""
+    import random
+    from decimal import Decimal
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    random.seed(17)
+    cases = ["-98765421202.636540"]  # the fuzz-audit seed-3 find
+    for _ in range(4000):
+        mag = random.choice([1e10, 1e11, 1e12 / 1.1])
+        cases.append(
+            str(Decimal(random.randint(int(-mag * 1e6), int(mag * 1e6)))
+                / Decimal(10**6))
+        )
+    con = duckdb.connect()
+    native_bad = varchar_bad = 0
+    for s in cases:
+        py = float(Decimal(s))
+        nat = con.execute(
+            "SELECT CAST(CAST(? AS DECIMAL(38,6)) AS DOUBLE)", [s]
+        ).fetchone()[0]
+        via = con.execute(
+            "SELECT CAST(CAST(CAST(? AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)",
+            [s],
+        ).fetchone()[0]
+        native_bad += nat != py
+        varchar_bad += via != py
+    con.close()
+    # (a) native path diverges on a nontrivial share (~13% measured)
+    assert native_bad > len(cases) * 0.05, (
+        f"native decimal→double only diverged {native_bad}/{len(cases)} — "
+        "if DuckDB fixed its cast, the VARCHAR mirror may be retired"
+    )
+    # (b) VARCHAR route is exact
+    assert varchar_bad == 0, f"VARCHAR route diverged {varchar_bad} times"
+    # (c) Spark's decimal→double cast is the correctly-rounded one
+    df = spark.createDataFrame([(s,) for s in cases[:500]], "s string")
+    out = df.select(
+        "s", F.col("s").cast("decimal(38,6)").cast("double").alias("d")
+    ).collect()
+    spark_bad = [r for r in out if r[1] != float(Decimal(r[0]))]
+    assert not spark_bad, f"Spark decimal→double diverged: {spark_bad[:3]}"

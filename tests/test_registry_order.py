@@ -184,3 +184,85 @@ def test_decimal_value_oracles_use_the_exact_conversion_mirror():
         if ORACLE_DEC_VALUE.format(col=col) not in Q.REGISTRY[name].oracle
     ]
     assert not missing, f"oracles missing ORACLE_DEC_VALUE: {missing}"
+
+
+def test_no_native_decimal_to_double_casts_in_oracles():
+    """Registry-wide lint for the REVERSE conversion (r7 fuzz-audit
+    find): DuckDB's native DECIMAL→DOUBLE cast double-rounds (int128 →
+    double, then divide by 10^scale) and lands 1 ulp off Spark's
+    correctly-rounded conversion whenever the scaled integer exceeds
+    2^53 — invisible in a rendered value, visible after one more
+    aggregation level (the rollup cascade's week row exposed it).
+    Every decimal-aggregate rendered as DOUBLE in an oracle must go
+    through the VARCHAR route (``CAST(CAST(x AS VARCHAR) AS DOUBLE)``,
+    pinned empirically by tests/test_harness_sensitivity.py::
+    test_decimal_to_double_conversion_parity). This scanner replays the
+    detection rule the r7 sweep used: flag ``CAST(<decimal-agg> AS
+    DOUBLE)`` where the inner expression is a decimal SUM or a known
+    decimal-CTE alias, unless already VARCHAR-routed."""
+    import re
+
+    as_double = re.compile(r"\s+AS\s+DOUBLE\s*\)")
+    dec_aliases = {"dv", "SUM(v)", "SUM(vol)", "SUM(dv)"}
+
+    def native_decimal_casts(sql: str) -> list[str]:
+        found = []
+        i = 0
+        while True:
+            j = sql.find("CAST(", i)
+            if j < 0:
+                return found
+            k, depth = j + 5, 1
+            end = None
+            while k < len(sql):
+                c = sql[k]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif depth == 1:
+                    m = as_double.match(sql, k)
+                    if m:
+                        end = k
+                        break
+                k += 1
+            if end is None:
+                i = j + 5
+                continue
+            inner = sql[j + 5 : end].strip()
+            low = inner.lower()
+            is_decimal_agg = (
+                low.startswith("sum(cast(")
+                or (low.startswith("sum(case") and "DECIMAL" in inner)
+                or inner in dec_aliases
+            )
+            # VARCHAR-routed form: inner itself ends with "AS VARCHAR"
+            if is_decimal_agg and not low.rstrip().endswith("as varchar)"):
+                found.append(" ".join(inner.split())[:80])
+            i = end
+        return found
+
+    # Meta-check (the harness-review rule: every detector must fire):
+    # the scanner flags both the agg and alias forms and stays quiet on
+    # the VARCHAR-routed form, else the registry sweep below is vacuous.
+    assert native_decimal_casts(
+        "CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)"
+    ), "scanner failed to flag a native decimal-agg cast"
+    assert native_decimal_casts("CAST(dv AS DOUBLE)"), (
+        "scanner failed to flag a decimal-alias cast"
+    )
+    assert not native_decimal_casts(
+        "CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
+    ), "scanner wrongly flags the VARCHAR-routed form"
+
+    bad = {
+        name: hits
+        for name, spec in Q.REGISTRY.items()
+        if spec.oracle and (hits := native_decimal_casts(spec.oracle))
+    }
+    assert not bad, (
+        f"oracles using DuckDB's native decimal→double cast: {bad} — "
+        "route through CAST(CAST(... AS VARCHAR) AS DOUBLE)"
+    )

@@ -501,3 +501,77 @@ def test_funnel_counts_users_whose_only_signups_are_garbage_time(
 
     spec = Q.REGISTRY["activation_funnel"]
     compare_query(spark, "activation_funnel", spec.fn, spec.oracle, out)
+
+
+def test_fuzz_audit_poison_is_a_row_set_preserving_pair():
+    """The fuzz audit's corpus pair must be a TRUE invariance fixture:
+    the Spark side (permuted + split) and the oracle side (single file)
+    must contain the SAME row multiset, and the seed must actually
+    inject the two classes this audit owns registry-wide — duplicate
+    rows (hot-key skew included) and mutated cells. A silently-broken
+    generator would green-light every query on effectively-clean data
+    (the meta-testing rule the r7 harness review established)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tools import fuzz_audit
+
+    spark_dir, oracle_dir = fuzz_audit.poison("/root/testdata/sf0.001", seed=7)
+    for fname in sorted(os.listdir(oracle_dir)):
+        otbl = pq.read_table(os.path.join(oracle_dir, fname))
+        spath = os.path.join(spark_dir, fname)
+        stbl = (
+            pq.read_table(spath)  # handles both file and part-dir layouts
+        )
+        assert len(otbl) == len(stbl), fname
+        # Row-multiset equality via sorted canonical tuples. Timestamps
+        # go through int64: the injected extremes (year ~38503) overflow
+        # Python datetime in to_pylist.
+        def canon(tbl):
+            import pyarrow as pa
+
+            cols = []
+            for i in range(tbl.num_columns):
+                col = tbl.column(i)
+                if pa.types.is_timestamp(col.type):
+                    col = col.cast(pa.int64())
+                cols.append(col.to_pylist())
+            return sorted(
+                tuple(str(c[r]) for c in cols) for r in range(len(tbl))
+            )
+
+        assert canon(otbl) == canon(stbl), f"{fname}: row sets differ"
+
+    ev = pq.read_table(os.path.join(oracle_dir, "events.parquet"))
+    base = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    assert len(ev) > len(base), "duplicate-row injection produced nothing"
+    assert ev.column("value").null_count > 0, "no NULLs injected"
+    # Hot-key skew: some event_id must appear far more often than the
+    # duplication multiplier alone (20-60x hot replication).
+    import collections
+
+    counts = collections.Counter(ev.column("event_id").to_pylist())
+    assert counts.most_common(1)[0][1] >= 20, "hot-key skew missing"
+
+
+def test_fuzz_audit_representative_queries_match_on_seeded_corpus(spark):
+    """One seed, one representative query per family the fuzz audit's
+    new adversary classes (verbatim duplicate rows at registry scope,
+    text-content mutation) stress hardest: exact-dedup totality,
+    fingerprint set-semantics, pagination under duplicated identical
+    rows, grouped aggregates under hot-key skew, and a vector family
+    under duplicated + ragged embeddings."""
+    from tools import fuzz_audit
+
+    names = [
+        "dedup_votes_exact",
+        "doc_fingerprint_clusters",
+        "voter_pagination",
+        "votes_per_candidate",
+        "knn_cosine_topk",
+    ]
+    report = fuzz_audit.audit("/root/testdata/sf0.001", seed=11, only=names)
+    assert set(report) == set(names)
+    bad = {n: r for n, r in report.items() if r["status"] != "match"}
+    assert not bad, f"fuzz-audit regressions: {bad}"
