@@ -426,6 +426,17 @@ def connected_components(
     # near_dup_clusters 2.34s (r6 driver) → 2.04-2.18s (r7 pre-flights)
     # and the 16× scale-probe minhash leg 9.3× → 3.2×, so lazy wins in
     # practice on both the probe path and the query path.
+    #
+    # API PRECONDITION (r7 advice): the race above is CORRECT only
+    # because ``pairs`` must be a DETERMINISTIC plan — every candidate
+    # generator in this repo (MinHash bands, SimHash buckets, shingle
+    # joins, seeded samplers) recomputes to the identical pair set, so
+    # whichever branch wins the cache populates the same rows. A
+    # NONDETERMINISTIC pairs input (unseeded sampling, rand()-salted
+    # candidates) could cache divergent pair sets per branch and
+    # silently corrupt components. Callers handing in such a plan must
+    # materialize it themselves (eager localCheckpoint / write+read)
+    # before calling; this function assumes plan determinism.
     pairs = pairs.localCheckpoint(eager=False)
     if method == "star":
         return _connected_components_star(pairs, id_a, id_b, max_iter)

@@ -73,6 +73,32 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k documents by BM25 relevance to ``query_terms``.
 
+    Thin wrapper over :func:`bm25_topk_indexed` that drops the index
+    handle — callers that own the cache lifecycle (the
+    ``bm25_search_topk`` memo) use the indexed form directly.
+    """
+    return bm25_topk_indexed(docs, query_terms, k, k1, b, text_col, id_col)[0]
+
+
+def bm25_topk_indexed(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Top-k documents by BM25 relevance, plus the persisted index.
+
+    Returns ``(topk, projection)`` where ``projection`` is the persisted
+    tf + doc-length frame (the index) — the handle cache owners need to
+    ``unpersist`` when the corpus the index was built from is rewritten.
+    An explicit pair instead of a dynamic attribute on the result frame
+    (r7 advice): attributes bolted onto a DataFrame silently vanish
+    under any wrapping transformation, so the ownership contract lived
+    one ``.select`` away from breaking.
+
     Plan shape (pinned in tests/test_plans.py): the tf + doc-length
     projection is PERSISTED (disk-backed — at 100 TB it is ~tens of
     bytes/doc vs the corpus's documents), an eager first job folds it to
@@ -125,7 +151,4 @@ def bm25_topk(
         ).alias("score"),
     ).filter(F.col("score") > 0)
     out = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
-    # Handle for cache owners (the bm25_search_topk memo) to unpersist
-    # the index when the corpus it was built from is rewritten.
-    out._bm25_projection = base
-    return out
+    return out, base

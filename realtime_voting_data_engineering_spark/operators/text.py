@@ -368,7 +368,10 @@ def winnow_fingerprints_kernel(
     # garbage id) and silently rounds ids above 2^53 — either way
     # diverging from the expression twin (r7 review findings). A string
     # round-trip is exact for every int64 and NULL-safe; the cast back
-    # below restores the declared long type.
+    # below restores the INPUT id type (captured here, not hard-coded
+    # long — a string or int id column must come back out as itself,
+    # matching the expression twin, per r7 advice).
+    id_type = df.schema[id_col].dataType
     base = df.select(
         F.col(id_col).cast("string").alias(id_col),
         normalized_text(text_col).alias("__norm"),
@@ -406,7 +409,7 @@ def winnow_fingerprints_kernel(
 
     out = base.mapInPandas(kern, schema=f"{id_col} string, fp long")
     return out.select(
-        F.col(id_col).cast("long").alias(id_col), "fp"
+        F.col(id_col).cast(id_type).alias(id_col), "fp"
     ).distinct()
 
 

@@ -66,7 +66,31 @@ def _corpus_token(sf_dir: str):
         st = os.stat(path)
         return (st.st_mtime_ns, st.st_size)
     except OSError:
+        # Unstat-able path → content UNVERIFIABLE. Returning a stable
+        # sentinel here would make every rebuild collide on one key and
+        # defeat the content-change detection the token exists for (r7
+        # advice) — so signal the caller to skip memoization entirely.
         return None
+
+
+def _session_stopped(spark) -> bool:
+    """True when the session's JVM context is gone (``stop()`` nulls
+    ``_jsc``); its persisted blocks died with it."""
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _safe_unpersist(projection) -> None:
+    """Unpersist an evicted index projection, tolerating a stopped
+    owning session (r7 advice): the cap eviction walks insertion order
+    across ALL sessions, and unpersisting through a dead JVM handle
+    raises from inside an unrelated later call."""
+    try:
+        projection.unpersist()
+    except Exception:
+        pass  # owning session stopped; its cached blocks are already gone
 
 
 _BM25_K = 10
@@ -149,25 +173,39 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite fixed /tmp paths per run) would silently score against the
     OLD index (r7 review finding). A changed token rebuilds and
     unpersists the stale projection."""
-    key = (spark, sf_dir, _corpus_token(sf_dir))
+    token = _corpus_token(sf_dir)
+    if token is None:
+        # Content unverifiable (stat failed): never serve OR store a
+        # cache entry we can't invalidate. Evict whatever is memoized
+        # for the path and build fresh, unmemoized (r7 advice).
+        for old_key in [k for k in _BM25_MEMO if k[:2] == (spark, sf_dir)]:
+            _safe_unpersist(_BM25_MEMO.pop(old_key)[1])
+        docs = load_table(spark, sf_dir, "documents")
+        return SE.bm25_topk_indexed(
+            docs, list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+        )[0]
+    key = (spark, sf_dir, token)
     entry = _BM25_MEMO.get(key)
     if entry is None:
         # Evict stale entries for the same (session, path): the corpus
         # content changed, so their persisted projections are dead disk.
         for old_key in [k for k in _BM25_MEMO if k[:2] == (spark, sf_dir)]:
-            _BM25_MEMO.pop(old_key)[1].unpersist()
+            _safe_unpersist(_BM25_MEMO.pop(old_key)[1])
         # Belt against unbounded growth across many distinct paths
-        # (pytest mints tmp corpora): cap the memo, dropping oldest.
+        # (pytest mints tmp corpora): cap the memo. Dead-session entries
+        # go first (their blocks are already gone), then oldest.
+        if len(_BM25_MEMO) >= 16:
+            for dead in [k for k in _BM25_MEMO if _session_stopped(k[0])]:
+                _safe_unpersist(_BM25_MEMO.pop(dead)[1])
         while len(_BM25_MEMO) >= 16:
-            _BM25_MEMO.pop(next(iter(_BM25_MEMO)))[1].unpersist()
+            _safe_unpersist(_BM25_MEMO.pop(next(iter(_BM25_MEMO)))[1])
         docs = load_table(spark, sf_dir, "documents")
-        topk = SE.bm25_topk(
+        # bm25_topk_indexed returns the projection handle EXPLICITLY —
+        # a refactor that stops exposing it fails at build time, not by
+        # silently skipping unpersist on eviction (r7 review + advice).
+        entry = _BM25_MEMO[key] = SE.bm25_topk_indexed(
             docs, list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
         )
-        # The projection handle is captured HERE, loudly — a future
-        # bm25_topk refactor that stops exposing it must fail at build
-        # time, not silently skip unpersist on eviction (r7 review).
-        entry = _BM25_MEMO[key] = (topk, topk._bm25_projection)
     return entry[0]
 
 

@@ -334,3 +334,31 @@ def test_winnow_kernel_handles_giant_and_degenerate_docs(spark):
         (r.doc_id, r.fp) for r in X.winnow_fingerprints(df).collect()
     }
     assert {(d, f) for d, fs in by_doc.items() for f in fs} == expr
+
+
+def test_winnow_kernel_preserves_id_type(spark):
+    """The kernel rides ids through strings internally; the cast back
+    must restore the INPUT id type, not a hard-coded long — a string
+    doc-id column (common in real corpora: UUIDs, URL keys) was being
+    silently NULLed by the long cast (r7 advice, fixed r8). Output rows
+    and the id dtype must match the expression twin."""
+    from realtime_voting_data_engineering_spark.operators import text as X
+
+    rows = [("doc-aa", "the quick brown fox jumps over the lazy dog today"),
+            ("urn:doc/7", "another document with plenty of text to fingerprint"),
+            (None, "null string id document with enough words to window")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    kern = X.winnow_fingerprints_kernel(df)
+    assert kern.schema["doc_id"].dataType.simpleString() == "string"
+    got = {(r.doc_id, r.fp) for r in kern.collect()}
+    expr = {(r.doc_id, r.fp) for r in X.winnow_fingerprints(df).collect()}
+    assert got == expr
+    assert any(d == "doc-aa" for d, _ in got), "string ids must survive"
+    # int ids narrower than long must come back as their own type too
+    df_int = spark.createDataFrame(
+        [(7, "an integer id document with enough words to fingerprint")],
+        "doc_id int, text string",
+    )
+    kern_int = X.winnow_fingerprints_kernel(df_int)
+    assert kern_int.schema["doc_id"].dataType.simpleString() == "int"
+    assert kern_int.count() > 0

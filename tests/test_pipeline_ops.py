@@ -282,3 +282,58 @@ def test_bm25_memo_invalidates_on_corpus_rewrite(spark, tmp_path):
     r2 = {(r.doc_id, r.score) for r in fn(spark, work).collect()}
     assert r1 != r2, "memo served a stale index after the corpus rewrite"
     assert sum(1 for k in _BM25_MEMO if k[1] == work) == 1, "stale entry not evicted"
+
+
+def test_bm25_memo_skips_unverifiable_corpus(spark, monkeypatch):
+    """When the documents path can't be statted, `_corpus_token` returns
+    None; using None as a stable key would make every rebuild collide on
+    one entry and defeat content-change detection (r8 fix of r7 advice).
+    The memo must instead build fresh WITHOUT storing an entry."""
+    from realtime_voting_data_engineering_spark import queries as Q
+    from realtime_voting_data_engineering_spark import queries_pipeline as QP
+
+    assert QP._corpus_token("/nonexistent/dir/for/sure") is None
+    monkeypatch.setattr(QP, "_corpus_token", lambda sf_dir: None)
+    sf_dir = "/root/testdata/sf0.001"
+    fn = Q.REGISTRY["bm25_search_topk"].fn
+    before = sum(1 for k in QP._BM25_MEMO if k[1] == sf_dir)
+    out = fn(spark, sf_dir)
+    assert out.count() > 0
+    after = sum(1 for k in QP._BM25_MEMO if k[1] == sf_dir)
+    assert after == 0, "unverifiable-token build must not be memoized"
+    assert before in (0, 1)  # pre-existing entries for the path are evicted
+
+
+def test_bm25_memo_eviction_tolerates_dead_sessions():
+    """Cap eviction walks entries across ALL sessions; a projection
+    whose owning session was stopped raises from unpersist(). The
+    helpers must classify dead sessions and swallow the raise (r7
+    advice) so an unrelated later bm25 call can't crash."""
+    from realtime_voting_data_engineering_spark import queries_pipeline as QP
+
+    class DeadCtx:
+        _jsc = None
+
+    class DeadSession:
+        sparkContext = DeadCtx()
+
+    class NoCtx:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("session stopped")
+
+    class LiveCtx:
+        _jsc = object()
+
+    class LiveSession:
+        sparkContext = LiveCtx()
+
+    assert QP._session_stopped(DeadSession())
+    assert QP._session_stopped(NoCtx())
+    assert not QP._session_stopped(LiveSession())
+
+    class RaisingProjection:
+        def unpersist(self):
+            raise RuntimeError("py4j: SparkContext was shut down")
+
+    QP._safe_unpersist(RaisingProjection())  # must not raise
