@@ -383,19 +383,39 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
-    method: str = "propagate",
+    method: str = "auto",
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph — the dedup
     endgame: transitive closure turns pairs into clusters so a pipeline
     can keep one canonical doc per cluster.
 
-    Two engines behind one signature (identical output):
+    Three engines behind one signature (identical output):
 
+    - ``method="auto"`` (default) — count the (just-checkpointed) pair
+      set and dispatch: ≤ ``driver_max_edges`` edges → driver
+      union-find; overflow → distributed propagation. The count is the
+      materialization the first distributed round would have paid
+      anyway. This is the same size-gated strategy Spark itself
+      applies to joins (broadcast vs shuffle): the
+      verified near-dup pair set is orders of magnitude smaller than
+      the corpus that produced it (LSH banding passes ~0.1% of pairs,
+      verification prunes further), so on anything up to ~10^6 edges
+      (~16 MB of id pairs — broadcast-sized) an iterative distributed
+      fixpoint pays multiple all-cluster scheduling rounds to process
+      data that fits in one task.
+    - ``method="driver"`` — single-pass union-find over the collected
+      pair set with min-id roots; exact, deterministic, and
+      row-identical to the distributed engines (pytest-pinned on
+      planted and hypothesis-random graphs). Falls back to
+      ``propagate`` if a NULL id appears (production pair generators
+      cannot emit one — the ``id_a < id_b`` canonical filter drops
+      NULL comparisons — so this is a defensive guard, not a path).
     - ``method="propagate"`` — iterative min-label propagation: every
       node starts labeled with itself; each round every node takes the
       min of its own and its neighbors' labels; fixpoint in O(component
-      diameter) rounds. Right default for near-dup graphs, whose
-      clusters are shallow (diameter ~2-4).
+      diameter) rounds. Right distributed default for near-dup graphs,
+      whose clusters are shallow (diameter ~2-4).
     - ``method="star"`` — alternating large-star/small-star contraction
       (Kiveris et al., "Connected Components in MapReduce and Beyond"):
       each round rewires edges toward each neighborhood's minimum, so
@@ -438,6 +458,19 @@ def connected_components(
     # materialize it themselves (eager localCheckpoint / write+read)
     # before calling; this function assumes plan determinism.
     pairs = pairs.localCheckpoint(eager=False)
+    if method in ("auto", "driver"):
+        # Size gate on the checkpointed pair set: the count job IS the
+        # materialization the first distributed round would have paid
+        # anyway, and the collect that follows reads the cache. (A
+        # fused limit(N+1).collect() probe was measured SLOWER here:
+        # CollectLimit's incremental partition scale-up re-runs the
+        # un-cached upstream plan once per retry round.)
+        if method == "driver" or pairs.count() <= driver_max_edges:
+            rows = pairs.select(F.col(id_a), F.col(id_b)).collect()
+            out = _connected_components_driver(rows, pairs, id_a, id_b)
+            if out is not None:
+                return out
+        method = "propagate"  # overflow or NULL id — distributed fallback
     if method == "star":
         return _connected_components_star(pairs, id_a, id_b, max_iter)
     if method != "propagate":
@@ -486,6 +519,54 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+def _connected_components_driver(
+    rows: list, pairs: DataFrame, id_a: str, id_b: str
+) -> DataFrame | None:
+    """Driver union-find over a SMALL (size-gated by the caller,
+    broadcast-order) pre-collected pair list — min-id roots with path
+    compression, so each tree's root is its component's minimum id and
+    the output is row-identical to the distributed engines.
+
+    ``rows`` is the caller's one bounded probe collect (the same
+    bounded-collect contract as the 1-row stats fold in
+    ``operators.search`` and the |Q|-bounded collects in
+    ``operators.similarity``); ``pairs`` supplies only the schema.
+    Returns None if any id is NULL (cross-type comparisons in the union
+    would be meaningless; production pair generators cannot emit NULL
+    ids) so the caller can fall back to the distributed engine."""
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = pairs.schema[id_a].dataType
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a is None or b is None:
+            return None
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # smaller root wins → root == component min
+
+    out_schema = StructType(
+        [StructField(id_a, id_type), StructField("cluster_id", id_type)]
+    )
+    labels = [(node, find(node)) for node in parent]
+    spark = pairs.sparkSession
+    return spark.createDataFrame(labels, out_schema)
 
 
 def _cc_canonical_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:

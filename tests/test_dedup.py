@@ -106,9 +106,11 @@ def test_winnow_detects_planted_passage_overlap(spark):
 
 
 def test_connected_components_match_union_find(spark):
-    """Min-label propagation vs a plain-Python union-find on a graph
-    with chains (exercises multi-round propagation), a triangle, an
-    isolated pair, and two disjoint long paths."""
+    """Every CC engine (driver union-find, min-label propagation, star
+    contraction, and the size-gated auto dispatch) vs a plain-Python
+    union-find on a graph with chains (exercises multi-round
+    propagation), a triangle, an isolated pair, and two disjoint long
+    paths."""
     pairs = [
         (1, 2), (2, 3), (3, 4), (4, 5),      # chain of 5
         (10, 11), (11, 12), (10, 12),        # triangle
@@ -117,6 +119,21 @@ def test_connected_components_match_union_find(spark):
     ]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     got = {r.id_a: r.cluster_id for r in D.connected_components(df).collect()}
+    for method in ("driver", "propagate", "star", "auto"):
+        via = {
+            r.id_a: r.cluster_id
+            for r in D.connected_components(df, method=method).collect()
+        }
+        assert via == got, method
+    # auto must also route LARGE-gated graphs to the distributed engine
+    # and produce the same clusters (driver_max_edges=0 forces it).
+    dist = {
+        r.id_a: r.cluster_id
+        for r in D.connected_components(
+            df, method="auto", driver_max_edges=0
+        ).collect()
+    }
+    assert dist == got
 
     parent: dict[int, int] = {}
 
@@ -193,7 +210,10 @@ def test_connected_components_star_matches_propagate(spark):
         (40, 40),
     ]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    prop = {(r.id_a, r.cluster_id) for r in D.connected_components(df).collect()}
+    prop = {
+        (r.id_a, r.cluster_id)
+        for r in D.connected_components(df, method="propagate").collect()
+    }
     star = {
         (r.id_a, r.cluster_id)
         for r in D.connected_components(df, method="star").collect()
@@ -258,16 +278,43 @@ def test_connected_components_empty_and_self_loop_graphs(spark):
     must emit each node as its own singleton cluster. Guards the
     localCheckpoint(eager=False) convergence path added in r6."""
     empty = spark.createDataFrame([], "id_a long, id_b long")
-    for method in ("propagate", "star"):
+    for method in ("propagate", "star", "driver", "auto"):
         assert D.connected_components(empty, method=method).count() == 0
 
     loops = spark.createDataFrame([(7, 7), (9, 9)], "id_a long, id_b long")
-    for method in ("propagate", "star"):
+    for method in ("propagate", "star", "driver", "auto"):
         got = {
             r.id_a: r.cluster_id
             for r in D.connected_components(loops, method=method).collect()
         }
         assert got == {7: 7, 9: 9}, method
+
+
+def test_connected_components_driver_string_ids_and_null_fallback(spark):
+    """The driver union-find must preserve a non-long id type (string
+    doc ids cluster by lexicographic min, same as the distributed
+    engines' F.min/least) and must FALL BACK to the distributed engine —
+    not crash on a Python None comparison — if a NULL id ever reaches
+    it."""
+    pairs = [("b", "c"), ("a", "b"), ("x", "y")]
+    df = spark.createDataFrame(pairs, "id_a string, id_b string")
+    got = {
+        r.id_a: r.cluster_id
+        for r in D.connected_components(df, method="driver").collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    assert (
+        D.connected_components(df, method="driver").schema["cluster_id"]
+        .dataType.simpleString()
+        == "string"
+    )
+    nulls = spark.createDataFrame(
+        [(1, 2), (None, 3)], "id_a long, id_b long"
+    )
+    # NULL ids: the driver engine declines and the propagate fallback
+    # answers — the call must succeed either way.
+    out = D.connected_components(nulls, method="driver").collect()
+    assert {r.id_a for r in out} >= {1, 2}
 
 
 def test_minhash_pipeline_on_identical_corpus(spark):

@@ -339,7 +339,7 @@ def test_apply_changes_latest_is_input_order_invariant(spark, changes, perm_seed
         min_size=0,
         max_size=18,
     ),
-    method=st.sampled_from(["propagate", "star"]),
+    method=st.sampled_from(["propagate", "star", "driver"]),
 )
 @SET
 def test_connected_components_matches_union_find_on_random_graphs(
