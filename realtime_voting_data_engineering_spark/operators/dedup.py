@@ -323,10 +323,16 @@ def jaccard_for_pairs(
     # a-side, the b-side); materialize it once or the tokenize+shingle
     # explode runs per branch. Size is bounded by candidate volume (the
     # tiny post-banding set), not the corpus — measured 1.77→1.50s on
-    # the sf0.1 minhash pipeline.
+    # the sf0.1 minhash pipeline. LAZY (r8): the branches all feed ONE
+    # final job, so the eager form paid a whole extra scheduling round
+    # for nothing — measured 2.32→1.93s on the same pipeline. Safe
+    # under the same determinism precondition connected_components
+    # states: the index plan (semi-join of the corpus against the
+    # already-materialized candidate ids, then shingling) is
+    # deterministic, so racing branches cache identical rows.
     idx = shingle_index(
         df.join(pair_ids, id_col, "left_semi"), text_col, id_col, n
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = idx.select(F.col(id_col).alias("id_a"), "shingle")
     b = idx.select(F.col(id_col).alias("id_b"), "shingle")
