@@ -575,3 +575,36 @@ def test_fuzz_audit_representative_queries_match_on_seeded_corpus(spark):
     assert set(report) == set(names)
     bad = {n: r for n, r in report.items() if r["status"] != "match"}
     assert not bad, f"fuzz-audit regressions: {bad}"
+
+
+def test_split_audit_layout_is_degenerate_and_lossless():
+    """The split audit's poisoner must actually produce the degenerate
+    layout it documents (empty parts, a 1-row part, micro row groups)
+    while preserving the exact row set — a silently single-part or
+    row-dropping rewriter would reduce the audit to a plain re-run."""
+    from tools import split_audit
+
+    out = split_audit.poison("/root/testdata/sf0.001")
+    split_audit._sanity_check_poison("/root/testdata/sf0.001", out)
+
+
+def test_split_audit_representative_queries_match_on_degenerate_layout(spark):
+    """One representative per execution shape the degenerate layout
+    stresses hardest: a mapInPandas kernel path (knn_pq_adc), a
+    stateful-iteration path (near_dup_clusters — now driver union-find
+    over pairs from multi-part scans), a multi-join TPC-H query, a
+    single-pass grouped aggregate, and the persisted-index search path
+    whose memo keys on directory listings (bm25_search_topk)."""
+    from tools import split_audit
+
+    names = [
+        "knn_pq_adc",
+        "near_dup_clusters",
+        "q5_revenue_by_nation",
+        "votes_per_candidate",
+        "bm25_search_topk",
+    ]
+    report = split_audit.audit("/root/testdata/sf0.001", only=names)
+    assert set(report) == set(names)
+    bad = {n: r for n, r in report.items() if r["status"] != "match"}
+    assert not bad, f"split-audit regressions: {bad}"
