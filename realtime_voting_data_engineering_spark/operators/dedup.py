@@ -132,7 +132,18 @@ def shingle_index(
     ``word_shingles`` expression does) re-runs the regex tokenizer ~n
     times per shingle position — measured 13× slower on the corpus.
     Catalyst keeps the projection (CollapseProject won't duplicate
-    non-cheap expressions), so the array is computed once per row."""
+    non-cheap expressions), so the array is computed once per row.
+
+    A conditional ``repartition(defaultParallelism)`` for parallelism-
+    starved inputs (the local corpus is one row group ⇒ one scan task
+    chains the whole tokenize+md5 pipeline) was tried here and REJECTED
+    on measurement: the cold first run improves ~2× (4.55 s → 2.04 s at
+    sf0.1), but the steady-state min-of-3 effect flips sign between
+    sessions (±0.25 s, inside the shared-sandbox ambient band) — the
+    exchange buys width the OS page cache already provides on re-runs.
+    At 100 TB the guard would never fire anyway (thousands of row
+    groups out-split any core count), so the honest plan keeps zero
+    exchanges before the first aggregation."""
     toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     toks = F.col("__toks")
     grams = F.transform(
