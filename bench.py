@@ -117,6 +117,17 @@ def main() -> None:
             timings[name] = -1.0
 
     try:
+        # Streaming warmup, symmetric with the batch codegen warmup
+        # above: the first streaming query of a session pays one-time
+        # machinery costs (state-store provider init, micro-batch
+        # planner codegen, sink setup) that a long-running streaming
+        # job amortizes to zero — measured locally the cold first run
+        # reports ~30k events/s while every subsequent run reports
+        # 58-64k. A small discarded run (5% of the measured volume)
+        # moves those costs out of the measurement, so the recorded
+        # number is steady-state engine throughput per the module
+        # docstring.
+        streaming_events_per_sec(spark, n_events=5_000)
         events_per_sec = streaming_events_per_sec(spark)
     except Exception as exc:  # streaming smoke must not kill the bench
         print(f"bench: streaming smoke failed: {exc}", file=sys.stderr)
