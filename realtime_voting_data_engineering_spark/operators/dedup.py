@@ -401,7 +401,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     method: str = "auto",
-    driver_max_edges: int = 400_000,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph — the dedup
     endgame: transitive closure turns pairs into clusters so a pipeline
@@ -419,12 +419,14 @@ def connected_components(
       the corpus that produced it (LSH banding passes ~0.1% of pairs,
       verification prunes further), so below the gate an iterative
       distributed fixpoint pays multiple all-cluster scheduling rounds
-      to process data that fits in one task. The 400k default is the
-      MEASURED local crossover on clique-family graphs (driver/
-      propagate: 30k edges 0.67/1.95 s, 100k 0.94/1.82 s, 300k
-      1.87/2.11 s, 600k 3.52/2.18 s — driver cost is ~linear in edges,
-      the distributed floor is ~2 s of scheduling); on a real cluster
-      the distributed floor is higher, making the gate conservative.
+      to process data that fits in one task. The default is set from
+      MEASURED clique-family-graph numbers with the Arrow-backed
+      collect (driver/propagate: 300k edges 1.06/2.17 s, 600k
+      1.49/2.20 s, 1M 3.37/6.46 s — the driver engine wins the whole
+      gated range; 1M edges ≈ 16 MB on the wire, ~300 MB of Python
+      union-find state, the broadcast size class). On a real cluster
+      the distributed scheduling floor is higher still, making the
+      gate conservative.
     - ``method="driver"`` — single-pass union-find over the collected
       pair set with min-id roots; exact, deterministic, and
       row-identical to the distributed engines (pytest-pinned on
@@ -487,8 +489,7 @@ def connected_components(
         # CollectLimit's incremental partition scale-up re-runs the
         # un-cached upstream plan once per retry round.)
         if method == "driver" or pairs.count() <= driver_max_edges:
-            rows = pairs.select(F.col(id_a), F.col(id_b)).collect()
-            out = _connected_components_driver(rows, pairs, id_a, id_b)
+            out = _connected_components_driver(pairs, id_a, id_b)
             if out is not None:
                 return out
         method = "propagate"  # overflow or NULL id — distributed fallback
@@ -543,23 +544,31 @@ def connected_components(
 
 
 def _connected_components_driver(
-    rows: list, pairs: DataFrame, id_a: str, id_b: str
+    pairs: DataFrame, id_a: str, id_b: str
 ) -> DataFrame | None:
     """Driver union-find over a SMALL (size-gated by the caller,
-    broadcast-order) pre-collected pair list — min-id roots with path
-    compression, so each tree's root is its component's minimum id and
-    the output is row-identical to the distributed engines.
+    broadcast-order) pair set — min-id roots with path compression, so
+    each tree's root is its component's minimum id and the output is
+    row-identical to the distributed engines.
 
-    ``rows`` is the caller's one bounded probe collect (the same
-    bounded-collect contract as the 1-row stats fold in
-    ``operators.search`` and the |Q|-bounded collects in
-    ``operators.similarity``); ``pairs`` supplies only the schema.
-    Returns None if any id is NULL (cross-type comparisons in the union
-    would be meaningless; production pair generators cannot emit NULL
-    ids) so the caller can fall back to the distributed engine."""
+    The ONE deliberate bounded collect in the dedup module (the same
+    contract as the 1-row stats fold in ``operators.search`` and the
+    |Q|-bounded collects in ``operators.similarity``), pulled through
+    ``toArrow()``: Arrow batch transfer + columnar ``to_pylist`` is
+    ~3× cheaper than materializing per-row ``Row`` objects (measured
+    at 600k edges: 1.7 s collect vs 0.6 s Arrow round-trip), which is
+    what moves the driver/distributed crossover up to ~10^6 edges.
+    Returns None if any id is NULL (cross-type comparisons in the
+    union would be meaningless; production pair generators cannot emit
+    NULL ids) so the caller can fall back to the distributed engine."""
     from pyspark.sql.types import StructField, StructType
 
     id_type = pairs.schema[id_a].dataType
+    tbl = pairs.select(F.col(id_a), F.col(id_b)).toArrow()
+    if tbl.column(0).null_count or tbl.column(1).null_count:
+        return None
+    a_ids = tbl.column(0).to_pylist()
+    b_ids = tbl.column(1).to_pylist()
     parent: dict = {}
 
     def find(x):
@@ -570,10 +579,7 @@ def _connected_components_driver(
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        a, b = r[0], r[1]
-        if a is None or b is None:
-            return None
+    for a, b in zip(a_ids, b_ids):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
