@@ -95,7 +95,15 @@ def _canon(v) -> str:
         # repr keeps full double precision; -0.0 folded to 0.0
         return repr(v + 0.0 if v == 0 else v)
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        # Aware values (Arrow collection of TIMESTAMP carries the
+        # session timezone) are folded to the UTC instant's wall time —
+        # the value DuckDB's naive timestamps store. Stripping tzinfo
+        # without converting would render the host-local wall time and
+        # make the whole harness host-timezone-sensitive
+        # (tools/tz_audit.py is the regression gate).
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -135,6 +143,33 @@ def assert_driver_canonicalizable(name: str, spark_schema) -> None:
     )
 
 
+def collect_spark_rows(sdf):
+    """Collect a Spark result host-timezone-robustly.
+
+    Row-based ``collect()`` renders TIMESTAMP values through the
+    *process-local* timezone (``datetime.fromtimestamp``), so the same
+    result would canonicalize differently on a non-UTC host even though
+    the engine pins ``spark.sql.session.timeZone=UTC`` — a harness
+    artifact, not an engine divergence, but one that turns every
+    ts-consuming compare into a false mismatch the day the harness runs
+    outside UTC. Arrow collection (``df.toArrow()``) instead carries the
+    instant with an explicit session-timezone annotation
+    (``timestamp[us, tz=UTC]``), which ``_canon`` folds to the UTC wall
+    time DuckDB's naive timestamps store. ``tools/tz_audit.py`` runs the
+    whole registry under adversarial host timezones to keep this honest.
+
+    Returns ``(cols, rows, arrow_schema)`` — the schema feeds
+    ``assert_types_compatible`` without a second ``toArrow`` round-trip.
+    """
+    tbl = sdf.toArrow()
+    cols = tbl.schema.names
+    # Columnar extraction (not to_pylist's row dicts, which would
+    # silently collapse duplicate column names).
+    pycols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    rows = [tuple(vals) for vals in zip(*pycols)] if pycols else []
+    return cols, rows, tbl.schema
+
+
 def compare_query(
     spark, name: str, fn, oracle: str, sf_dir: str, oracle_sf_dir: str | None = None
 ) -> None:
@@ -145,12 +180,11 @@ def compare_query(
     certifying no query's result depends on incidental row order."""
     sdf = fn(spark, sf_dir)
     assert_driver_canonicalizable(name, sdf.schema)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols, spark_rows, spark_arrow_schema = collect_spark_rows(sdf)
     duck_cols, duck_rows, duck_schema = duckdb_run_typed(
         oracle, oracle_sf_dir or sf_dir
     )
-    assert_types_compatible(name, sdf.limit(0).toArrow().schema, duck_schema)
+    assert_types_compatible(name, spark_arrow_schema, duck_schema)
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={sorted(spark_cols)} "

@@ -336,3 +336,59 @@ def test_decimal_to_double_conversion_parity(spark):
     ).collect()
     spark_bad = [r for r in out if r[1] != float(Decimal(r[0]))]
     assert not spark_bad, f"Spark decimal→double diverged: {spark_bad[:3]}"
+
+
+def test_canon_folds_aware_timestamps_to_utc():
+    """Host-timezone robustness, value layer: an aware datetime (what
+    Arrow collection of TIMESTAMP yields) must canonicalize to the UTC
+    instant's wall time regardless of which tz annotation it carries —
+    stripping tzinfo without converting was the harness's pre-r8 bug
+    (tools/tz_audit.py audits the full registry for this end to end)."""
+    import datetime as dt
+
+    from tests.oracle_harness import _canon
+
+    utc = dt.datetime(2024, 3, 1, 12, 30, 45, 123456, tzinfo=dt.timezone.utc)
+    chatham = utc.astimezone(dt.timezone(dt.timedelta(hours=13, minutes=45)))
+    naive_utc_wall = utc.replace(tzinfo=None)
+    assert _canon(utc) == _canon(chatham) == _canon(naive_utc_wall)
+    # Not vacuous: a *different* instant still renders differently.
+    assert _canon(utc) != _canon(utc + dt.timedelta(microseconds=1))
+
+
+def test_collect_spark_rows_carries_the_instant_not_host_wall_time(spark):
+    """Collection layer: collect_spark_rows must return TIMESTAMP values
+    that canonicalize to the stored UTC wall time (the value the DuckDB
+    oracle's naive timestamps hold), via an explicit tz annotation —
+    i.e. the Arrow path, not row-based collect()'s process-local
+    fromtimestamp rendering. Under the UTC test host both paths agree;
+    the tz annotation being PRESENT is what makes the non-UTC host case
+    (exercised by tools/tz_audit.py's subprocess legs) fold correctly."""
+    import pyarrow.types as pat
+
+    from tests.oracle_harness import _canon, collect_spark_rows
+
+    df = spark.sql(
+        "SELECT TIMESTAMP '2024-03-01 12:30:45.123456' AS ts"
+    )
+    cols, rows, schema = collect_spark_rows(df)
+    assert cols == ["ts"]
+    field = schema.field("ts")
+    assert pat.is_timestamp(field.type) and field.type.tz is not None, (
+        "Arrow collection lost the tz annotation — aware folding in "
+        "_canon would have nothing to convert on a non-UTC host"
+    )
+    assert _canon(rows[0][0]) == "2024-03-01 12:30:45.123456"
+
+
+def test_collect_spark_rows_preserves_duplicate_column_names(spark):
+    """Columnar extraction must not collapse duplicate output names the
+    way to_pylist()'s row dicts would — a query bug that aliases two
+    columns identically should surface as a column/value mismatch, not
+    silently drop one side before comparison."""
+    from tests.oracle_harness import collect_spark_rows
+
+    df = spark.sql("SELECT 1 AS x, 2 AS x")
+    cols, rows, _schema = collect_spark_rows(df)
+    assert cols == ["x", "x"]
+    assert rows == [(1, 2)]
