@@ -23,7 +23,7 @@ from realtime_voting_data_engineering_spark.queries import register
 from realtime_voting_data_engineering_spark.sources.tables import (
     load_events,
     load_table,
-    register_views,
+    sql_over_views,
 )
 
 
@@ -284,16 +284,20 @@ def event_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via the SQL API (register views → spark.sql), the
-    same Catalyst plan as the DataFrame form."""
-    register_views(spark, sf_dir)
-    return spark.sql(
+    same Catalyst plan as the DataFrame form. Goes through
+    ``sql_over_views`` so view registration + analysis are atomic —
+    concurrent callers on one session with different sf_dirs must not
+    read each other's corpus (tools/concurrency_audit.py leg C)."""
+    return sql_over_views(
+        spark,
+        sf_dir,
         """
         SELECT o_orderstatus, o_orderpriority,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS total_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+        """,
     )
 
 

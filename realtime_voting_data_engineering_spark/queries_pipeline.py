@@ -14,6 +14,8 @@ Imported for its registration side effects by
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,6 +48,17 @@ _BM25_TERMS = ("spark", "merge", "query")
 #: next call, so the dict is bounded by the number of DISTINCT live
 #: corpus paths a session touches.
 _BM25_MEMO: dict = {}
+
+#: Serializes all _BM25_MEMO bookkeeping. A shared session serving
+#: concurrent queries (Thrift-server / notebook multi-tenancy — what
+#: tools/concurrency_audit.py exercises) would otherwise race the
+#: check-evict-insert sequences: two threads both missing the same key
+#: double-build and leak one persisted projection forever, and the
+#: eviction's list-then-pop pattern can KeyError or hit "dict changed
+#: size during iteration" mid-scan. Index BUILDS run outside the lock
+#: (they launch Spark jobs); an insert race is resolved by discarding
+#: the loser's projection.
+_BM25_LOCK = threading.Lock()
 
 
 def _corpus_token(sf_dir: str):
@@ -178,34 +191,59 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Content unverifiable (stat failed): never serve OR store a
         # cache entry we can't invalidate. Evict whatever is memoized
         # for the path and build fresh, unmemoized (r7 advice).
-        for old_key in [k for k in _BM25_MEMO if k[:2] == (spark, sf_dir)]:
-            _safe_unpersist(_BM25_MEMO.pop(old_key)[1])
+        with _BM25_LOCK:
+            for old_key in [k for k in _BM25_MEMO if k[:2] == (spark, sf_dir)]:
+                _safe_unpersist(_BM25_MEMO.pop(old_key)[1])
         docs = load_table(spark, sf_dir, "documents")
         return SE.bm25_topk_indexed(
             docs, list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
         )[0]
     key = (spark, sf_dir, token)
-    entry = _BM25_MEMO.get(key)
+    with _BM25_LOCK:
+        entry = _BM25_MEMO.get(key)
     if entry is None:
-        # Evict stale entries for the same (session, path): the corpus
-        # content changed, so their persisted projections are dead disk.
-        for old_key in [k for k in _BM25_MEMO if k[:2] == (spark, sf_dir)]:
-            _safe_unpersist(_BM25_MEMO.pop(old_key)[1])
-        # Belt against unbounded growth across many distinct paths
-        # (pytest mints tmp corpora): cap the memo. Dead-session entries
-        # go first (their blocks are already gone), then oldest.
-        if len(_BM25_MEMO) >= 16:
-            for dead in [k for k in _BM25_MEMO if _session_stopped(k[0])]:
-                _safe_unpersist(_BM25_MEMO.pop(dead)[1])
-        while len(_BM25_MEMO) >= 16:
-            _safe_unpersist(_BM25_MEMO.pop(next(iter(_BM25_MEMO)))[1])
         docs = load_table(spark, sf_dir, "documents")
         # bm25_topk_indexed returns the projection handle EXPLICITLY —
         # a refactor that stops exposing it fails at build time, not by
         # silently skipping unpersist on eviction (r7 review + advice).
-        entry = _BM25_MEMO[key] = SE.bm25_topk_indexed(
+        # Built OUTSIDE the lock: it runs the eager stats job.
+        built = SE.bm25_topk_indexed(
             docs, list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
         )
+        with _BM25_LOCK:
+            entry = _BM25_MEMO.get(key)
+            if entry is not None:
+                # Lost the first-build race: another thread installed an
+                # identical index. Nothing to release — our persist was
+                # DEDUPED onto the winner's cache entry (CacheManager
+                # keys on the analyzed plan, and same (session, path,
+                # token) ⇒ identical plan), so unpersisting ``built[1]``
+                # here would evict the SHARED entry out from under the
+                # winner. Measured by tools/concurrency_audit.py leg B:
+                # the persisted-RDD count does not grow with duplicate
+                # builds, and the surviving projection must stay cached
+                # after the stress.
+                pass
+            else:
+                # Evict stale entries for the same (session, path): the
+                # corpus content changed, so their persisted projections
+                # are dead disk.
+                for old_key in [
+                    k for k in _BM25_MEMO if k[:2] == (spark, sf_dir)
+                ]:
+                    _safe_unpersist(_BM25_MEMO.pop(old_key)[1])
+                # Belt against unbounded growth across many distinct
+                # paths (pytest mints tmp corpora): cap the memo.
+                # Dead-session entries go first (their blocks are
+                # already gone), then oldest.
+                if len(_BM25_MEMO) >= 16:
+                    for dead in [
+                        k for k in _BM25_MEMO if _session_stopped(k[0])
+                    ]:
+                        _safe_unpersist(_BM25_MEMO.pop(dead)[1])
+                while len(_BM25_MEMO) >= 16:
+                    _safe_unpersist(_BM25_MEMO.pop(next(iter(_BM25_MEMO)))[1])
+                entry = _BM25_MEMO[key] = built
     return entry[0]
 
 

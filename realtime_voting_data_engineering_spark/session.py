@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import pathlib
 import tempfile
+import threading
 import zipfile
 
 from pyspark.sql import SparkSession
@@ -84,12 +85,22 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_rtv_pkg_shipped", False):
         return
-    pkg_dir = pathlib.Path(__file__).resolve().parent
-    root = pkg_dir.parent
-    fd, zpath = tempfile.mkstemp(prefix="rtv_pkg_", suffix=".zip")
-    os.close(fd)
-    with zipfile.ZipFile(zpath, "w") as z:
-        for p in sorted(pkg_dir.rglob("*.py")):
-            z.write(p, str(p.relative_to(root)))
-    sc.addPyFile(zpath)
-    sc._rtv_pkg_shipped = True
+    with _PKG_SHIP_LOCK:  # concurrent first kernels would double-ship
+        if getattr(sc, "_rtv_pkg_shipped", False):
+            return
+        pkg_dir = pathlib.Path(__file__).resolve().parent
+        root = pkg_dir.parent
+        fd, zpath = tempfile.mkstemp(prefix="rtv_pkg_", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w") as z:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                z.write(p, str(p.relative_to(root)))
+        sc.addPyFile(zpath)
+        sc._rtv_pkg_shipped = True
+
+
+#: Double-checked-locking guard for ensure_workers_can_import: two
+#: threads' first Arrow-kernel queries on a fresh shared session would
+#: otherwise each zip and addPyFile the package (wasted shipping, and
+#: workers importing from whichever copy lands last).
+_PKG_SHIP_LOCK = threading.Lock()

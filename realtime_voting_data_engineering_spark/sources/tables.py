@@ -10,6 +10,7 @@ to the driver.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,6 +93,35 @@ def load_tables(
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every corpus table as a temp view for the SQL API."""
+    """Register every corpus table as a temp view for the SQL API.
+
+    Temp views are SESSION-global named state: concurrent callers
+    binding the same names to DIFFERENT sf_dirs cross-talk. SQL-API
+    query paths must go through ``sql_over_views`` (atomic
+    register+analyze) rather than calling this and ``spark.sql``
+    separately."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+#: Serializes register_views + analysis for SQL-API queries. The corpus
+#: views are per-SESSION named state; two threads serving different
+#: sf_dirs through one shared session (tools/concurrency_audit.py's
+#: mixed-corpus leg) would otherwise race view registration against
+#: name resolution and silently read each other's tables.
+_SQL_VIEW_LOCK = threading.Lock()
+
+
+def sql_over_views(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Run a SQL string over the corpus views, safely under concurrency:
+    view registration and analysis happen atomically. ``spark.sql``
+    analyzes eagerly (Dataset.ofRows asserts analysis), at which point
+    the views are INLINED into the plan — after the lock releases, a
+    competing re-registration cannot retarget this DataFrame; the
+    ``.schema`` touch is belt-and-braces against that eagerness ever
+    becoming lazy."""
+    with _SQL_VIEW_LOCK:
+        register_views(spark, sf_dir)
+        df = spark.sql(sql)
+        df.schema
+    return df

@@ -608,3 +608,31 @@ def test_split_audit_representative_queries_match_on_degenerate_layout(spark):
     assert set(report) == set(names)
     bad = {n: r for n, r in report.items() if r["status"] != "match"}
     assert not bad, f"split-audit regressions: {bad}"
+
+
+def test_concurrency_memo_eviction_race_is_clean(spark):
+    """Mini leg B2 of tools/concurrency_audit.py: 8 threads hammer the
+    BM25 memo while a mutator thread rewrites the corpus mtime, so
+    token churn forces evict+rebuild storms mid-flight. The pre-r8
+    UNLOCKED memo reproducibly KeyError'd here (two threads both
+    list-then-pop the same stale key); with _BM25_LOCK the storm must
+    stay exception-free and every result hash-identical."""
+    from tools import concurrency_audit as CA
+
+    report: dict = {}
+    CA.leg_b2(spark, "/root/testdata/sf0.001", report)
+    assert report["bm25_memo_eviction_race"]["status"] == "match", report
+
+
+def test_concurrency_mixed_corpus_sql_views_no_cross_talk(spark):
+    """Mini leg C: the temp-view-based SQL-API query alternates two
+    corpora across 8 concurrent threads on ONE session; every result
+    must hash-match its OWN corpus's sequential reference. Pre-r8 the
+    unlocked register_views→spark.sql window reproducibly served the
+    OTHER corpus's tables (cross-talk through the session-global view
+    names); sql_over_views' atomic register+analyze closes it."""
+    from tools import concurrency_audit as CA
+
+    report: dict = {}
+    CA.leg_c(spark, "/root/testdata/sf0.001", "/root/testdata/sf0.01", report)
+    assert report["sql_view_mixed_corpus"]["status"] == "match", report
