@@ -636,3 +636,35 @@ def test_concurrency_mixed_corpus_sql_views_no_cross_talk(spark):
     report: dict = {}
     CA.leg_c(spark, "/root/testdata/sf0.001", "/root/testdata/sf0.01", report)
     assert report["sql_view_mixed_corpus"]["status"] == "match", report
+
+
+def test_retry_audit_representative_queries_survive_task_failures():
+    """Subset of tools/retry_audit.py (ninth adversary class): every
+    scan task's FIRST attempt fails and is retried (local[8,4] +
+    fail-once identity stage on load_table), and the oracle compares
+    must still hash clean — recomputation determinism. Subprocess
+    because the master string (task maxFailures) is launch-fixed; one
+    representative per execution shape: TPC-H agg, as-of join,
+    persisted-index BM25, mapInPandas PQ kernel, driver-union-find
+    CC."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "retry_audit.py"),
+            "--only",
+            "q1_pricing_summary,asof_last_click,bm25_search_topk,"
+            "knn_pq_adc,near_dup_clusters",
+            "--report",
+            "/tmp/rtv_retry_audit_pytest.json",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-800:])
+    assert "0 flagged" in r.stdout, r.stdout[-1500:]
