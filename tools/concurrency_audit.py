@@ -231,6 +231,83 @@ def leg_c(spark, sf_a: str, sf_b: str, report: dict) -> None:
     )
 
 
+def leg_d(spark, sf_a: str, report: dict) -> None:
+    """Mixed workload: a LIVE streaming aggregate (rate source →
+    watermark → update-mode memory sink, 1 s processing trigger) runs
+    on the session while batch queries execute concurrently. The
+    serving tier's steady state is exactly this mix; batch answers must
+    stay oracle-exact and the stream must stay healthy (active, no
+    exception, progress observed) throughout."""
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from realtime_voting_data_engineering_spark import queries as Q
+    from realtime_voting_data_engineering_spark.sources.rate import (
+        vote_rate_stream,
+    )
+    from realtime_voting_data_engineering_spark.streaming import pipeline as P
+    from tests.oracle_harness import compare_query
+
+    names = [
+        "q1_pricing_summary",
+        "q5_revenue_by_nation",
+        "asof_last_click",
+        "votes_per_candidate",
+        "bm25_search_topk",
+        "knn_pq_adc",
+        "minhash_lsh_dedup",
+        "event_rollup_multires",
+        "doc_fingerprint_clusters",
+        "grouping_sets_revenue",
+    ]
+    ckpt = tempfile.mkdtemp(prefix="rtv_conc_stream_")
+    stream = vote_rate_stream(spark, rows_per_second=500)
+    agg = (
+        stream.withWatermark("voting_time", "1 minute")
+        .groupBy("candidate_id")
+        .agg(F.sum("vote").alias("total_votes"))
+    )
+    q = P.start_update_aggregate(
+        agg,
+        "conc_audit_stream",
+        ckpt,
+        trigger_available_now=False,
+        processing_time="1 second",
+    )
+    errs: list[str] = []
+    try:
+        _t.sleep(2)  # let the first micro-batches land
+
+        def one(name: str) -> str | None:
+            spec = Q.REGISTRY[name]
+            try:
+                compare_query(spark, name, spec.fn, spec.oracle, sf_a)
+                return None
+            except Exception as exc:  # noqa: BLE001
+                return f"{name}: {type(exc).__name__}: {str(exc)[:200]}"
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            errs = [e for e in pool.map(one, names) if e]
+        if not q.isActive or q.exception() is not None:
+            errs.append(f"stream unhealthy: active={q.isActive} exc={q.exception()}")
+        progress = q.lastProgress
+        if not progress or progress.get("numInputRows", 0) == 0:
+            # One more beat — the last micro-batch may not have reported.
+            _t.sleep(2)
+            progress = q.lastProgress
+        if not progress:
+            errs.append("stream made no observable progress during the mix")
+    finally:
+        q.stop()
+    status = "match" if not errs else "fail"
+    report["mixed_stream_batch"] = {"status": status, "detail": "; ".join(errs[:4])}
+    print(
+        json.dumps({"query": "mixed_stream_batch", "status": status}), flush=True
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -248,6 +325,7 @@ def main() -> int:
     leg_b(spark, args.sf_dir, args.sf_dir_b, report)
     leg_b2(spark, args.sf_dir, report)
     leg_c(spark, args.sf_dir, args.sf_dir_b, report)
+    leg_d(spark, args.sf_dir, report)
 
     bad = {k: v for k, v in report.items() if v["status"] != "match"}
     print(f"\n# {len(report)} checks, {len(report) - len(bad)} match, {len(bad)} flagged")
