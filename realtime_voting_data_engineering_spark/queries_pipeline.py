@@ -201,6 +201,19 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir, token)
     with _BM25_LOCK:
         entry = _BM25_MEMO.get(key)
+        if entry is None:
+            # Evict stale same-path entries BEFORE building (the pre-r8
+            # ordering, restored after an r8-continuation review + probe
+            # found the regression): the rebuild's persist can dedupe
+            # onto a still-cached stale projection for the same path, so
+            # an eviction AFTER the build unpersists that SHARED entry
+            # and leaves the newly memoized index permanently uncached —
+            # every later serve re-scans the corpus twice, silently
+            # breaking the single-scan contract (measured:
+            # ``build2 cached: False`` post-utime; the pytest pin below
+            # asserts cached-ness after rebuild).
+            for old_key in [k for k in _BM25_MEMO if k[:2] == (spark, sf_dir)]:
+                _safe_unpersist(_BM25_MEMO.pop(old_key)[1])
     if entry is None:
         docs = load_table(spark, sf_dir, "documents")
         # bm25_topk_indexed returns the projection handle EXPLICITLY —
@@ -225,9 +238,12 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # after the stress.
                 pass
             else:
-                # Evict stale entries for the same (session, path): the
-                # corpus content changed, so their persisted projections
-                # are dead disk.
+                # A concurrent thread may have raced us here with a
+                # DIFFERENT token (corpus rewritten mid-build): its
+                # entry for this path is stale relative to ours (or
+                # vice versa — last writer wins; both tokens were real
+                # on-disk states and content decides scores, so either
+                # is a valid serve). Keep the map single-entry-per-path.
                 for old_key in [
                     k for k in _BM25_MEMO if k[:2] == (spark, sf_dir)
                 ]:

@@ -164,10 +164,30 @@ def collect_spark_rows(sdf):
     tbl = sdf.toArrow()
     cols = tbl.schema.names
     # Columnar extraction (not to_pylist's row dicts, which would
-    # silently collapse duplicate column names).
-    pycols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
-    rows = [tuple(vals) for vals in zip(*pycols)] if pycols else []
+    # silently collapse duplicate column names). A zero-column result
+    # still keeps its row count (N empty tuples, like row-collect did)
+    # so a projection bug can't masquerade as an empty result.
+    if tbl.num_columns == 0:
+        rows: list[tuple] = [()] * tbl.num_rows
+    else:
+        pycols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        rows = [tuple(vals) for vals in zip(*pycols)]
     return cols, rows, tbl.schema
+
+
+def spark_result_hash(sdf) -> str:
+    """md5 over the driver-canonical form of a Spark result — the ONE
+    definition of "same answer" the cross-run audits (tz, concurrency)
+    compare; keeping it beside ``normalize`` prevents the two tools'
+    hashes from drifting apart."""
+    import hashlib
+
+    cols, rows, _schema = collect_spark_rows(sdf)
+    h = hashlib.md5()
+    for row in normalize(cols, rows):
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
 
 
 def compare_query(

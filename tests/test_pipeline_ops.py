@@ -282,6 +282,17 @@ def test_bm25_memo_invalidates_on_corpus_rewrite(spark, tmp_path):
     r2 = {(r.doc_id, r.score) for r in fn(spark, work).collect()}
     assert r1 != r2, "memo served a stale index after the corpus rewrite"
     assert sum(1 for k in _BM25_MEMO if k[1] == work) == 1, "stale entry not evicted"
+    # The REBUILT entry's projection must still be cached: stale-entry
+    # eviction must happen BEFORE the rebuild, because a rebuild whose
+    # persist plan-dedupes onto the stale cached projection would be
+    # uncached again by an evict-AFTER ordering — leaving every later
+    # serve re-scanning the corpus twice (r8-continuation review
+    # finding, reproduced empirically before the ordering was restored).
+    proj = next(v for k, v in _BM25_MEMO.items() if k[1] == work)[1]
+    assert proj.storageLevel.useDisk or proj.storageLevel.useMemory, (
+        "rebuilt index projection is not cached — eviction ran after "
+        "the rebuild and unpersisted the shared cache entry"
+    )
 
 
 def test_bm25_memo_skips_unverifiable_corpus(spark, monkeypatch):

@@ -25,11 +25,20 @@ Legs:
   must hold EXACTLY one entry per (session, corpus) and the JVM's
   persisted-RDD count must equal the live projections — a lost
   insert race that leaks a persisted duplicate index fails here.
+- **B2 (eviction-race storm):** the hammer repeats while a mutator
+  thread rewrites the corpus mtime on a /tmp copy, so token churn
+  forces evict+rebuild storms mid-flight — the pre-lock list-then-pop
+  eviction KeyErrors here.
 - **C (mixed-corpus SQL API):** ``grouping_sets_revenue`` (temp-view
   based) alternates corpora concurrently; each result must hash-equal
   its OWN corpus's reference — cross-talk through the session-global
   view names is the failure mode (register+analyze are atomic via
   ``sources.tables.sql_over_views``).
+- **D (mixed workload):** a LIVE rate-source streaming aggregate
+  (update-mode memory sink, 1 s trigger) runs on the session while ten
+  representative batch queries execute concurrently; batch answers
+  must stay oracle-exact and the stream must stay active,
+  exception-free, and processing rows throughout.
 
 Run: ``python tools/concurrency_audit.py [--sf-dir A --sf-dir-b B]``.
 """
@@ -37,7 +46,6 @@ Run: ``python tools/concurrency_audit.py [--sf-dir A --sf-dir-b B]``.
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
 import random
@@ -51,16 +59,12 @@ THREADS = 8
 
 
 def result_hash(sdf) -> str:
-    """md5 over the driver-canonical form (same bytes the driver
-    hashes), via the harness's tz-robust Arrow collection."""
-    from tests.oracle_harness import collect_spark_rows, normalize
+    """Driver-canonical result hash — the shared definition in
+    ``tests.oracle_harness.spark_result_hash`` (one definition for all
+    cross-run audits)."""
+    from tests.oracle_harness import spark_result_hash
 
-    cols, rows, _schema = collect_spark_rows(sdf)
-    h = hashlib.md5()
-    for row in normalize(cols, rows):
-        h.update("\x1f".join(row).encode())
-        h.update(b"\x1e")
-    return h.hexdigest()
+    return spark_result_hash(sdf)
 
 
 def persisted_rdd_count(spark) -> int:
@@ -292,13 +296,20 @@ def leg_d(spark, sf_a: str, report: dict) -> None:
             errs = [e for e in pool.map(one, names) if e]
         if not q.isActive or q.exception() is not None:
             errs.append(f"stream unhealthy: active={q.isActive} exc={q.exception()}")
-        progress = q.lastProgress
-        if not progress or progress.get("numInputRows", 0) == 0:
-            # One more beat — the last micro-batch may not have reported.
+
+        def rows_seen() -> int:
+            return sum(
+                p.get("numInputRows", 0) for p in (q.recentProgress or [])
+            )
+
+        if rows_seen() == 0:
+            # One more beat — the first non-empty micro-batch may not
+            # have reported yet.
             _t.sleep(2)
-            progress = q.lastProgress
-        if not progress:
-            errs.append("stream made no observable progress during the mix")
+        if rows_seen() == 0:
+            # "Progressing" means ROWS processed, not just committed
+            # empty batches — a stalled rate source must fail the leg.
+            errs.append("stream processed zero input rows during the mix")
     finally:
         q.stop()
     status = "match" if not errs else "fail"

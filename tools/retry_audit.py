@@ -102,6 +102,7 @@ def worker(sf_dir: str, only: list[str] | None, report_path: str) -> None:
     for name, spec in sorted(Q.REGISTRY.items()):
         if spec.oracle is None or (only and name not in only):
             continue
+        markers_before = len(os.listdir(MARKER_DIR))
         try:
             compare_query(spark, name, spec.fn, spec.oracle, sf_dir)
             report[name] = {"status": "match"}
@@ -112,21 +113,25 @@ def worker(sf_dir: str, only: list[str] | None, report_path: str) -> None:
                 "status": "error",
                 "detail": f"{type(exc).__name__}: {str(exc)[:300]}",
             }
+        # PER-QUERY anti-vacuity (marker names are (stageId, partition),
+        # and stage ids grow monotonically per session, so each query's
+        # injected failures mint NEW files): a query that launched no
+        # failing scan is a clean un-injected re-run — its data loading
+        # bypassed the patched choke point — and must turn the audit
+        # red, not ride on other queries' markers.
+        if len(os.listdir(MARKER_DIR)) == markers_before and report[name][
+            "status"
+        ] == "match":
+            report[name] = {
+                "status": "uninjected",
+                "detail": "no task failure fired during this query — "
+                "its scans bypassed the patched load_table",
+            }
         print(
             json.dumps({"query": name, "status": report[name]["status"]}),
             flush=True,
         )
     n_markers = len(os.listdir(MARKER_DIR))
-    # Every audited query reads at least one table through the patched
-    # choke point, and each such scan stage fails exactly its first
-    # attempt — so markers must at least match the audited-query count
-    # (single-file sf0.001 scans are 1 task/stage; the full registry
-    # leaves several hundred).
-    assert n_markers >= len(report), (
-        f"only {n_markers} injected failures fired for {len(report)} "
-        "queries — the fault injection is not reaching the scans and "
-        "the audit is a clean re-run"
-    )
     report["_env"] = {
         "master": "local[8,4]",
         "injected_failures": n_markers,

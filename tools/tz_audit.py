@@ -41,7 +41,6 @@ sanity-check lesson).
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
 import subprocess
@@ -77,18 +76,13 @@ TIME_QUERIES = [
 
 
 def _spark_result_hash(sdf) -> str:
-    """md5 over the driver-canonical form of a Spark result. Uses the
-    same ``normalize`` the engine-vs-oracle compare uses, so leg B's
-    invariance statement is about exactly the bytes the driver hashes."""
-    from tests.oracle_harness import collect_spark_rows, normalize
+    """Driver-canonical result hash — the shared definition in
+    ``tests.oracle_harness.spark_result_hash`` (one definition for all
+    cross-run audits, so the tz and concurrency tools can never hash
+    different bytes)."""
+    from tests.oracle_harness import spark_result_hash
 
-    cols, rows, _schema = collect_spark_rows(sdf)
-    canon = normalize(cols, rows)
-    h = hashlib.md5()
-    for row in canon:
-        h.update("\x1f".join(row).encode())
-        h.update(b"\x1e")
-    return h.hexdigest()
+    return spark_result_hash(sdf)
 
 
 def worker(sf_dir: str, only: list[str] | None, report_path: str) -> None:
@@ -197,11 +191,13 @@ def main() -> int:
         worker(args.sf_dir, only, args.report)
         return 0
 
+    # Leg reports derive from --report so a custom path is honored and
+    # two simultaneous invocations can't clobber each other's files.
     rep_a = _run_worker(
-        args.tz_a, args.sf_dir, None, "/tmp/rtv_tz_audit_a.json"
+        args.tz_a, args.sf_dir, None, args.report + ".a"
     )
     rep_b = _run_worker(
-        args.tz_b, args.sf_dir, TIME_QUERIES, "/tmp/rtv_tz_audit_b.json"
+        args.tz_b, args.sf_dir, TIME_QUERIES, args.report + ".b"
     )
 
     flagged: dict[str, str] = {}
@@ -225,7 +221,19 @@ def main() -> int:
                 f"[{args.tz_b}] {b['status']}: " + b.get("detail", "")[:300],
             )
         ha, hb = rep_a.get(name, {}).get("spark_hash"), b.get("spark_hash")
-        if ha != hb:
+        # A missing hash or an error sentinel is NOT invariance even
+        # when both legs agree on it — two same-typed failures would
+        # otherwise certify a hash that was never computed.
+        if (
+            not ha
+            or not hb
+            or str(ha).startswith("error:")
+            or str(hb).startswith("error:")
+        ):
+            flagged.setdefault(
+                name, f"no comparable hash: {args.tz_a}={ha} {args.tz_b}={hb}"
+            )
+        elif ha != hb:
             flagged.setdefault(
                 name,
                 f"cross-tz hash drift: {args.tz_a}={ha} {args.tz_b}={hb}",
