@@ -668,3 +668,34 @@ def test_retry_audit_representative_queries_survive_task_failures():
     )
     assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-800:])
     assert "0 flagged" in r.stdout, r.stdout[-1500:]
+
+
+def test_spill_audit_representative_queries_survive_memory_pressure():
+    """Subset of tools/spill_audit.py (tenth adversary class): heavy
+    queries on a replicated corpus under a capped heap with the managed
+    (spillable) pool squeezed must still match their oracles, and the
+    run must actually spill (the tool's anti-vacuity gate). Subprocess
+    because the JVM heap is launch-fixed. The CERTIFIED config (16x /
+    900m / fraction 0.15) on a 5-query subset for test speed — smaller
+    heaps sit too close to the unmanaged-allocation OOM edge the
+    16x/500m probe mapped (q18's AQE broadcast needs the headroom)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "spill_audit.py"),
+            "--only",
+            "q1_pricing_summary,top_orders_per_priority,asof_last_click,"
+            "minhash_lsh_dedup,text_profile",
+            "--report", "/tmp/rtv_spill_audit_pytest.json",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-800:])
+    assert "0 flagged" in r.stdout, r.stdout[-1500:]
