@@ -238,28 +238,38 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # after the stress.
                 pass
             else:
-                # A concurrent thread may have raced us here with a
-                # DIFFERENT token (corpus rewritten mid-build): its
-                # entry for this path is stale relative to ours (or
-                # vice versa — last writer wins; both tokens were real
-                # on-disk states and content decides scores, so either
-                # is a valid serve). Keep the map single-entry-per-path.
-                for old_key in [
+                same_path = [
                     k for k in _BM25_MEMO if k[:2] == (spark, sf_dir)
-                ]:
-                    _safe_unpersist(_BM25_MEMO.pop(old_key)[1])
-                # Belt against unbounded growth across many distinct
-                # paths (pytest mints tmp corpora): cap the memo.
-                # Dead-session entries go first (their blocks are
-                # already gone), then oldest.
-                if len(_BM25_MEMO) >= 16:
-                    for dead in [
-                        k for k in _BM25_MEMO if _session_stopped(k[0])
-                    ]:
-                        _safe_unpersist(_BM25_MEMO.pop(dead)[1])
-                while len(_BM25_MEMO) >= 16:
-                    _safe_unpersist(_BM25_MEMO.pop(next(iter(_BM25_MEMO)))[1])
-                entry = _BM25_MEMO[key] = built
+                ]
+                if same_path:
+                    # A concurrent thread raced us with a DIFFERENT
+                    # token (corpus rewritten mid-build). Treat it as
+                    # the winner and serve ITS entry: both tokens were
+                    # real on-disk states (content decides scores, so
+                    # either is a valid serve), and CRITICALLY we must
+                    # not unpersist here — our persist and theirs are
+                    # plan-deduped onto ONE shared cache entry (same
+                    # session/path), so an unpersist in this race path
+                    # would uncache the winner's index (the regression
+                    # the evict-BEFORE-build ordering exists to
+                    # prevent). If their token is staler than disk, the
+                    # next call's serial pre-build eviction rebuilds.
+                    entry = _BM25_MEMO[same_path[0]]
+                else:
+                    # Belt against unbounded growth across many
+                    # distinct paths (pytest mints tmp corpora): cap
+                    # the memo. Dead-session entries go first (their
+                    # blocks are already gone), then oldest.
+                    if len(_BM25_MEMO) >= 16:
+                        for dead in [
+                            k for k in _BM25_MEMO if _session_stopped(k[0])
+                        ]:
+                            _safe_unpersist(_BM25_MEMO.pop(dead)[1])
+                    while len(_BM25_MEMO) >= 16:
+                        _safe_unpersist(
+                            _BM25_MEMO.pop(next(iter(_BM25_MEMO)))[1]
+                        )
+                    entry = _BM25_MEMO[key] = built
     return entry[0]
 
 

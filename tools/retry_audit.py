@@ -72,6 +72,12 @@ def _with_fail_once(df, marker_dir: str):
 
 
 def worker(sf_dir: str, only: list[str] | None, report_path: str) -> None:
+    # The worker owns marker-dir hygiene (not just the parent): stage
+    # ids restart per session, so leftover s<id>_p<part> files from a
+    # previous run would collide with this session's markers and make
+    # the per-query delta gate false-flag correctly-injected queries as
+    # 'uninjected' when --worker is invoked standalone.
+    shutil.rmtree(MARKER_DIR, ignore_errors=True)
     os.makedirs(MARKER_DIR, exist_ok=True)
 
     # Patch the choke point BEFORE the queries modules import it: they

@@ -19,9 +19,9 @@ Mechanism (subprocess, because the JVM heap is launch-fixed): the
 parent replicates the heavy sf0.1 tables VERBATIM ``--replicate``×
 (duplicate rows change answers, but the DuckDB oracle reads the same
 replicated files, and the duplicate-row audits already certify operator
-totality), then a worker launched with ``--driver-memory 600m`` (local
+totality), then a worker launched with a capped ``--driver-memory`` (local
 mode: the driver IS the executor, so this caps Tungsten execution
-memory) runs the shuffle/sort/window/join-heavy query subset against
+memory; 900m in the certified config) runs the shuffle/sort/window/join-heavy query subset against
 the oracles. Anti-vacuity gates, per the suite's standard: the worker
 asserts the heap cap actually took (``Runtime.maxMemory`` < the cap)
 and, after the sweep, that the stage metrics report NON-ZERO disk
@@ -45,7 +45,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-WORKDIR = "/tmp/rtv_spill_audit_corpus"
+#: Default corpus location PREFIX — replicate() mints a fresh
+#: per-invocation directory under it so concurrent runs (the pytest pin
+#: plus a manual sweep) can't rmtree each other's live corpus.
+WORKDIR_PREFIX = "rtv_spill_audit_"
 
 #: The shuffle/sort/window/join-heavy subset — queries whose physical
 #: plans contain the operators that own spill files (external sort,
@@ -78,11 +81,12 @@ REPLICATED = {"lineitem", "orders", "events", "documents", "embeddings"}
 
 
 def replicate(sf_dir: str, k: int) -> str:
+    import tempfile
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    shutil.rmtree(WORKDIR, ignore_errors=True)
-    os.makedirs(WORKDIR)
+    workdir = tempfile.mkdtemp(prefix=WORKDIR_PREFIX)
     for fname in os.listdir(sf_dir):
         if not fname.endswith(".parquet"):
             continue
@@ -93,8 +97,8 @@ def replicate(sf_dir: str, k: int) -> str:
         # Default row-group sizing (NOT one giant group): multiple row
         # groups → parallel scan tasks → genuine concurrent memory
         # pressure, the shape a real cluster always has.
-        pq.write_table(tbl, os.path.join(WORKDIR, fname))
-    return WORKDIR
+        pq.write_table(tbl, os.path.join(workdir, fname))
+    return workdir
 
 
 def _total_disk_spilled(spark) -> int:
@@ -115,6 +119,18 @@ def _total_disk_spilled(spark) -> int:
     return sum(s.get("diskBytesSpilled", 0) for s in stages)
 
 
+def _parse_heap(heap: str) -> int:
+    """Bytes for a JVM-style heap spec (``900m``, ``1.5g``, case-
+    insensitive). Rejects unitless specs up front — a bare number means
+    BYTES to --driver-memory, which would silently undercut the cap the
+    assert compares against."""
+    m = heap.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    if not m or m[-1] not in units:
+        raise ValueError(f"--heap must end in k/m/g, got {heap!r}")
+    return int(float(m[:-1]) * units[m[-1]])
+
+
 def worker(
     corpus: str, heap: str, report_path: str, mem_fraction: str,
     only: list[str] | None = None,
@@ -123,7 +139,7 @@ def worker(
     from realtime_voting_data_engineering_spark.session import get_spark
     from tests.oracle_harness import compare_query
 
-    # local[8], not local[32]: 8 concurrent tasks against a ~600m heap
+    # local[8], not local[32]: 8 concurrent tasks against a sub-1g heap
     # is sustained pressure that spills; 32 would tip into OOM noise.
     # Shrinking spark.memory.fraction squeezes the MANAGED (spillable)
     # pool specifically, driving more external-sort/agg spill passes
@@ -140,10 +156,15 @@ def worker(
     jvm_max = int(
         spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
     )
-    cap_bytes = int(heap.rstrip("mg")) * (1 << 30 if heap.endswith("g") else 1 << 20)
-    assert jvm_max <= cap_bytes * 1.3, (
-        f"JVM max heap {jvm_max/1e6:.0f} MB — the --driver-memory cap "
-        f"({heap}) did not take; this would be a full-memory re-run"
+    cap_bytes = _parse_heap(heap)
+    # Runtime.maxMemory() is always BELOW -Xmx (survivor-space slack),
+    # so no tolerance factor: a slack multiplier wide enough to admit
+    # Spark's default 1g driver heap would let a silently-dropped
+    # PYSPARK_SUBMIT_ARGS turn this into a full-memory re-run.
+    assert jvm_max <= cap_bytes, (
+        f"JVM max heap {jvm_max/1e6:.0f} MB exceeds the --driver-memory "
+        f"cap ({heap}) — the cap did not take; this would be a "
+        "full-memory re-run"
     )
 
     report: dict[str, dict] = {}
@@ -182,7 +203,7 @@ def main() -> int:
     ap.add_argument("--memory-fraction", default="0.15")
     ap.add_argument("--only", default=None, help="comma-separated query names")
     ap.add_argument("--worker", action="store_true")
-    ap.add_argument("--corpus", default=WORKDIR)
+    ap.add_argument("--corpus", default=None, help="worker-only: corpus dir")
     ap.add_argument("--report", default="/tmp/rtv_spill_audit.json")
     args = ap.parse_args()
 
@@ -209,6 +230,7 @@ def main() -> int:
     )
     with open(args.report) as f:
         rep = json.load(f)
+    shutil.rmtree(corpus, ignore_errors=True)
     envr = rep.pop("_env", {})
     bad = {n: r for n, r in rep.items() if r["status"] != "match"}
     spilled = envr.get("disk_bytes_spilled", 0)
@@ -218,12 +240,16 @@ def main() -> int:
         f"{spilled/1e6:.0f} MB spilled to disk, "
         f"{len(rep) - len(bad)} match, {len(bad)} flagged"
     )
-    if spilled <= 0:
+    for n, r in sorted(bad.items()):
+        print(f"--- {n}: {r['status']}\n{r.get('detail', '')[:400]}\n")
+    if spilled < 0:
+        print("--- ANTI-VACUITY FAILURE: spill counters unavailable — "
+              "the worker ran without the UI REST API (SPARK_GRAFT_UI)")
+        return 1
+    if spilled == 0:
         print("--- ANTI-VACUITY FAILURE: no disk spill was recorded — "
               "raise --replicate or lower --heap")
         return 1
-    for n, r in sorted(bad.items()):
-        print(f"--- {n}: {r['status']}\n{r.get('detail', '')[:400]}\n")
     return 1 if bad else 0
 
 
