@@ -699,3 +699,35 @@ def test_spill_audit_representative_queries_survive_memory_pressure():
     )
     assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-800:])
     assert "0 flagged" in r.stdout, r.stdout[-1500:]
+
+
+def test_locale_audit_string_queries_match_under_turkish_jvm():
+    """Subset of tools/locale_audit.py (eleventh adversary class): the
+    string-processing queries must stay oracle-exact on a JVM whose
+    default locale is tr_TR — the dotless-i locale that corrupts any
+    case fold or collation consulting the default locale. The worker's
+    own sanity gates run inside the subprocess: JVM locale really tr_TR,
+    default-vs-ROOT collators really disagree (the adversary has
+    teeth), Spark ORDER BY stays binary."""
+    from tools import locale_audit as LA
+
+    rep = LA._run_worker(
+        "tr",
+        "TR",
+        "/root/testdata/sf0.001",
+        [
+            "text_profile",
+            "doc_fingerprint_clusters",
+            "bm25_search_topk",
+            "top_words",
+            "vote_share",
+        ],
+        "/tmp/rtv_locale_audit_pytest.json",
+    )
+    assert rep["_env"]["jvm_locale"] == "tr_TR", rep["_env"]
+    bad = {
+        k: v
+        for k, v in rep.items()
+        if not k.startswith("_") and v["status"] != "match"
+    }
+    assert not bad, bad
