@@ -88,8 +88,20 @@ def bm25_topk_indexed(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_salt: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Top-k documents by BM25 relevance, plus the persisted index.
+
+    ``cache_salt`` gives the persisted index a CONTENT-keyed cache
+    identity: Spark's CacheManager dedupes persists by analyzed plan,
+    and a plan built from a path is identical across in-place corpus
+    rewrites — so without a salt, a rebuild for NEW content can dedupe
+    onto a live STALE entry (its eager stats job then reads old rows),
+    and unpersisting an evicted entry can uncache another build's
+    index. A literal column derived from the caller's content token
+    makes plans for different contents structurally distinct, closing
+    the whole class; cache owners (the ``bm25_search_topk`` memo) pass
+    their token here.
 
     Returns ``(topk, projection)`` where ``projection`` is the persisted
     tf + doc-length frame (the index) — the handle cache owners need to
@@ -121,7 +133,10 @@ def bm25_topk_indexed(
         F.col(id_col),
         *[term_tf(text_col, t).alias(a) for t, a in zip(query_terms, tf_aliases)],
         F.size(tokens(text_col)).alias("__dl"),
-    ).persist(StorageLevel.DISK_ONLY)
+    )
+    if cache_salt is not None:
+        base = base.withColumn("__cache_salt", F.lit(cache_salt))
+    base = base.persist(StorageLevel.DISK_ONLY)
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg(F.col("__dl").cast("double")).alias("__avgdl"),

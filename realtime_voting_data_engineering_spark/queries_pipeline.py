@@ -219,9 +219,18 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bm25_topk_indexed returns the projection handle EXPLICITLY —
         # a refactor that stops exposing it fails at build time, not by
         # silently skipping unpersist on eviction (r7 review + advice).
-        # Built OUTSIDE the lock: it runs the eager stats job.
+        # Built OUTSIDE the lock: it runs the eager stats job. The
+        # cache_salt gives the persisted plan a CONTENT-keyed identity:
+        # two builds share a CacheManager entry iff their tokens are
+        # equal, so a mid-rewrite race can neither read a stale cache
+        # nor have its index uncached by another token's eviction.
         built = SE.bm25_topk_indexed(
-            docs, list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+            docs,
+            list(_BM25_TERMS),
+            k=_BM25_K,
+            k1=_BM25_K1,
+            b=_BM25_B,
+            cache_salt=repr((sf_dir, token)),
         )
         with _BM25_LOCK:
             entry = _BM25_MEMO.get(key)
@@ -238,38 +247,30 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # after the stress.
                 pass
             else:
-                same_path = [
+                # A concurrent thread may have raced us with a
+                # DIFFERENT token (corpus rewritten mid-build):
+                # last-writer-wins — pop and unpersist its entry, which
+                # is SAFE because cache_salt gives every token its own
+                # cache entry (no cross-token plan-dedupe), and install
+                # ours. If OUR token is the staler one, the next call's
+                # token mismatch forces the serial pre-build eviction
+                # to rebuild — the self-heal the cap comment relies on.
+                for old_key in [
                     k for k in _BM25_MEMO if k[:2] == (spark, sf_dir)
-                ]
-                if same_path:
-                    # A concurrent thread raced us with a DIFFERENT
-                    # token (corpus rewritten mid-build). Treat it as
-                    # the winner and serve ITS entry: both tokens were
-                    # real on-disk states (content decides scores, so
-                    # either is a valid serve), and CRITICALLY we must
-                    # not unpersist here — our persist and theirs are
-                    # plan-deduped onto ONE shared cache entry (same
-                    # session/path), so an unpersist in this race path
-                    # would uncache the winner's index (the regression
-                    # the evict-BEFORE-build ordering exists to
-                    # prevent). If their token is staler than disk, the
-                    # next call's serial pre-build eviction rebuilds.
-                    entry = _BM25_MEMO[same_path[0]]
-                else:
-                    # Belt against unbounded growth across many
-                    # distinct paths (pytest mints tmp corpora): cap
-                    # the memo. Dead-session entries go first (their
-                    # blocks are already gone), then oldest.
-                    if len(_BM25_MEMO) >= 16:
-                        for dead in [
-                            k for k in _BM25_MEMO if _session_stopped(k[0])
-                        ]:
-                            _safe_unpersist(_BM25_MEMO.pop(dead)[1])
-                    while len(_BM25_MEMO) >= 16:
-                        _safe_unpersist(
-                            _BM25_MEMO.pop(next(iter(_BM25_MEMO)))[1]
-                        )
-                    entry = _BM25_MEMO[key] = built
+                ]:
+                    _safe_unpersist(_BM25_MEMO.pop(old_key)[1])
+                # Belt against unbounded growth across many distinct
+                # paths (pytest mints tmp corpora): cap the memo.
+                # Dead-session entries go first (their blocks are
+                # already gone), then oldest.
+                if len(_BM25_MEMO) >= 16:
+                    for dead in [
+                        k for k in _BM25_MEMO if _session_stopped(k[0])
+                    ]:
+                        _safe_unpersist(_BM25_MEMO.pop(dead)[1])
+                while len(_BM25_MEMO) >= 16:
+                    _safe_unpersist(_BM25_MEMO.pop(next(iter(_BM25_MEMO)))[1])
+                entry = _BM25_MEMO[key] = built
     return entry[0]
 
 

@@ -208,6 +208,9 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.worker:
+        if not args.corpus:
+            ap.error("--worker requires --corpus (the parent mints a "
+                     "fresh replicated dir per invocation)")
         worker(
             args.corpus, args.heap, args.report, args.memory_fraction,
             args.only.split(",") if args.only else None,
@@ -220,17 +223,23 @@ def main() -> int:
         PYSPARK_SUBMIT_ARGS=f"--driver-memory {args.heap} pyspark-shell",
         SPARK_GRAFT_UI="true",  # the spill counters come from the UI API
     )
-    subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker",
-         "--corpus", corpus, "--heap", args.heap, "--report", args.report,
-         "--memory-fraction", args.memory_fraction]
-        + (["--only", args.only] if args.only else []),
-        env=env,
-        check=True,
-    )
-    with open(args.report) as f:
-        rep = json.load(f)
-    shutil.rmtree(corpus, ignore_errors=True)
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--corpus", corpus, "--heap", args.heap,
+             "--report", args.report,
+             "--memory-fraction", args.memory_fraction]
+            + (["--only", args.only] if args.only else []),
+            env=env,
+            check=True,
+        )
+        with open(args.report) as f:
+            rep = json.load(f)
+    finally:
+        # ALWAYS reclaim the multi-GB replicated corpus — worker
+        # failures (the documented OOM-boundary probes exit non-zero)
+        # must not accumulate rtv_spill_audit_* dirs until /tmp fills.
+        shutil.rmtree(corpus, ignore_errors=True)
     envr = rep.pop("_env", {})
     bad = {n: r for n, r in rep.items() if r["status"] != "match"}
     spilled = envr.get("disk_bytes_spilled", 0)
