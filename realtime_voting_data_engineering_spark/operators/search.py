@@ -74,10 +74,17 @@ def bm25_topk(
     """Top-k documents by BM25 relevance to ``query_terms``.
 
     Thin wrapper over :func:`bm25_topk_indexed` that drops the index
-    handle — callers that own the cache lifecycle (the
-    ``bm25_search_topk`` memo) use the indexed form directly.
+    handle — and therefore builds UNPERSISTED (``persist=False``): a
+    caller that cannot unpersist must not persist, or every direct call
+    (audit tools, ad-hoc queries) leaks a session-lifetime DISK_ONLY
+    cache entry (r8 advice). The price is a second corpus scan (stats
+    job + scoring pass); callers that own the cache lifecycle (the
+    ``bm25_search_topk`` memo) use the indexed form directly and pay the
+    persist exactly once per corpus.
     """
-    return bm25_topk_indexed(docs, query_terms, k, k1, b, text_col, id_col)[0]
+    return bm25_topk_indexed(
+        docs, query_terms, k, k1, b, text_col, id_col, persist=False
+    )[0]
 
 
 def bm25_topk_indexed(
@@ -89,8 +96,19 @@ def bm25_topk_indexed(
     text_col: str = "text",
     id_col: str = "doc_id",
     cache_salt: str | None = None,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Top-k documents by BM25 relevance, plus the persisted index.
+
+    ``persist=False`` skips caching the tf projection entirely: the
+    corpus is scanned twice (once for the stats fold, once for scoring)
+    and NO CacheManager entry is created. This is the mode for callers
+    that cannot own an unpersist (the :func:`bm25_topk` wrapper) and for
+    content-unverifiable corpora (``bm25_search_topk``'s ``token is
+    None`` path) — a persisted-but-unowned plan is a session-lifetime
+    leak, and worse, an identical analyzed plan from a LATER call
+    plan-dedupes onto the live stale entry and silently serves old rows
+    (r8 advice). Double scan over no invalidation story.
 
     ``cache_salt`` gives the persisted index a CONTENT-keyed cache
     identity: Spark's CacheManager dedupes persists by analyzed plan,
@@ -136,7 +154,8 @@ def bm25_topk_indexed(
     )
     if cache_salt is not None:
         base = base.withColumn("__cache_salt", F.lit(cache_salt))
-    base = base.persist(StorageLevel.DISK_ONLY)
+    if persist:
+        base = base.persist(StorageLevel.DISK_ONLY)
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg(F.col("__dl").cast("double")).alias("__avgdl"),

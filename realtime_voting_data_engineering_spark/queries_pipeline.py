@@ -63,19 +63,27 @@ _BM25_LOCK = threading.Lock()
 
 def _corpus_token(sf_dir: str):
     """Cheap content fingerprint of the documents table: (mtime_ns,
-    size) of the file, or the sorted part-file listing's (mtime_ns,
-    size) pairs for a directory-style table. Changes whenever the audit
-    tools (or anything else) rewrite the path in place."""
+    size) of the file, or for a directory-style table the RECURSIVE
+    sorted listing's (relpath, mtime_ns, size) triples — partitioned
+    layouts (``lang=en/part-*.parquet``) and marker subdirectories
+    (``_SUCCESS``-style) nest, and the r8 shape stat'ed a nested dir
+    as a file, raising OSError and silently degrading every partitioned
+    corpus to the unmemoized path (r8 verdict). Each entry is stat'ed
+    exactly once. Changes whenever the audit tools (or anything else)
+    rewrite the path in place."""
     import os
 
     path = os.path.join(sf_dir, "documents.parquet")
     try:
         if os.path.isdir(path):
-            return tuple(
-                (f, os.stat(os.path.join(path, f)).st_mtime_ns,
-                 os.stat(os.path.join(path, f)).st_size)
-                for f in sorted(os.listdir(path))
-            )
+            entries = []
+            for root, dirs, files in os.walk(path):
+                dirs.sort()  # deterministic walk order
+                rel = os.path.relpath(root, path)
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    entries.append((os.path.join(rel, f), st.st_mtime_ns, st.st_size))
+            return tuple(entries)
         st = os.stat(path)
         return (st.st_mtime_ns, st.st_size)
     except OSError:
@@ -190,13 +198,21 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if token is None:
         # Content unverifiable (stat failed): never serve OR store a
         # cache entry we can't invalidate. Evict whatever is memoized
-        # for the path and build fresh, unmemoized (r7 advice).
+        # for the path and build fresh, UNPERSISTED (persist=False): the
+        # r8 shape persisted without a salt, so a second call's
+        # identical analyzed plan deduped onto the first call's live
+        # cache entry — the "fresh" path actually served the first
+        # build's rows (stale if content changed while unstat-able) and
+        # leaked one projection per path (r8 advice). persist=False
+        # creates no CacheManager entry at all; the double scan is the
+        # honest price of an uninvalidatable corpus.
         with _BM25_LOCK:
             for old_key in [k for k in _BM25_MEMO if k[:2] == (spark, sf_dir)]:
                 _safe_unpersist(_BM25_MEMO.pop(old_key)[1])
         docs = load_table(spark, sf_dir, "documents")
         return SE.bm25_topk_indexed(
-            docs, list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+            docs, list(_BM25_TERMS), k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+            persist=False,
         )[0]
     key = (spark, sf_dir, token)
     with _BM25_LOCK:

@@ -122,15 +122,25 @@ def test_stratified_sample_plan_is_shuffle_free(spark, sf_dir):
 
 def test_bm25_plan_is_single_scan_no_join(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    out = SE.bm25_topk(docs, ["spark", "merge"], k=5)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    # top-k must be a TakeOrdered, never a global sort
-    assert "TakeOrderedAndProject" in plan
-    # stats are inlined as literals off the persisted tf projection —
-    # no join of any kind survives in the scoring plan
-    assert "Join" not in plan
-    # the scoring pass reads the persisted projection, not the corpus
-    assert "InMemoryTableScan" in plan
+    out, proj = SE.bm25_topk_indexed(docs, ["spark", "merge"], k=5)
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # top-k must be a TakeOrdered, never a global sort
+        assert "TakeOrderedAndProject" in plan
+        # stats are inlined as literals off the persisted tf projection —
+        # no join of any kind survives in the scoring plan
+        assert "Join" not in plan
+        # the scoring pass reads the persisted projection, not the corpus
+        assert "InMemoryTableScan" in plan
+    finally:
+        proj.unpersist()
+    # The convenience wrapper builds persist=False (it discards the
+    # handle, so it must not create cache entries — r8 advice): its
+    # scoring plan reads the corpus directly, no InMemoryTableScan.
+    wrapped = SE.bm25_topk(docs, ["spark", "merge"], k=5)
+    wplan = wrapped._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in wplan
+    assert "TakeOrderedAndProject" in wplan and "Join" not in wplan
 
 
 def test_pq_encode_reconstruction_and_determinism(spark, sf_dir):
@@ -313,6 +323,109 @@ def test_bm25_memo_skips_unverifiable_corpus(spark, monkeypatch):
     after = sum(1 for k in QP._BM25_MEMO if k[1] == sf_dir)
     assert after == 0, "unverifiable-token build must not be memoized"
     assert before in (0, 1)  # pre-existing entries for the path are evicted
+
+
+def test_bm25_memo_serves_partitioned_directory_corpus(spark, tmp_path):
+    """r8 verdict #4: ``_corpus_token`` stat'ed nested directories as
+    files, so any PARTITIONED documents layout (``lang=*/part-*``) raised
+    OSError and silently degraded every call to build-fresh-unmemoized —
+    exactly the corpus shape a production path would have. The token must
+    recurse: the memo serves on a partitioned table, stays stable across
+    calls, and invalidates when the nested layout changes."""
+    import os
+    import shutil
+
+    from realtime_voting_data_engineering_spark import queries as Q
+    from realtime_voting_data_engineering_spark import queries_pipeline as QP
+
+    src = "/root/testdata/sf0.001"
+    work = str(tmp_path / "corpus")
+    os.makedirs(work)
+    for f in os.listdir(src):
+        if f != "documents.parquet":
+            shutil.copy(os.path.join(src, f), os.path.join(work, f))
+    docs_path = os.path.join(work, "documents.parquet")
+    spark.read.parquet(os.path.join(src, "documents.parquet")).write.partitionBy(
+        "lang"
+    ).parquet(docs_path)
+    token = QP._corpus_token(work)
+    assert token is not None, "partitioned layout must be tokenizable (r8 bug)"
+    assert len(token) > 1, "recursive walk must see the nested part files"
+    fn = Q.REGISTRY["bm25_search_topk"].fn
+    r1 = {(r.doc_id, r.score) for r in fn(spark, work).collect()}
+    assert r1
+    assert sum(1 for k in QP._BM25_MEMO if k[1] == work) == 1, (
+        "partitioned corpus not memoized — token walk failed"
+    )
+    fn(spark, work)  # token stable across calls → same single entry serves
+    assert sum(1 for k in QP._BM25_MEMO if k[1] == work) == 1
+    # In-place layout change (drop one partition) → new token → rebuild.
+    lang_dir = next(
+        d for d in sorted(os.listdir(docs_path)) if d.startswith("lang=")
+    )
+    shutil.rmtree(os.path.join(docs_path, lang_dir))
+    r2 = {(r.doc_id, r.score) for r in fn(spark, work).collect()}
+    assert r1 != r2, "memo served a stale index after a partition rewrite"
+    assert sum(1 for k in QP._BM25_MEMO if k[1] == work) == 1
+
+
+def _persisted_rdd_count(spark) -> int:
+    return int(spark.sparkContext._jsc.sc().getPersistentRDDs().size())
+
+
+def test_bm25_wrapper_does_not_persist(spark, sf_dir):
+    """r8 advice: the ``bm25_topk`` convenience wrapper discarded the
+    projection handle while still persisting it — any direct caller
+    (audit tools, ad-hoc use) leaked a session-lifetime DISK_ONLY cache
+    entry it could never unpersist. The wrapper now builds
+    ``persist=False``: correct results, zero new CacheManager entries."""
+    from realtime_voting_data_engineering_spark.operators import search as SE
+    from realtime_voting_data_engineering_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    before = _persisted_rdd_count(spark)
+    out = SE.bm25_topk(docs, ["spark", "merge"], k=5).collect()
+    assert len(out) > 0
+    assert _persisted_rdd_count(spark) == before, (
+        "bm25_topk wrapper persisted an unowned projection (leak)"
+    )
+
+
+def test_bm25_unverifiable_path_is_fresh_each_call(spark, tmp_path, monkeypatch):
+    """r8 advice: the unverifiable-token path persisted a SALT-LESS plan,
+    so a later call's identical analyzed plan deduped onto the first
+    build's live cache entry — the 'build fresh' path actually served the
+    FIRST build's rows (stale across content rewrites) and leaked one
+    projection per path. persist=False closes both: no cache entry is
+    created and every call scores the current corpus contents."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    from realtime_voting_data_engineering_spark import queries as Q
+    from realtime_voting_data_engineering_spark import queries_pipeline as QP
+
+    src = "/root/testdata/sf0.001"
+    work = str(tmp_path / "corpus")
+    os.makedirs(work)
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), os.path.join(work, f))
+    monkeypatch.setattr(QP, "_corpus_token", lambda sf_dir: None)
+    fn = Q.REGISTRY["bm25_search_topk"].fn
+    before = _persisted_rdd_count(spark)
+    r1 = {(r.doc_id, r.score) for r in fn(spark, work).collect()}
+    assert _persisted_rdd_count(spark) == before, (
+        "unverifiable-token build created a cache entry it can't invalidate"
+    )
+    doc_file = os.path.join(work, "documents.parquet")
+    t = pq_.read_table(doc_file)
+    pq_.write_table(t.slice(0, len(t) // 2), doc_file)
+    r2 = {(r.doc_id, r.score) for r in fn(spark, work).collect()}
+    assert r1 != r2, (
+        "unmemoized path served stale rows — plan-dedupe onto a live "
+        "cache entry (the r8 salt-less persist bug)"
+    )
 
 
 def test_bm25_memo_eviction_tolerates_dead_sessions():
