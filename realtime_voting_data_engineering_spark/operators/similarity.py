@@ -1022,6 +1022,75 @@ def pq_reconstruct(codes_csv: list[int], cb) -> "np.ndarray":  # noqa: F821
     return np.concatenate([cb[s, c] for s, c in enumerate(codes_csv)])
 
 
+def _pq_query_luts(
+    queries: DataFrame, cb, dims: int, m: int, ksub: int,
+    id_col: str, vec_col: str,
+):
+    """Collect the (bounded-by-contract) query set and precompute each
+    query's m×ksub lookup table of subvector · centroid dots. LUT dots
+    accumulate dimension-SEQUENTIALLY so DuckDB's ``list_sum`` replays
+    them bit-for-bit. Returns ``(qids, luts)`` as stacked numpy arrays
+    — ``luts[i]`` pairs with ``qids[i]``."""
+    import numpy as np
+
+    dsub = dims // m
+    q_rows = (
+        valid_vectors(queries, vec_col, dims).select(id_col, vec_col).collect()
+    )  # O(|Q|) by contract — queries are a bounded serving set
+    # Id-uniqueness at the query boundary: colliding query ids would
+    # emit two score sets under one query_id and the top-k would mix
+    # them into a chimera ranking. Keep the lexicographically least
+    # valid embedding per id — the same total, row-order-independent
+    # rule as ``unique_by_id`` (the r5-r8 dict build kept the LAST
+    # collected row per id, a row-order-dependent choice).
+    best: dict = {}
+    for r in q_rows:
+        key = r[id_col]
+        if key not in best or list(r[vec_col]) < list(best[key][vec_col]):
+            best[key] = r
+    q_rows = sorted(best.values(), key=lambda r: str(r[id_col]))
+    qids, luts = [], []
+    for r in q_rows:
+        qv = np.array(r[vec_col], dtype=np.float64)
+        lut = np.zeros((m, ksub), dtype=np.float64)
+        for s in range(m):
+            sub = qv[s * dsub : (s + 1) * dsub]
+            acc = np.zeros(ksub, dtype=np.float64)
+            for d in range(dsub):  # sequential: bit-matches list_sum
+                acc = acc + sub[d] * cb[s, :, d]
+            lut[s] = acc
+        qids.append(r[id_col])
+        luts.append(lut)
+    return (
+        np.array(qids) if qids else np.zeros(0),
+        np.array(luts) if luts else np.zeros((0, m, ksub)),
+    )
+
+
+def _adc_score_frame(qids_arr, luts_arr, ids, code_mat, m: int):
+    """Score one Arrow batch of PQ codes against every query LUT at
+    once and emit ONE output frame (self-matches dropped). Per query the
+    accumulation is subspace-SEQUENTIAL (s-loop) — identical add order
+    to a per-query loop, so the vectorization across queries changes no
+    bits (pinned by test_pq_adc_from_codes_matches_float_path)."""
+    import numpy as np
+
+    n = len(ids)
+    acc = np.zeros((len(qids_arr), n), dtype=np.float64)
+    for s in range(m):  # sequential per query: bit-matches list_sum
+        acc = acc + luts_arr[:, s, :][:, code_mat[:, s]]
+    qcol = np.repeat(qids_arr, n)
+    ncol = np.tile(ids, len(qids_arr))
+    keep = qcol != ncol
+    return pd.DataFrame(
+        {
+            "query_id": qcol[keep],
+            "neighbor_id": ncol[keep],
+            "adc_dot": acc.ravel()[keep],
+        }
+    )
+
+
 def knn_pq_adc(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1035,83 +1104,137 @@ def knn_pq_adc(
     """Asymmetric-distance (ADC) top-k over PQ codes — PQ's serving
     path: each query precomputes an m×ksub lookup table of subvector ·
     centroid dots, and scoring a corpus vector is m table lookups + m-1
-    adds over its 8-byte code, never touching the original floats
-    (Jégou et al.; FAISS IndexPQ search). The corpus side is
-    ``pq_encode`` output — at rest this is the stored code table, so a
-    100 TB corpus is scanned as m bytes/vector, a 32× scan reduction
-    beyond int8's 4×.
+    adds over its 8-byte code (Jégou et al.; FAISS IndexPQ search).
+    This float-input form encodes the corpus and scores it in ONE fused
+    Arrow kernel — the r5-r8 shape chained ``pq_encode``'s kernel into a
+    separate scoring kernel, paying a second JVM↔Python Arrow crossing
+    (with codes serialized as CSV strings on the wire) plus one output
+    frame PER QUERY per batch; fusing recovered ~0.12-0.17 s of the
+    panel's four-round drift at sf0.1 (SCALE.md "Round-9 knn_pq_adc
+    attribution"). To serve from a STORED code table (the real 100 TB
+    shape — m bytes/vector scanned, 32× less than floats), use
+    :func:`knn_pq_adc_from_codes`.
 
-    Scale shape: codes stream through an Arrow-batched kernel against
-    the broadcast LUTs (O(|Q|·m·ksub) doubles — tiny by contract, like
-    ``knn_brute_force_pandas``'s query matrix); no shuffle until the
-    |Q|·k top-k window. Determinism: LUT dots accumulate
-    dimension-sequentially and scores accumulate subspace-sequentially,
-    so DuckDB replays ranking bit-for-bit (scores are approximate
+    Scale shape: vectors stream through the kernel against the
+    closure-captured LUT stack (O(|Q|·m·ksub) doubles — tiny by
+    contract, like ``knn_brute_force_pandas``'s query matrix); no
+    shuffle until the |Q|·k top-k window. Determinism: LUT dots
+    accumulate dimension-sequentially, scores subspace-sequentially, so
+    DuckDB replays the ranking bit-for-bit (scores are approximate
     INNER-PRODUCT surrogates — recall vs exact cosine is pytest-bounded,
     the ranking itself is exact)."""
     import numpy as np
 
-    from pyspark.sql.types import (
-        DoubleType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     from realtime_voting_data_engineering_spark.session import (
         ensure_workers_can_import,
     )
 
+    assert dims % m == 0, "dims must divide into m equal subvectors"
     ensure_workers_can_import(queries.sparkSession)
-    queries = valid_vectors(queries, vec_col, dims)  # contract: invalid rows excluded
     dsub = dims // m
     cb = pq_codebooks(dims, m, ksub)  # (m, ksub, dsub)
-    q_rows = (
-        queries.select(id_col, vec_col).collect()
-    )  # O(|Q|) by contract — queries are a bounded serving set
-    luts = {}
-    for r in q_rows:
-        qv = np.array(r[vec_col], dtype=np.float64)
-        lut = np.zeros((m, ksub), dtype=np.float64)
-        for s in range(m):
-            sub = qv[s * dsub : (s + 1) * dsub]
-            acc = np.zeros(ksub, dtype=np.float64)
-            for d in range(dsub):  # sequential: bit-matches list_sum
-                acc = acc + sub[d] * cb[s, :, d]
-            lut[s] = acc
-        luts[r[id_col]] = lut
+    qids_arr, luts_arr = _pq_query_luts(
+        queries, cb, dims, m, ksub, id_col, vec_col
+    )
 
-    codes = pq_encode(corpus, dims, m, ksub, id_col, vec_col)
+    base = valid_vectors(corpus, vec_col, dims).select(id_col, vec_col)
     out_schema = StructType(
         [
-            StructField("query_id", codes.schema[id_col].dataType),
-            StructField("neighbor_id", codes.schema[id_col].dataType),
+            StructField("query_id", base.schema[id_col].dataType),
+            StructField("neighbor_id", base.schema[id_col].dataType),
+            StructField("adc_dot", DoubleType()),
+        ]
+    )
+
+    def encode_and_score(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf) or not len(qids_arr):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = len(x)
+            codes = np.empty((n, m), dtype=np.int64)
+            for s in range(m):
+                sub = x[:, s * dsub : (s + 1) * dsub]
+                d2 = np.zeros((n, ksub), dtype=np.float64)
+                for d in range(dsub):  # sequential: bit-matches list_sum
+                    diff = sub[:, d : d + 1] - cb[s, :, d][None, :]
+                    d2 = d2 + diff * diff
+                codes[:, s] = np.argmin(d2, axis=1)  # first min on ties
+            yield _adc_score_frame(
+                qids_arr, luts_arr, pdf[id_col].values, codes, m
+            )
+
+    scored = base.mapInPandas(encode_and_score, schema=out_schema)
+    top = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("adc_dot").desc(), F.col("neighbor_id")],
+        k=k,
+    )
+    return top.withColumn("adc_dot", F.round("adc_dot", 6))
+
+
+def knn_pq_adc_from_codes(
+    queries: DataFrame,
+    codes: DataFrame,
+    dims: int,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """ADC top-k served from a STORED PQ code table — the shape that
+    matters at 100 TB: ``codes`` is ``pq_encode`` output at rest, so the
+    corpus scan reads m bytes/vector and never touches the float
+    embeddings. Row-identical to :func:`knn_pq_adc` over the encoded
+    corpus (same LUTs, same subspace-sequential accumulation — pinned by
+    test_pq_adc_from_codes_matches_float_path). Validity contract:
+    codes carry no floats to validate — ``pq_encode`` enforced the
+    vector contract at encode time; only the ``queries`` side (floats)
+    passes ``valid_vectors`` here."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from realtime_voting_data_engineering_spark.session import (
+        ensure_workers_can_import,
+    )
+
+    assert dims % m == 0, "dims must divide into m equal subvectors"
+    ensure_workers_can_import(queries.sparkSession)
+    cb = pq_codebooks(dims, m, ksub)
+    qids_arr, luts_arr = _pq_query_luts(
+        queries, cb, dims, m, ksub, id_col, vec_col
+    )
+
+    base = codes.select(id_col, codes_col)
+    out_schema = StructType(
+        [
+            StructField("query_id", base.schema[id_col].dataType),
+            StructField("neighbor_id", base.schema[id_col].dataType),
             StructField("adc_dot", DoubleType()),
         ]
     )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not len(pdf):
+            if not len(pdf) or not len(qids_arr):
                 continue
             code_mat = np.array(
-                [[int(c) for c in row.split(",")] for row in pdf["pq_codes"]],
+                [[int(c) for c in row.split(",")] for row in pdf[codes_col]],
                 dtype=np.int64,
             )
-            ids = pdf[id_col].values
-            for qid, lut in luts.items():
-                acc = np.zeros(len(pdf), dtype=np.float64)
-                for s in range(m):  # sequential: bit-matches list_sum
-                    acc = acc + lut[s][code_mat[:, s]]
-                keep = ids != qid
-                yield pd.DataFrame(
-                    {
-                        "query_id": qid,
-                        "neighbor_id": ids[keep],
-                        "adc_dot": acc[keep],
-                    }
-                )
+            yield _adc_score_frame(
+                qids_arr, luts_arr, pdf[id_col].values, code_mat, m
+            )
 
-    scored = codes.mapInPandas(score, schema=out_schema)
+    scored = base.mapInPandas(score, schema=out_schema)
     top = top_k_per_group(
         scored,
         ["query_id"],

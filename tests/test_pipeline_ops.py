@@ -214,6 +214,80 @@ def test_pq_adc_recall_vs_exact(spark, sf_dir):
     assert hits / total >= 0.15, f"ADC recall {hits}/{total}"
 
 
+def test_pq_adc_from_codes_matches_float_path(spark, sf_dir):
+    """The stored-code serving path (`knn_pq_adc_from_codes` over
+    `pq_encode` output — the real 100 TB shape) must be row-identical to
+    the fused float-input path: same LUTs, same subspace-sequential
+    accumulation, so vectorizing across queries changes no bits."""
+    from realtime_voting_data_engineering_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).limit(10)
+    from_floats = sorted(
+        map(tuple, S.knn_pq_adc(queries, emb, dims=64, m=8, ksub=16, k=5).collect())
+    )
+    codes = S.pq_encode(emb, dims=64, m=8, ksub=16)
+    from_codes = sorted(
+        map(
+            tuple,
+            S.knn_pq_adc_from_codes(
+                queries, codes, dims=64, m=8, ksub=16, k=5
+            ).collect(),
+        )
+    )
+    assert from_floats == from_codes
+    assert len(from_floats) > 0
+
+
+def test_pq_adc_fused_single_python_crossing(spark, sf_dir):
+    """The float-input path encodes and scores in ONE fused Arrow kernel
+    (r9): the r5-r8 shape chained two mapInPandas kernels, paying a
+    second JVM↔Python crossing with CSV code strings on the wire — the
+    attributed bulk of the knn_pq_adc panel drift. Exactly one
+    MapInPandas node may appear in the plan."""
+    from realtime_voting_data_engineering_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).limit(10)
+    out = S.knn_pq_adc(queries, emb, dims=64, m=8, ksub=16, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+
+
+def test_pq_adc_colliding_query_ids_deterministic(spark):
+    """Colliding query ids must collapse to ONE deterministic query
+    vector (lexicographically least valid embedding — the unique_by_id
+    rule), not emit two score sets under one query_id (chimera top-k) or
+    keep whichever row collected last (the r5-r8 dict build's
+    row-order-dependent choice)."""
+    from realtime_voting_data_engineering_spark.operators import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(i, [0.01 * i] * 8) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    dup_queries = spark.createDataFrame(
+        [(1, [0.2] * 8), (1, [0.01] * 8)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = S.knn_pq_adc(dup_queries, corpus, dims=8, m=2, ksub=4, k=3).collect()
+    assert {r.query_id for r in out} == {1}
+    assert len(out) == 3, "duplicate query id emitted extra top-k rows"
+    # permuting the duplicate rows must not change the winning vector
+    out2 = S.knn_pq_adc(
+        spark.createDataFrame(
+            [(1, [0.01] * 8), (1, [0.2] * 8)],
+            "vec_id bigint, embedding array<float>",
+        ),
+        corpus,
+        dims=8,
+        m=2,
+        ksub=4,
+        k=3,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
 def test_apply_changes_latest_null_predicate_keeps_key(spark):
     """A malformed final change (delete predicate evaluates NULL) must
     KEEP the key — unknown is not a tombstone. Guards the coalesce in
