@@ -88,6 +88,13 @@ def streaming_events_per_sec(spark, n_events: int = 100_000) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Ambient-load telemetry (r8 verdict #3): the shared sandbox can sit
+    # at +20-30% for hours and a whole run inflates uniformly — the r8
+    # headline (13.92 s vs quiet 10.5-10.8 s) took a git-worktree A/B to
+    # attribute. Recording the 1/5/15-min load average before and after
+    # makes every BENCH artifact self-attributing: compare totals only
+    # against runs with comparable load.
+    load_before = os.getloadavg()
     spark = get_spark(app_name="rtv-bench")
 
     # One tiny action to finish JVM/executor warmup before timing.
@@ -140,6 +147,8 @@ def main() -> None:
         "queries": timings,
         "sf": parse_sf(sf_dir),
         "streaming_events_per_sec": events_per_sec,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(out))
 

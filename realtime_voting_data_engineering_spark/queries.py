@@ -586,76 +586,79 @@ from realtime_voting_data_engineering_spark import queries_pipeline  # noqa: E40
 # which queries get a driver-side correctness row each round. We order
 # explicitly rather than leaning on import side-effect order.
 #
-# Round-7 window (a DEPTH round — VERDICT r6 "Next round" #1): the 48
-# queries whose last driver row is CORRECTNESS_r05 all rotate back in
-# (the rotation invariant forces them in before their evidence goes two
-# rounds stale), leaving exactly 2 free slots. Those go to the round's
-# 2 new registrations (VERDICT r6 #2 — no prior driver rows, so they
-# MUST be in-window): the accuracy-contract graduations of the two
-# Registry stays at the 98 cap (2×50-window − 2) so the rotation stays
-# feasible with 2-slot slack — pinned below by
+# Round-9 window (a DEPTH round, like r7/r8 — the 98-query cap makes
+# every round ~48-forced + 2-free): the 48 queries whose last driver
+# row is CORRECTNESS_r07 all rotate back in (the rotation invariant
+# forces them in before their evidence goes two rounds stale), leaving
+# exactly 2 free slots. Both go to RE-VERIFICATION of r8-evidenced
+# queries whose code paths this round touched (the r8 pattern, VERDICT
+# r8 #8): bm25_search_topk (its memo gained the recursive
+# partitioned-layout corpus token and the persist=False unverifiable
+# path) and knn_cosine_topk (shares the valid_vectors/unique_by_id
+# similarity boundary adjacent to the r9 knn_pq_adc kernel fusion —
+# knn_pq_adc itself is among the 48 forced-in). Registry stays at the
+# 98 cap (2×50-window − 2) so the rotation stays feasible with 2-slot
+# slack — pinned below by
 # tests/test_registry_order.py::test_registry_leaves_two_window_slots.
 # Every query OUTSIDE this window has a green row in
-# CORRECTNESS_r07.json (a clean 50/50 full pass), so no component's
-# driver evidence is more than one round stale (rotation policy:
-# PARITY.md "Driver-window rotation"; invariant pinned by
+# CORRECTNESS_r08.json (50/50 full pass), so no component's driver
+# evidence is more than one round stale (rotation policy: PARITY.md
+# "Driver-window rotation"; invariant pinned by
 # tests/test_registry_order.py).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Out of the r7 window (last driver row: r6) — 48, forced in
-    "votes_per_candidate",
-    "turnout_per_location",
-    "leading_candidate",
-    "vote_share",
-    "latest_vote_per_user",
-    "dedup_votes_exact",
-    "assigned_candidate_counts",
-    "voters_by_segment",
-    "hourly_vote_counts",
-    "parse_vote_payload",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "revenue_by_brand",
-    "top_orders_per_priority",
-    "activation_funnel",
-    "weekly_retention_cohorts",
-    "data_quality_report",
-    "distinct_counts",
-    "order_status_rollup",
-    "event_type_cube",
-    "grouping_sets_revenue",
-    "customers_with_orders_by_segment",
-    "customers_without_orders",
-    "high_balance_accounts_union",
-    "purchase_and_error_users",
-    "purchase_only_users",
-    "event_counts_pivot",
-    "user_sessions",
-    "purchase_with_prior_view",
-    "running_revenue_per_customer",
-    "scalar_function_profile",
-    "order_date_parts",
-    "value_quartiles_by_type",
-    "event_window_suite",
-    "embedding_array_profile",
-    "top_words",
-    "purchases_after_error",
-    "document_chunks",
-    "doc_fingerprint_clusters",
-    "ngram_near_dup_pairs",
-    "near_dup_clusters_star",
-    "winnow_overlap_topk",
-    "simhash_near_dup",
-    "knn_cosine_topk",
-    "embedding_near_dup_pairs",
-    "embedding_near_dup_srp",
-    "embedding_quantization",
-    "knn_ivf_fixed",
-    # Free slots (r7 evidence exists, but both were touched/targeted by
-    # r8 work): bm25_search_topk's memo + index-handle API were
-    # refactored (r7 advice), near_dup_clusters is the slowest headline
-    # query and this round's perf target — re-verify both post-change.
+    # Out of the r8 window (last driver row: r7) — 48, forced in
+    "approx_distinct_users_check",
+    "approx_value_quartiles_check",
+    "asof_last_click",
+    "benchmark_contamination",
+    "canonical_docs_per_cluster",
+    "cdc_latest_state",
+    "corpus_curation_pipeline",
+    "daily_activity_reconciliation",
+    "deterministic_doc_sample",
+    "embedding_pq_codes",
+    "event_rollup_multires",
+    "hourly_gap_filled",
+    "incremental_new_docs",
+    "knn_ann_srp",
+    "knn_pq_adc",
+    "knn_quantized",
+    "language_histogram",
+    "media_feature_stats",
+    "media_frame_sample_plan",
+    "minhash_lsh_dedup",
+    "per_group_doc_sample",
+    "q10_returned_items",
+    "q11_value_share_analog",
+    "q12_priority_lines",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_promo_heavy_suppliers",
+    "q21_sole_late_supplier",
+    "q22_idle_high_balance",
+    "q2_min_cost_supplier",
+    "q4_late_ship_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_margin_by_nation_year",
+    "quality_score_buckets",
+    "salted_event_totals",
+    "scalar_counts",
+    "stratified_doc_sample",
+    "text_profile",
+    "train_val_test_split",
+    "voter_pagination",
+    # Free slots: re-verification of r8-evidenced queries touched by r9
+    # work (see the window paragraph above).
     "bm25_search_topk",
-    "near_dup_clusters",
+    "knn_cosine_topk",
 )
 
 

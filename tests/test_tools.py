@@ -731,3 +731,41 @@ def test_locale_audit_string_queries_match_under_turkish_jvm():
         if not k.startswith("_") and v["status"] != "match"
     }
     assert not bad, bad
+
+
+def test_run_audits_parses_pass_and_fail(tmp_path, monkeypatch):
+    """tools/run_audits.py (the r9 single entry point) must classify a
+    class PASS only when the subprocess exits 0 AND its own summary line
+    reports 0 flagged — the per-query audits historically exit 0 even
+    when flagging, so the summary line is the authoritative signal, and
+    a tool that crashes before printing any summary must read as FAIL,
+    never vacuously pass."""
+    import textwrap
+
+    from tools import run_audits as RA
+
+    cases = {
+        # (stdout-producing script body, expected ok)
+        "green": ("print('# 6 audited, 6 match, 0 flagged')", True),
+        # flags but exits 0 — the null/float/order/extreme/split shape
+        "flagged_exit0": ("print('# 6 audited, 5 match, 1 flagged')", False),
+        # exits 1 despite a clean-looking line
+        "exit1": (
+            "import sys; print('# 1 audited, 1 match, 0 flagged'); sys.exit(1)",
+            False,
+        ),
+        # crashes before any summary — must not vacuously pass
+        "nosummary": ("print('hello'); raise SystemExit(0)", False),
+        # fuzz shape: per-seed lines plus an all-seeds total — the LAST
+        # 'flagged' count is authoritative
+        "fuzz_total_last": (
+            "print('# seed 1: 1 flagged')\n"
+            "print('## all seeds: 196 audited, 0 flagged')",
+            True,
+        ),
+    }
+    monkeypatch.setattr(RA, "TOOLS_DIR", str(tmp_path))
+    for name, (body, expected) in cases.items():
+        (tmp_path / f"{name}_audit.py").write_text(textwrap.dedent(body))
+        ok, _elapsed, summary = RA.run_one(name, [])
+        assert ok is expected, (name, summary)

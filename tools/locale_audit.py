@@ -177,9 +177,19 @@ def main() -> int:
         worker(args.sf_dir, only, args.report)
         return 0
 
-    rep_a = _run_worker("tr", "TR", args.sf_dir, None, args.report + ".a")
-    rep_b = _run_worker(
-        "lt", "LT", args.sf_dir, STRING_QUERIES, args.report + ".b"
+    # --only narrows BOTH legs (tools/run_audits.py --quick relies on
+    # this; pre-r9 the orchestrator silently ignored it and ran full).
+    only = args.only.split(",") if args.only else None
+    string_queries = [
+        n for n in STRING_QUERIES if only is None or n in only
+    ]
+    rep_a = _run_worker("tr", "TR", args.sf_dir, only, args.report + ".a")
+    # An empty narrowed set must SKIP leg B: _run_worker omits --only
+    # for a falsy list, which would silently run the full registry.
+    rep_b = (
+        _run_worker("lt", "LT", args.sf_dir, string_queries, args.report + ".b")
+        if string_queries
+        else {}
     )
 
     flagged: dict[str, str] = {}
@@ -192,7 +202,7 @@ def main() -> int:
             flagged[name] = f"[tr_TR] {entry['status']}: " + entry.get(
                 "detail", ""
             )[:300]
-    for name in STRING_QUERIES:
+    for name in string_queries:
         b = rep_b.get(name)
         if b is None:
             flagged.setdefault(name, "missing from leg B report")
@@ -217,7 +227,7 @@ def main() -> int:
             )
     print(
         f"\n# {audited} audited under tr_TR ({rep_a.get('_env')}), "
-        f"{len(STRING_QUERIES)} cross-checked vs lt_LT "
+        f"{len(string_queries)} cross-checked vs lt_LT "
         f"({rep_b.get('_env')}), {len(flagged)} flagged"
     )
     for n, d in sorted(flagged.items()):

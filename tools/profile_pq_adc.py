@@ -1,11 +1,21 @@
 """Stage-level attribution of knn_pq_adc's cost (r8 verdict #2).
 
-The panel shows 0.386 -> 0.893 s across r5 -> r8; quiet min-of-4 says
-~0.87 s is real. This profiler decomposes the query into its component
+The panel showed 0.386 -> 0.893 s across r5 -> r8; quiet min-of-4 said
+~0.87 s was real. This profiler decomposes the query into its component
 jobs on the bench corpus (sf0.1, 2,000 vectors) and times candidate
 plan variants, so SCALE.md can attribute the drift per stage instead of
 guessing. Run on a QUIET machine (prints loadavg so the reading defends
 itself).
+
+Outcome (r9, recorded in SCALE.md "Round-9 knn_pq_adc attribution"):
+~0.15-0.2 s was the justified r7 correctness boundary; ~0.25 s was the
+two-kernel operator shape, closed by fusing encode+score into one Arrow
+kernel — `variant_current` below now exercises the FUSED operator, so
+this tool doubles as the regression probe for it (quiet band
+0.625-0.681 s). `variant_pushed_queries` was tried and REJECTED: the
+vec_id filter is already pushed below the unique_by_id window into the
+parquet scan (Catalyst pushes predicates on window partition keys), so
+dedup-after-filter only adds plan nodes.
 """
 
 from __future__ import annotations

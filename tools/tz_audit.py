@@ -193,11 +193,21 @@ def main() -> int:
 
     # Leg reports derive from --report so a custom path is honored and
     # two simultaneous invocations can't clobber each other's files.
+    # --only narrows BOTH legs (tools/run_audits.py --quick relies on
+    # this; pre-r9 the orchestrator silently ignored it and ran full).
+    only = args.only.split(",") if args.only else None
+    time_queries = [
+        n for n in TIME_QUERIES if only is None or n in only
+    ]
     rep_a = _run_worker(
-        args.tz_a, args.sf_dir, None, args.report + ".a"
+        args.tz_a, args.sf_dir, only, args.report + ".a"
     )
-    rep_b = _run_worker(
-        args.tz_b, args.sf_dir, TIME_QUERIES, args.report + ".b"
+    # An empty narrowed set must SKIP leg B: _run_worker omits --only
+    # for a falsy list, which would silently run the full registry.
+    rep_b = (
+        _run_worker(args.tz_b, args.sf_dir, time_queries, args.report + ".b")
+        if time_queries
+        else {}
     )
 
     flagged: dict[str, str] = {}
@@ -210,7 +220,7 @@ def main() -> int:
             flagged[name] = f"[{args.tz_a}] {entry['status']}: " + entry.get(
                 "detail", ""
             )[:300]
-    for name in TIME_QUERIES:
+    for name in time_queries:
         b = rep_b.get(name)
         if b is None:
             flagged.setdefault(name, "missing from leg B report")
@@ -240,7 +250,7 @@ def main() -> int:
             )
     print(
         f"\n# {audited} audited under {args.tz_a} "
-        f"({rep_a.get('_env')}), {len(TIME_QUERIES)} cross-checked vs "
+        f"({rep_a.get('_env')}), {len(time_queries)} cross-checked vs "
         f"{args.tz_b} ({rep_b.get('_env')}), {len(flagged)} flagged"
     )
     for n, d in sorted(flagged.items()):
