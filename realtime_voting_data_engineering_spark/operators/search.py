@@ -110,6 +110,18 @@ def bm25_topk_indexed(
     plan-dedupes onto the live stale entry and silently serves old rows
     (r8 advice). Double scan over no invalidation story.
 
+    Snapshot caveat of the double scan: the stats fold (scan 1, eager)
+    and the scoring pass (scan 2, at the caller's action) read the
+    corpus at DIFFERENT times, so a concurrent in-place rewrite can mix
+    old-corpus idf literals with new-corpus tf — a score consistent
+    with neither snapshot. This is accepted for this mode: persist=False
+    exists precisely for corpora whose content cannot be verified or
+    invalidated, where best-effort freshness beats an un-invalidatable
+    cache (and the persisted path races the same rewrite at BUILD time
+    — one snapshot, but just as arbitrarily placed). Callers needing
+    read consistency under concurrent rewrites need a snapshotting
+    table format underneath, not a flag here.
+
     ``cache_salt`` gives the persisted index a CONTENT-keyed cache
     identity: Spark's CacheManager dedupes persists by analyzed plan,
     and a plan built from a path is identical across in-place corpus

@@ -1194,10 +1194,20 @@ def knn_pq_adc_from_codes(
     corpus scan reads m bytes/vector and never touches the float
     embeddings. Row-identical to :func:`knn_pq_adc` over the encoded
     corpus (same LUTs, same subspace-sequential accumulation — pinned by
-    test_pq_adc_from_codes_matches_float_path). Validity contract:
-    codes carry no floats to validate — ``pq_encode`` enforced the
-    vector contract at encode time; only the ``queries`` side (floats)
-    passes ``valid_vectors`` here."""
+    test_pq_adc_from_codes_matches_float_path).
+
+    Validity contract (the ``valid_vectors`` analogue for codes): a
+    table AT REST accumulates corruption the in-flight path never sees
+    — ``pq_encode`` validated the floats it encoded, but a stored row
+    can arrive NULL, truncated, non-numeric, or bit-flipped out of
+    range. Rows whose code string does not parse to exactly ``m``
+    integers in ``[0, ksub)`` are EXCLUDED here, declaratively (a
+    codegen filter before the kernel): without the gate a negative code
+    would silently WRAP via numpy indexing and score against the wrong
+    (last) centroid — a plausible wrong answer that can win the top-k
+    — and any unparsable row would kill the whole job (one bad row,
+    1000 executors). Exclusion mirrors the float boundary's semantics;
+    only the ``queries`` side (floats) passes ``valid_vectors``."""
     import numpy as np
 
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -1213,7 +1223,18 @@ def knn_pq_adc_from_codes(
         queries, cb, dims, m, ksub, id_col, vec_col
     )
 
-    base = codes.select(id_col, codes_col)
+    parsed = F.transform(
+        F.split(F.col(codes_col), ","), lambda x: x.try_cast("int")
+    )
+    valid_codes = (
+        F.col(codes_col).isNotNull()
+        & (F.size(parsed) == m)
+        & ~F.exists(
+            parsed,
+            lambda c: c.isNull() | (c < F.lit(0)) | (c >= F.lit(ksub)),
+        )
+    )
+    base = codes.filter(valid_codes).select(id_col, codes_col)
     out_schema = StructType(
         [
             StructField("query_id", base.schema[id_col].dataType),

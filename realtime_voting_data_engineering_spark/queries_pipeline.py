@@ -73,11 +73,21 @@ def _corpus_token(sf_dir: str):
     rewrite the path in place."""
     import os
 
+    def _raise(err: OSError) -> None:
+        # os.walk swallows listing errors by default (onerror=None): an
+        # unreadable top dir would yield an EMPTY tuple and an
+        # unreadable subdir would be silently omitted — both are
+        # stable-looking tokens that do NOT cover the content they
+        # claim to fingerprint, re-opening the stale-serving class.
+        # Listing failures must reach the except below → None →
+        # unmemoized (r9 review finding).
+        raise err
+
     path = os.path.join(sf_dir, "documents.parquet")
     try:
         if os.path.isdir(path):
             entries = []
-            for root, dirs, files in os.walk(path):
+            for root, dirs, files in os.walk(path, onerror=_raise):
                 dirs.sort()  # deterministic walk order
                 rel = os.path.relpath(root, path)
                 for f in sorted(files):

@@ -254,6 +254,66 @@ def test_pq_adc_fused_single_python_crossing(spark, sf_dir):
     assert plan.count("MapInPandas") == 1, plan
 
 
+def test_pq_adc_from_codes_excludes_corrupt_rows(spark):
+    """A stored code table accumulates corruption pq_encode's in-flight
+    output never shows (r9 review finding): a NEGATIVE code must not
+    silently wrap via numpy indexing onto the last centroid (a plausible
+    wrong score that can win the top-k), and NULL/truncated/non-numeric
+    rows must be excluded, not crash the kernel. The boundary mirrors
+    valid_vectors: exclusion, declaratively, before the kernel."""
+    from realtime_voting_data_engineering_spark.operators import similarity as S
+
+    queries = spark.createDataFrame(
+        [(100, [0.1] * 8)], "vec_id bigint, embedding array<float>"
+    )
+    clean = [(i, "1,2") for i in range(1, 6)]
+    corrupt = [
+        (10, "3,-1"),      # negative → would wrap to the last centroid
+        (11, None),        # NULL string
+        (12, ""),          # empty
+        (13, "1"),         # truncated (m=2 expected)
+        (14, "1,2,3"),     # too many
+        (15, "a,b"),       # non-numeric
+        (16, "1,4"),       # out of range (ksub=4 → max 3)
+    ]
+    codes = spark.createDataFrame(
+        clean + corrupt, "vec_id bigint, pq_codes string"
+    )
+    out = S.knn_pq_adc_from_codes(
+        queries, codes, dims=8, m=2, ksub=4, k=20
+    ).collect()
+    got_ids = {r.neighbor_id for r in out}
+    assert got_ids == {1, 2, 3, 4, 5}, got_ids
+
+
+def test_corpus_token_is_none_when_directory_listing_fails(monkeypatch, tmp_path):
+    """os.walk swallows listing errors by default, which would turn an
+    unreadable corpus directory into a stable-looking EMPTY token — a
+    valid memo key that does not cover the content it claims to
+    fingerprint (r9 review finding). Listing failures must propagate to
+    the OSError handler and yield None (→ unmemoized build)."""
+    import os
+
+    from realtime_voting_data_engineering_spark import queries_pipeline as QP
+
+    docs = tmp_path / "documents.parquet"
+    docs.mkdir()
+    (docs / "part-0.parquet").write_bytes(b"x")
+    assert QP._corpus_token(str(tmp_path)) is not None  # healthy dir tokenizes
+
+    real_walk = os.walk
+
+    def failing_walk(path, onerror=None, **kw):
+        if onerror is not None:
+            onerror(OSError("permission denied (injected)"))
+        return real_walk(path, onerror=onerror, **kw)
+
+    monkeypatch.setattr(os, "walk", failing_walk)
+    assert QP._corpus_token(str(tmp_path)) is None, (
+        "listing failure produced a token instead of None"
+    )
+
+
 def test_pq_adc_colliding_query_ids_deterministic(spark):
     """Colliding query ids must collapse to ONE deterministic query
     vector (lexicographically least valid embedding — the unique_by_id

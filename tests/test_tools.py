@@ -763,6 +763,11 @@ def test_run_audits_parses_pass_and_fail(tmp_path, monkeypatch):
             "print('## all seeds: 196 audited, 0 flagged')",
             True,
         ),
+        # zero audited — a renamed query or emptily-intersecting --only
+        # must not certify green vacuously (r9 review finding)
+        "zero_audited": ("print('# 0 audited, 0 match, 0 flagged')", False),
+        # the concurrency summary says 'checks', not 'audited'
+        "checks_shape": ("print('# 4 checks, 4 match, 0 flagged')", True),
     }
     monkeypatch.setattr(RA, "TOOLS_DIR", str(tmp_path))
     for name, (body, expected) in cases.items():

@@ -63,6 +63,7 @@ AUDITS: list[tuple[str, list[str], list[str] | None]] = [
 ]
 
 _FLAGGED_RE = re.compile(r"(\d+)\s+flagged")
+_AUDITED_RE = re.compile(r"(\d+)\s+(?:audited|checks)")
 
 
 def run_one(name: str, argv: list[str]) -> tuple[bool, float, str]:
@@ -85,10 +86,16 @@ def run_one(name: str, argv: list[str]) -> tuple[bool, float, str]:
         if _FLAGGED_RE.search(ln)
     ]
     summary = summary_lines[-1] if summary_lines else "(no summary line)"
+    # Anti-vacuity: "0 audited, 0 flagged" must FAIL — a renamed query
+    # or an emptily-intersecting --only filter would otherwise certify
+    # green having audited nothing (r9 review finding).
+    audited = _AUDITED_RE.search(summary)
     ok = (
         proc.returncode == 0
         and bool(flagged_counts)
         and flagged_counts[-1] == "0"
+        and audited is not None
+        and int(audited.group(1)) > 0
     )
     if not ok:
         sys.stderr.write(f"\n===== {name} audit output (failed) =====\n")
