@@ -368,30 +368,41 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders — IN over a HAVING-filtered
-    aggregate, decorrelated to a semi join on the pre-aggregated order
-    keys. The heavy lineitem aggregation happens once; the qualifying
-    key set is a fixed *fraction* of orders (grows with SF), so the
-    semi-join strategy is left to Catalyst/AQE rather than a forced
-    broadcast."""
+    aggregate. The textbook decorrelation (r1-r8 here, and what the
+    oracle SQL literally says) semi-joins the qualifying keys back and
+    re-aggregates the re-joined lineitem rows — scanning and shuffling
+    LINEITEM TWICE. But the final group keys (c_custkey … o_totalprice)
+    are functionally determined by o_orderkey, so the re-aggregated
+    SUM(l_quantity) per group IS the per-order sum already computed for
+    the HAVING filter: compute it ONCE, filter, and join the tiny
+    qualifying (orderkey, qty) set to orders ⋈ customer — the
+    aggregate-pushdown-through-join rewrite Catalyst does not do itself
+    (the two lineitem exchanges differ — partial-agg rows vs raw rows —
+    so ReuseExchange can't fire on the textbook plan). One lineitem
+    scan + one shuffle instead of two of each (plan-pinned in
+    tests/test_plans.py::test_q18_single_lineitem_scan); at 100 TB
+    lineitem is the dominant table, and locally this measured
+    1.35-1.48 → 1.14-1.15 s at sf0.1 (interleaved min-of-4 A/B,
+    row-identical on clean AND duplicate-row corpora — the outer
+    re-aggregate of ``qty`` keeps duplicate orders/customer rows
+    doubling the sum exactly as the oracle's join-then-SUM does).
+    The qualifying key set is a fixed *fraction* of orders (grows with
+    SF), so the join strategy is left to Catalyst/AQE rather than a
+    forced broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
-    big_orders = (
+    per_order = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("qty"))
-        .filter(F.col("qty") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(F.sum(dec("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > 150)
     )
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").join(
-        big_orders,
-        F.col("o_orderkey") == F.col("big_orderkey"),
-        "left_semi",
-    )
+    orders = load_table(spark, sf_dir, "orders")
     joined = customer.join(orders, customer.c_custkey == orders.o_custkey).join(
-        li, F.col("o_orderkey") == F.col("l_orderkey")
+        per_order, F.col("o_orderkey") == F.col("l_orderkey")
     )
     grouped = joined.groupBy(
         "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice"
-    ).agg(_sum_dec_double("l_quantity", "sum_qty"))
+    ).agg(F.sum("__qty").cast("double").alias("sum_qty"))
     return grouped.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(20)
 
 
