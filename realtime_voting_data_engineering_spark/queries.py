@@ -596,7 +596,9 @@ from realtime_voting_data_engineering_spark import queries_pipeline  # noqa: E40
 # partitioned-layout corpus token and the persist=False unverifiable
 # path) and knn_cosine_topk (shares the valid_vectors/unique_by_id
 # similarity boundary adjacent to the r9 knn_pq_adc kernel fusion —
-# knn_pq_adc itself is among the 48 forced-in). Registry stays at the
+# knn_pq_adc itself, and q18_large_orders with its r9 single-scan
+# rewrite, are both among the 48 forced-in, so every query this round
+# modified gets a fresh r9 driver row). Registry stays at the
 # 98 cap (2×50-window − 2) so the rotation stays feasible with 2-slot
 # slack — pinned below by
 # tests/test_registry_order.py::test_registry_leaves_two_window_slots.
