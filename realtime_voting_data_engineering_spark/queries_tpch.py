@@ -326,22 +326,33 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: small-quantity-order revenue with a correlated
-    per-part average. Decorrelated Spark-side: compute each part's avg
-    quantity in one grouped pass over lineitem and join it back — two
-    scans of lineitem but no per-row subquery, which is the only shape
-    that survives at 100 TB. The brand-filtered part and the per-part
-    aggregate both scale with SF, so join strategy stays with AQE."""
+    per-part average. Decorrelated as a WINDOW over l_partkey (r9): the
+    per-part threshold rides the same shuffle that delivers the rows, so
+    lineitem — the dominant table at 100 TB — is scanned ONCE (the r1-r8
+    grouped-pass-plus-self-join shape scanned it twice; ReuseExchange
+    can't merge a partial-agg exchange with a raw-row one, the q18
+    lesson). Same arithmetic, same decimal sum, row-identical on clean
+    and duplicate-row corpora; measured 0.81-0.84 → 0.69-0.74 s at sf0.1
+    (interleaved min-of-3). The threshold must be computed over ALL of
+    a part's lineitems (the oracle's correlated subquery ignores the
+    brand filter), so the window runs BEFORE the part join; NULL
+    partkeys form one window partition both ways and are then dropped
+    identically by the inner part join. The brand-filtered part side
+    scales with SF, so join strategy stays with AQE."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
-        (
-            0.2 * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
-        ).alias("qty_threshold")
+    w = Window.partitionBy("l_partkey")
+    li2 = li.withColumn(
+        "__thr",
+        0.2
+        * (
+            F.sum(dec("l_quantity")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ),
     )
-    joined = li.join(part, li.l_partkey == part.p_partkey).join(
-        per_part, li.l_partkey == per_part.avg_partkey
+    small = li2.filter(F.col("l_quantity") < F.col("__thr")).join(
+        part, li2.l_partkey == part.p_partkey
     )
-    small = joined.filter(F.col("l_quantity") < F.col("qty_threshold"))
     return small.agg(
         (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
     )
@@ -773,7 +784,18 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier order — the reference formulation's EXISTS/NOT-EXISTS
     pair decorrelated into per-order conditional distinct counts
     (n_suppliers > 1, n_late = 1) joined back to the late shippers. Two
-    shuffles on l_orderkey, both sharable; no per-row subqueries."""
+    shuffles on l_orderkey, both sharable; no per-row subqueries.
+
+    Tried and REJECTED (r9, the q17/q18 single-scan sweep): folding the
+    late-pair branch into the stats aggregation via
+    ``collect_set(when(is_late, suppkey))`` + ``element_at(.., 1)``
+    does reach one lineitem/orders scan and is row-identical (verified,
+    incl. duplicate-row corpora) — but measured 2.2× SLOWER (1.84-1.97
+    → 4.07-4.10 s at sf0.1): the two countDistincts already rewrite
+    into an Expand (×3 row blowup before the shuffle), and adding
+    collect_set forces the whole expanded set through ObjectHashAgg.
+    The blowup scales WITH the data, so it is not a local artifact —
+    the two lean co-partitioned passes win at 100 TB too."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     lo = li.join(orders, orders.o_orderkey == li.l_orderkey)
@@ -826,13 +848,20 @@ def q11_value_share_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fixed fraction of the nation-wide total — a grouped aggregate
     HAVING-compared against a global scalar. The scalar JOINS as a 1-row
     broadcast (like q22's avg-balance) rather than a correlated
-    subquery, though its aggregate is a second pass over the pruned
-    natline lineage (Spark does not dedupe logical subtrees — land
-    natline in a table to make it one pass); the nation filter reduces
-    the fact before its shuffles; the one-nation supplier subset is left
-    unhinted (it scales with SF — AQE decides); both compared values
-    derive from the same exact decimal sum, so the > cut is
-    engine-stable."""
+    subquery — and since r9 it re-aggregates the PER-PART decimal sums
+    instead of the natline lineage: decimal addition is exact and
+    associative, so Σ(per-part Σv) ≡ Σv bit-for-bit, and both plan
+    branches now share the l_partkey exchange (ReusedExchange fires —
+    the partial-agg-below-exchange is identical, unlike q18's mismatch)
+    so lineitem is scanned ONCE instead of twice. Measured sf0.1:
+    +0.05-0.07 s locally (one extra stage + the broadcast exchange —
+    scheduling, not data) for one fewer scan of the dominant fact
+    table; at 100 TB the scan is the cost that matters and the shuffle
+    was already being paid. Row-identical on clean and duplicate-row
+    corpora. The nation filter reduces the fact before its shuffles;
+    the one-nation supplier subset is left unhinted (it scales with SF
+    — AQE decides); both compared values derive from the same exact
+    decimal sum, so the > cut is engine-stable."""
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(
@@ -855,11 +884,13 @@ def q11_value_share_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_part = natline.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
-        F.sum("v").cast("double").alias("part_value")
+        F.sum("v").alias("__pv")  # stay decimal: the total re-sums exactly
     )
-    total = natline.agg(F.sum("v").cast("double").alias("t"))
+    total = per_part.agg(F.sum("__pv").cast("double").alias("t"))
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("t") * 0.001)
-        .select("ps_partkey", "part_value")
+        .filter(F.col("__pv").cast("double") > F.col("t") * 0.001)
+        .select(
+            "ps_partkey", F.col("__pv").cast("double").alias("part_value")
+        )
     )

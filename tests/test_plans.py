@@ -285,6 +285,26 @@ def test_q18_single_lineitem_scan(spark, sf_dir):
     assert "TakeOrderedAndProject" in final
 
 
+def test_q17_q11_single_lineitem_scan(spark, sf_dir):
+    """The other two r9 single-scan rewrites hold their shape: q17's
+    per-part threshold is a WINDOW riding the row-delivery shuffle (no
+    self-join, one lineitem scan), and q11's global total re-aggregates
+    the per-part decimal sums so both branches share the l_partkey
+    exchange (ReusedExchange in the final plan, one lineitem scan)."""
+    for name, want_reuse in (
+        ("q17_small_qty_revenue", False),
+        ("q11_value_share_analog", True),
+    ):
+        df = Q.REGISTRY[name].fn(spark, sf_dir)
+        df.collect()
+        final = (
+            df._jdf.queryExecution().executedPlan().toString()
+        ).split("== Initial Plan ==")[0]
+        assert final.count("lineitem.parquet") == 1, (name, final)
+        if want_reuse:
+            assert "ReusedExchange" in final, (name, final)
+
+
 def test_bm25_single_corpus_scan(spark, sf_dir):
     """BM25's 100 TB contract (VERDICT r5 "What's wrong" #1): the corpus
     is scanned and tokenized exactly ONCE — the tf projection persists,
