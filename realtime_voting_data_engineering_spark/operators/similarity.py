@@ -1234,7 +1234,13 @@ def knn_pq_adc_from_codes(
             lambda c: c.isNull() | (c < F.lit(0)) | (c >= F.lit(ksub)),
         )
     )
-    base = codes.filter(valid_codes).select(id_col, codes_col)
+    # Ship the PARSED array to the kernel: the validity filter already
+    # split + try_cast every code JVM-side; re-splitting the raw string
+    # with per-row Python int() in the kernel would redo that work on
+    # the hot path this operator exists for (r9 review finding).
+    base = codes.filter(valid_codes).select(
+        F.col(id_col), parsed.alias("__codes")
+    )
     out_schema = StructType(
         [
             StructField("query_id", base.schema[id_col].dataType),
@@ -1247,10 +1253,7 @@ def knn_pq_adc_from_codes(
         for pdf in batches:
             if not len(pdf) or not len(qids_arr):
                 continue
-            code_mat = np.array(
-                [[int(c) for c in row.split(",")] for row in pdf[codes_col]],
-                dtype=np.int64,
-            )
+            code_mat = np.array(list(pdf["__codes"]), dtype=np.int64)
             yield _adc_score_frame(
                 qids_arr, luts_arr, pdf[id_col].values, code_mat, m
             )

@@ -768,6 +768,17 @@ def test_run_audits_parses_pass_and_fail(tmp_path, monkeypatch):
         "zero_audited": ("print('# 0 audited, 0 match, 0 flagged')", False),
         # the concurrency summary says 'checks', not 'audited'
         "checks_shape": ("print('# 4 checks, 4 match, 0 flagged')", True),
+        # tz/locale shape: a SECOND count (the cross-check leg) that can
+        # go vacuous on its own while the first stays non-zero — every
+        # count must be > 0 (r9 review finding #2)
+        "tz_shape": (
+            "print('# 98 audited under X, 16 cross-checked vs Y, 0 flagged')",
+            True,
+        ),
+        "tz_vacuous_crosscheck": (
+            "print('# 98 audited under X, 0 cross-checked vs Y, 0 flagged')",
+            False,
+        ),
     }
     monkeypatch.setattr(RA, "TOOLS_DIR", str(tmp_path))
     for name, (body, expected) in cases.items():

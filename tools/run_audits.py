@@ -63,7 +63,7 @@ AUDITS: list[tuple[str, list[str], list[str] | None]] = [
 ]
 
 _FLAGGED_RE = re.compile(r"(\d+)\s+flagged")
-_AUDITED_RE = re.compile(r"(\d+)\s+(?:audited|checks)")
+_AUDITED_RE = re.compile(r"(\d+)\s+(?:audited|checks|cross-checked)")
 
 
 def run_one(name: str, argv: list[str]) -> tuple[bool, float, str]:
@@ -86,16 +86,21 @@ def run_one(name: str, argv: list[str]) -> tuple[bool, float, str]:
         if _FLAGGED_RE.search(ln)
     ]
     summary = summary_lines[-1] if summary_lines else "(no summary line)"
-    # Anti-vacuity: "0 audited, 0 flagged" must FAIL — a renamed query
-    # or an emptily-intersecting --only filter would otherwise certify
-    # green having audited nothing (r9 review finding).
-    audited = _AUDITED_RE.search(summary)
+    # Anti-vacuity: EVERY audited/checks/cross-checked count in the
+    # summary must be non-zero — a renamed query or an
+    # emptily-intersecting --only filter would otherwise certify green
+    # having audited nothing, and the tz/locale summaries carry a
+    # SECOND count (the cross-check leg) that can go vacuous on its own
+    # (r9 review findings ×2). Consequence: the --quick subset must
+    # always include at least one time-consuming and one string-heavy
+    # query so those legs have work — QUICK_ONLY does.
+    audited_counts = _AUDITED_RE.findall(summary)
     ok = (
         proc.returncode == 0
         and bool(flagged_counts)
         and flagged_counts[-1] == "0"
-        and audited is not None
-        and int(audited.group(1)) > 0
+        and bool(audited_counts)
+        and all(int(c) > 0 for c in audited_counts)
     )
     if not ok:
         sys.stderr.write(f"\n===== {name} audit output (failed) =====\n")
