@@ -652,10 +652,23 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency cut applied to the BENCHMARK postings (ubiquitous
     n-grams carry no contamination signal and are the skew keys); the
     benchmark side is a small fraction of the corpus, so the join
-    shuffles little and the train side streams through it."""
+    shuffles little and the train side streams through it.
+
+    The benchmark postings are materialized once (LAZY localCheckpoint,
+    the ``jaccard_for_pairs`` pattern -- every branch feeds one final
+    job, and the checkpointed plan is deterministic, its stated
+    precondition): they feed BOTH the df cut and the semi-joined kept
+    set, and without materialization each reference re-ran the full
+    tokenize+shingle explode -- the r9 executed-plan sweep found the
+    documents text column scanned 3x for what is logically one pass
+    (2x bench + 1x train; now 1x train + a 5%-of-index checkpoint).
+    Local timing is neutral (the corpus is small); at 100 TB two extra
+    full-text tokenize passes are the dominant waste."""
     sh = D.shingle_index(load_table(spark, sf_dir, "documents"), n=5)
-    bench = sh.filter(F.col("doc_id") % 20 == 3).select(
-        F.col("doc_id").alias("bench_id"), "shingle"
+    bench = (
+        sh.filter(F.col("doc_id") % 20 == 3)
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+        .localCheckpoint(eager=False)
     )
     rare = (
         bench.groupBy("shingle")
@@ -724,9 +737,16 @@ def hourly_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity span; series whose events are all garbage-time yield a NULL
     span and an empty sequence in both engines."""
     events = load_events(spark, sf_dir)
+    # The hourly aggregate feeds BOTH the span derivation and the
+    # grid's left join; without materialization each reference re-ran
+    # the raw-data aggregate (the r9 executed-plan sweep: events
+    # scanned 2x). LAZY localCheckpoint (the ``jaccard_for_pairs``
+    # pattern; plan deterministic, the stated precondition) makes the
+    # docstring's "ONE raw-data shuffle" literally true: the checkpoint
+    # holds only the tiny (series x hours) aggregate.
     hourly = events.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
     spans = hourly.groupBy("event_type").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )

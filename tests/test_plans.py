@@ -305,6 +305,29 @@ def test_q17_q11_single_lineitem_scan(spark, sf_dir):
             assert "ReusedExchange" in final, (name, final)
 
 
+def test_contamination_and_gapfill_single_raw_scan(spark, sf_dir):
+    """The r9 checkpoint fixes hold their shape: benchmark_contamination
+    materializes the (small) benchmark postings once, so the documents
+    text column is tokenized exactly once more for the train side — one
+    documents scan in the final plan (was 3); hourly_gap_filled
+    checkpoints the hourly aggregate, so the raw events scan happens
+    only inside the checkpoint materialization — zero events scans
+    remain in the final query plan (was 2)."""
+    df = Q.REGISTRY["benchmark_contamination"].fn(spark, sf_dir)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    assert final.count("documents.parquet") == 1, final
+
+    df = Q.REGISTRY["hourly_gap_filled"].fn(spark, sf_dir)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    assert final.count("events.parquet") == 0, final
+
+
 def test_bm25_single_corpus_scan(spark, sf_dir):
     """BM25's 100 TB contract (VERDICT r5 "What's wrong" #1): the corpus
     is scanned and tokenized exactly ONCE — the tf projection persists,
