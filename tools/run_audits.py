@@ -60,6 +60,10 @@ AUDITS: list[tuple[str, list[str], list[str] | None]] = [
         ["--only", "q18_large_orders,q1_pricing_summary,minhash_lsh_dedup,near_dup_clusters"],
     ),
     ("fuzz", ["--seeds", "1,2,3"], ["--seeds", "1", "--only", QUICK_ONLY]),
+    # Plan-shape gate, not an oracle adversary: flags accidental
+    # multi-scans of one table in the final executed plan (the class
+    # that had q17/q18/q11 scanning lineitem twice for four rounds).
+    ("scan", [], ["--only", QUICK_ONLY]),
 ]
 
 _FLAGGED_RE = re.compile(r"(\d+)\s+flagged")
