@@ -63,7 +63,17 @@ AUDITS: list[tuple[str, list[str], list[str] | None]] = [
     # Plan-shape gate, not an oracle adversary: flags accidental
     # multi-scans of one table in the final executed plan (the class
     # that had q17/q18/q11 scanning lineitem twice for four rounds).
-    ("scan", [], ["--only", QUICK_ONLY]),
+    # Quick leg uses a CLASS-SPECIFIC subset — the historical offenders
+    # plus one allowlisted and one exact-count (checkpointed) query —
+    # so the smoke actually exercises the allowance paths (QUICK_ONLY
+    # contains only historically-clean default-allowance queries).
+    (
+        "scan",
+        [],
+        ["--only",
+         "q17_small_qty_revenue,q18_large_orders,q11_value_share_analog,"
+         "asof_last_click,hourly_gap_filled,benchmark_contamination"],
+    ),
 ]
 
 _FLAGGED_RE = re.compile(r"(\d+)\s+flagged")
