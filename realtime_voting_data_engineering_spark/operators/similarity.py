@@ -993,15 +993,7 @@ def pq_encode(
             if not len(pdf):
                 continue
             x = np.array(list(pdf[vec_col]), dtype=np.float64)
-            n = len(x)
-            codes = np.empty((n, m), dtype=np.int64)
-            for s in range(m):
-                sub = x[:, s * dsub : (s + 1) * dsub]
-                d2 = np.zeros((n, ksub), dtype=np.float64)
-                for d in range(dsub):  # sequential: bit-matches list_sum
-                    diff = sub[:, d : d + 1] - cb[s, :, d][None, :]
-                    d2 = d2 + diff * diff
-                codes[:, s] = np.argmin(d2, axis=1)  # first min on ties
+            codes = _pq_encode_batch(x, cb, m, dsub, ksub)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
@@ -1012,6 +1004,29 @@ def pq_encode(
     return base.mapInPandas(encode, schema=out_schema)
 
 
+def _pq_encode_batch(x, cb, m: int, dsub: int, ksub: int):
+    """Encode one numpy batch ``x`` (n, dims) to PQ codes (n, m) — the
+    ONE copy of the encoding loop shared by :func:`pq_encode` and the
+    fused :func:`knn_pq_adc` kernel (ADVICE r9: two verbatim copies
+    could silently diverge on tie-break or accumulation order with only
+    a parity test guarding them). Distances accumulate
+    dimension-SEQUENTIALLY (explicit d-loop, matching SQL ``list_sum``'s
+    left fold) and ties take the FIRST minimum (``np.argmin``), so the
+    oracle replays every code bit-for-bit."""
+    import numpy as np
+
+    n = len(x)
+    codes = np.empty((n, m), dtype=np.int64)
+    for s in range(m):
+        sub = x[:, s * dsub : (s + 1) * dsub]
+        d2 = np.zeros((n, ksub), dtype=np.float64)
+        for d in range(dsub):  # sequential: bit-matches list_sum
+            diff = sub[:, d : d + 1] - cb[s, :, d][None, :]
+            d2 = d2 + diff * diff
+        codes[:, s] = np.argmin(d2, axis=1)  # first min on ties
+    return codes
+
+
 def pq_reconstruct(codes_csv: list[int], cb) -> "np.ndarray":  # noqa: F821
     """Decode one PQ code row back to its centroid concatenation —
     test/serving helper (the ADC trick scores against code distances
@@ -1020,6 +1035,26 @@ def pq_reconstruct(codes_csv: list[int], cb) -> "np.ndarray":  # noqa: F821
     import numpy as np
 
     return np.concatenate([cb[s, c] for s, c in enumerate(codes_csv)])
+
+
+def _require_same_id_type(queries: DataFrame, other: DataFrame, id_col: str,
+                          other_what: str) -> None:
+    """Refuse mismatched id types between the query frame and the
+    corpus/codes frame, loudly and at PLAN time. The ADC kernels drop
+    self-matches via a numpy elementwise ``qids != ids`` compare; with
+    mixed dtypes (string query ids vs int64 corpus ids) numpy calls
+    everything unequal, so a vector would silently score against ITSELF
+    and win its own top-k — a plausible wrong answer, not a crash
+    (ADVICE r9 #3). Same Spark type ⇒ same Arrow/numpy kind in the
+    kernel, so the driver-side schema check closes the whole class."""
+    qt = queries.schema[id_col].dataType
+    ot = other.schema[id_col].dataType
+    if qt != ot:
+        raise TypeError(
+            f"id column {id_col!r} type mismatch: queries side is {qt}, "
+            f"{other_what} side is {ot} — self-match exclusion would be "
+            "silently vacuous; cast one side before calling"
+        )
 
 
 def _pq_query_luts(
@@ -1067,28 +1102,49 @@ def _pq_query_luts(
     )
 
 
-def _adc_score_frame(qids_arr, luts_arr, ids, code_mat, m: int):
-    """Score one Arrow batch of PQ codes against every query LUT at
-    once and emit ONE output frame (self-matches dropped). Per query the
-    accumulation is subspace-SEQUENTIAL (s-loop) — identical add order
-    to a per-query loop, so the vectorization across queries changes no
-    bits (pinned by test_pq_adc_from_codes_matches_float_path)."""
+#: Query-axis block size for ADC scoring. Peak kernel memory per yield
+#: is O(chunk × batch) doubles plus the matching id arrays, INDEPENDENT
+#: of |Q| — without the blocking, a caller who ignored the
+#: bounded-query contract would quietly scale per-batch peak memory
+#: with the full query count (ADVICE r9 #2). 256 LUTs × a ~10k Arrow
+#: batch ≈ 20 MB per block — comfortably under executor headroom while
+#: still amortizing the numpy dispatch.
+_ADC_QUERY_CHUNK = 256
+
+
+def _adc_score_frames(qids_arr, luts_arr, ids, code_mat, m: int, chunk: int):
+    """Score one Arrow batch of PQ codes against every query LUT,
+    yielding one output frame per ≤``chunk`` queries (self-matches
+    dropped). ``chunk`` is captured DRIVER-side at plan time and ships
+    inside the pickled kernel closure — a module global read here would
+    resolve against the worker's fresh import and make the size
+    untestable. Per query the accumulation is subspace-SEQUENTIAL
+    (s-loop) — identical add order to a per-query loop, and blocking the
+    QUERY axis touches no per-score arithmetic, so the vectorization
+    changes no bits (pinned by
+    test_pq_adc_from_codes_matches_float_path and
+    test_pq_adc_query_chunking_changes_no_bits). Frame boundaries are
+    invisible downstream: mapInPandas concatenates yields, and the
+    consumer is a per-query top-k window."""
     import numpy as np
 
     n = len(ids)
-    acc = np.zeros((len(qids_arr), n), dtype=np.float64)
-    for s in range(m):  # sequential per query: bit-matches list_sum
-        acc = acc + luts_arr[:, s, :][:, code_mat[:, s]]
-    qcol = np.repeat(qids_arr, n)
-    ncol = np.tile(ids, len(qids_arr))
-    keep = qcol != ncol
-    return pd.DataFrame(
-        {
-            "query_id": qcol[keep],
-            "neighbor_id": ncol[keep],
-            "adc_dot": acc.ravel()[keep],
-        }
-    )
+    for lo in range(0, len(qids_arr), chunk):
+        q_chunk = qids_arr[lo : lo + chunk]
+        lut_chunk = luts_arr[lo : lo + chunk]
+        acc = np.zeros((len(q_chunk), n), dtype=np.float64)
+        for s in range(m):  # sequential per query: bit-matches list_sum
+            acc = acc + lut_chunk[:, s, :][:, code_mat[:, s]]
+        qcol = np.repeat(q_chunk, n)
+        ncol = np.tile(ids, len(q_chunk))
+        keep = qcol != ncol
+        yield pd.DataFrame(
+            {
+                "query_id": qcol[keep],
+                "neighbor_id": ncol[keep],
+                "adc_dot": acc.ravel()[keep],
+            }
+        )
 
 
 def knn_pq_adc(
@@ -1133,6 +1189,8 @@ def knn_pq_adc(
 
     assert dims % m == 0, "dims must divide into m equal subvectors"
     ensure_workers_can_import(queries.sparkSession)
+    _require_same_id_type(queries, corpus, id_col, "corpus")
+    q_chunk = _ADC_QUERY_CHUNK  # driver-side capture: ships in the closure
     dsub = dims // m
     cb = pq_codebooks(dims, m, ksub)  # (m, ksub, dsub)
     qids_arr, luts_arr = _pq_query_luts(
@@ -1155,17 +1213,9 @@ def knn_pq_adc(
             if not len(pdf) or not len(qids_arr):
                 continue
             x = np.array(list(pdf[vec_col]), dtype=np.float64)
-            n = len(x)
-            codes = np.empty((n, m), dtype=np.int64)
-            for s in range(m):
-                sub = x[:, s * dsub : (s + 1) * dsub]
-                d2 = np.zeros((n, ksub), dtype=np.float64)
-                for d in range(dsub):  # sequential: bit-matches list_sum
-                    diff = sub[:, d : d + 1] - cb[s, :, d][None, :]
-                    d2 = d2 + diff * diff
-                codes[:, s] = np.argmin(d2, axis=1)  # first min on ties
-            yield _adc_score_frame(
-                qids_arr, luts_arr, pdf[id_col].values, codes, m
+            codes = _pq_encode_batch(x, cb, m, dsub, ksub)
+            yield from _adc_score_frames(
+                qids_arr, luts_arr, pdf[id_col].values, codes, m, q_chunk
             )
 
     scored = base.mapInPandas(encode_and_score, schema=out_schema)
@@ -1218,6 +1268,8 @@ def knn_pq_adc_from_codes(
 
     assert dims % m == 0, "dims must divide into m equal subvectors"
     ensure_workers_can_import(queries.sparkSession)
+    _require_same_id_type(queries, codes, id_col, "codes")
+    q_chunk = _ADC_QUERY_CHUNK  # driver-side capture: ships in the closure
     cb = pq_codebooks(dims, m, ksub)
     qids_arr, luts_arr = _pq_query_luts(
         queries, cb, dims, m, ksub, id_col, vec_col
@@ -1254,8 +1306,8 @@ def knn_pq_adc_from_codes(
             if not len(pdf) or not len(qids_arr):
                 continue
             code_mat = np.array(list(pdf["__codes"]), dtype=np.int64)
-            yield _adc_score_frame(
-                qids_arr, luts_arr, pdf[id_col].values, code_mat, m
+            yield from _adc_score_frames(
+                qids_arr, luts_arr, pdf[id_col].values, code_mat, m, q_chunk
             )
 
     scored = base.mapInPandas(score, schema=out_schema)

@@ -348,6 +348,55 @@ def test_pq_adc_colliding_query_ids_deterministic(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_pq_adc_query_chunking_changes_no_bits(spark, monkeypatch):
+    """The ADC kernels block the QUERY axis so per-batch peak memory is
+    O(chunk × batch) instead of O(|Q| × batch) (ADVICE r9 #2). Blocking
+    must be invisible in the output: force a chunk smaller than the
+    query count and require row-identical results to the default (one
+    block covers everything) — same scores, same top-k, same bits."""
+    from realtime_voting_data_engineering_spark.operators import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(i, [0.01 * i + 0.001 * (i % 3)] * 8) for i in range(30)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, [0.05 * i] * 8) for i in range(7)],
+        "vec_id bigint, embedding array<float>",
+    )
+    whole = sorted(
+        map(tuple, S.knn_pq_adc(queries, corpus, dims=8, m=2, ksub=4, k=3).collect())
+    )
+    monkeypatch.setattr(S, "_ADC_QUERY_CHUNK", 2)  # 7 queries → 4 blocks
+    chunked = sorted(
+        map(tuple, S.knn_pq_adc(queries, corpus, dims=8, m=2, ksub=4, k=3).collect())
+    )
+    assert whole == chunked and len(whole) == 7 * 3
+
+
+def test_pq_adc_rejects_mismatched_id_types(spark):
+    """Mixed id dtypes make the kernels' numpy self-match compare
+    vacuous (string vs int64 → everything 'unequal' → a vector scores
+    against itself and wins its own top-k). Both ADC entry points must
+    refuse at plan time, loudly (ADVICE r9 #3)."""
+    import pytest
+
+    from realtime_voting_data_engineering_spark.operators import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(i, [0.01 * i] * 8) for i in range(10)],
+        "vec_id bigint, embedding array<float>",
+    )
+    str_queries = spark.createDataFrame(
+        [("3", [0.03] * 8)], "vec_id string, embedding array<float>"
+    )
+    with pytest.raises(TypeError, match="id column .* type mismatch"):
+        S.knn_pq_adc(str_queries, corpus, dims=8, m=2, ksub=4, k=3)
+    codes = S.pq_encode(corpus, dims=8, m=2, ksub=4)
+    with pytest.raises(TypeError, match="id column .* type mismatch"):
+        S.knn_pq_adc_from_codes(str_queries, codes, dims=8, m=2, ksub=4, k=3)
+
+
 def test_apply_changes_latest_null_predicate_keeps_key(spark):
     """A malformed final change (delete predicate evaluates NULL) must
     KEEP the key — unknown is not a tombstone. Guards the coalesce in
