@@ -328,6 +328,46 @@ def test_contamination_and_gapfill_single_raw_scan(spark, sf_dir):
     assert final.count("events.parquet") == 0, final
 
 
+def test_checkpoint_inputs_scan_raw_tables_once(spark, sf_dir, monkeypatch):
+    """Closes the scan gate's checkpoint blind spot (VERDICT r9 #1/#4):
+    ``tools/scan_audit.py`` counts scans in the FINAL executed plan,
+    where a ``localCheckpoint`` shows as a LogicalRDD — so an upstream
+    doubling INSIDE the checkpointed subtree is invisible to it (its
+    EXACT entries only catch the checkpoint's REMOVAL). This pin
+    intercepts the checkpoint's INPUT DataFrame at build time and counts
+    raw-table scans in the plan the checkpoint will materialize:
+    benchmark_contamination's bench postings must tokenize documents
+    once, and hourly_gap_filled's hourly aggregate must scan events
+    once. A recomputation creeping back above either checkpoint now
+    fails CI instead of being reviewable-only."""
+    # PySpark 4: instances are the CLASSIC implementation class (the
+    # top-level pyspark.sql.DataFrame is the dispatch facade), so the
+    # intercept must land on the class whose method actually runs.
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    captured: list[DataFrame] = []
+    real = DataFrame.localCheckpoint
+
+    def capturing(self, eager=True):
+        captured.append(self)
+        return real(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", capturing)
+    for name, table in (
+        ("benchmark_contamination", "documents"),
+        ("hourly_gap_filled", "events"),
+    ):
+        captured.clear()
+        Q.REGISTRY[name].fn(spark, sf_dir)  # build only — checkpoint is lazy
+        assert len(captured) == 1, (name, len(captured))
+        inp = captured[0]
+        inp.collect()
+        final = (
+            inp._jdf.queryExecution().executedPlan().toString()
+        ).split("== Initial Plan ==")[0]
+        assert final.count(f"{table}.parquet") == 1, (name, final)
+
+
 def test_bm25_single_corpus_scan(spark, sf_dir):
     """BM25's 100 TB contract (VERDICT r5 "What's wrong" #1): the corpus
     is scanned and tokenized exactly ONCE — the tf projection persists,

@@ -785,3 +785,43 @@ def test_run_audits_parses_pass_and_fail(tmp_path, monkeypatch):
         (tmp_path / f"{name}_audit.py").write_text(textwrap.dedent(body))
         ok, _elapsed, summary = RA.run_one(name, [])
         assert ok is expected, (name, summary)
+
+
+def test_scan_audit_zero_scan_detection(spark, sf_smoke, tmp_path, monkeypatch):
+    """Detection-power probe for the scan gate's downward-drift check
+    (ADVICE r9 #4): EXPECTED allowances are upper bounds, so before the
+    baseline a query that silently stopped scanning a table it is known
+    to read (renamed path, vacuously empty plan, lost branch) certified
+    green. Four legs: agreeing baseline passes; a baseline claiming a
+    table the query no longer scans flags; a MISSING baseline entry
+    flags (forces regeneration on new registrations); a baseline from a
+    different sf_dir skips the zero-check (AQE shapes compare
+    like-for-like only) instead of false-flagging."""
+    import json as _json
+
+    from tools import scan_audit
+
+    base = tmp_path / "scan_baseline.json"
+    monkeypatch.setattr(scan_audit, "BASELINE_PATH", str(base))
+    argv = ["scan_audit.py", "--sf-dir", sf_smoke, "--only", "text_profile"]
+    monkeypatch.setattr(sys, "argv", argv)
+
+    base.write_text(_json.dumps(
+        {"sf_dir": sf_smoke, "counts": {"text_profile": {"documents": 1}}}
+    ))
+    assert scan_audit.main() == 0
+
+    base.write_text(_json.dumps(
+        {"sf_dir": sf_smoke,
+         "counts": {"text_profile": {"documents": 1, "region": 1}}}
+    ))
+    assert scan_audit.main() == 1, "lost region scan not flagged"
+
+    base.write_text(_json.dumps({"sf_dir": sf_smoke, "counts": {}}))
+    assert scan_audit.main() == 1, "missing baseline entry not flagged"
+
+    base.write_text(_json.dumps(
+        {"sf_dir": "/nonexistent/elsewhere",
+         "counts": {"text_profile": {"documents": 1, "region": 1}}}
+    ))
+    assert scan_audit.main() == 0, "sf-mismatched baseline must skip, not flag"

@@ -8,17 +8,31 @@ the initial plan (double-counting every scan), and ReuseExchange only
 materializes at runtime, so pre-action plans overstate scans (the r8
 rollup cascade shows events ×3 before execution and ×1 after).
 
-KNOWN BLIND SPOT — checkpoints: scans INSIDE a ``localCheckpoint``ed
-subtree never appear in the final executed plan (the checkpoint shows
-as a LogicalRDD), so this gate cannot see an upstream-of-checkpoint
-recomputation. Compensations: EXACT entries below (allowed == required)
-flag the checkpoint's REMOVAL (the count would jump), and the
-checkpointed queries' own docstrings pin the intended shape; an
-upstream doubling inside the checkpoint remains reviewable only by
-reading the query code. Do not "fix" a flagged query by checkpointing
-to hide the scan from this tool — materialization must earn its disk
-(small intermediate, multiple consumers), per the jaccard_for_pairs
-pattern.
+CHECKPOINT HANDLING (blind spot closed in r10): scans INSIDE a
+``localCheckpoint``ed subtree never appear in the final executed plan
+(the checkpoint shows as a LogicalRDD), so this gate cannot see an
+upstream-of-checkpoint recomputation. Two compensations make the class
+CI-gated anyway: EXACT entries below (allowed == required) flag the
+checkpoint's REMOVAL (the count would jump), and
+``tests/test_plans.py::test_checkpoint_inputs_scan_raw_tables_once``
+intercepts each checkpoint's INPUT DataFrame and pins the raw-table
+scan count of the subtree the checkpoint materializes — an upstream
+doubling inside the checkpoint fails CI there. Do not "fix" a flagged
+query by checkpointing to hide the scan from this tool —
+materialization must earn its disk (small intermediate, multiple
+consumers), per the jaccard_for_pairs pattern — and any NEW checkpoint
+site needs a matching input pin in that test.
+
+DOWNWARD drift (ADVICE r9 #4): EXPECTED allowances are upper bounds, so
+a query whose scan count silently drops to ZERO for a table it is known
+to read (renamed path, vacuously empty plan) used to pass. The
+committed ``tools/scan_baseline.json`` records each query's observed
+per-table scan counts from a green sweep; any audited query that now
+scans NOTHING of a table the baseline says it reads is flagged. The
+zero-check only applies when the audit runs at the baseline's sf_dir
+(AQE shapes are compared like-for-like); regenerate after intentional
+shape changes or new registrations with ``--write-baseline`` (refused
+while any query is flagged).
 
 A multi-scan is not automatically a bug: two DIFFERENT pushed-down
 slices of one table (funnel event-type legs, a 10-row query-side kNN
@@ -31,12 +45,14 @@ contamination scan tokenizing documents 3×, and the gap fill
 aggregating events twice) fails loudly instead of compounding for
 four rounds before a verdict flags the drift.
 
-Run: ``python tools/scan_audit.py [--sf-dir ...] [--only a,b]``
+Run: ``python tools/scan_audit.py [--sf-dir ...] [--only a,b]
+[--write-baseline]``
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -94,12 +110,36 @@ EXACT: dict[tuple[str, str], tuple[int, str]] = {
 }
 
 
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "scan_baseline.json")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument(
+        "--write-baseline", action="store_true",
+        help="record this sweep's observed per-table scan counts as the "
+        "zero-check baseline (full sweep only, refused if anything flags)",
+    )
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
+    if args.write_baseline and only is not None:
+        ap.error("--write-baseline requires a full sweep (no --only)")
+
+    baseline: dict | None = None
+    if not args.write_baseline and os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as fh:
+            baseline = json.load(fh)
+        if baseline.get("sf_dir") != args.sf_dir:
+            print(
+                f"# NOTE: baseline was recorded at {baseline.get('sf_dir')}, "
+                f"this run is {args.sf_dir} — zero-scan checks SKIPPED "
+                "(AQE shapes compare like-for-like only)",
+                flush=True,
+            )
+            baseline = None
 
     from realtime_voting_data_engineering_spark import queries as Q
     from realtime_voting_data_engineering_spark.session import get_spark
@@ -114,6 +154,7 @@ def main() -> int:
     spark = get_spark(app_name="scan-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     flagged: dict[str, str] = {}
+    observed: dict[str, dict[str, int]] = {}
     audited = 0
     for name in sorted(Q.REGISTRY):
         if only is not None and name not in only:
@@ -129,8 +170,13 @@ def main() -> int:
             flagged[name] = f"error: {type(exc).__name__}: {str(exc)[:200]}"
             continue
         over = {}
+        lost = {}
+        base_counts = (baseline or {}).get("counts", {}).get(name)
+        counts: dict[str, int] = {}
         for t in TABLES:
             n = final.count(f"{t}.parquet")
+            if n:
+                counts[t] = n
             if (name, t) in EXACT:
                 required = EXACT[(name, t)][0]
                 if n != required:
@@ -139,16 +185,52 @@ def main() -> int:
             allowed = EXPECTED.get((name, t), (1, ""))[0]
             if n > allowed:
                 over[t] = (n, allowed)
-        if over:
-            flagged[name] = ", ".join(
-                f"{t}: {n} scans (allowed {a})" for t, (n, a) in over.items()
+            elif n == 0 and base_counts is not None and base_counts.get(t, 0):
+                # Downward drift: the query used to read this table and
+                # now reads NOTHING of it — renamed path, vacuously
+                # empty plan, or a lost branch (ADVICE r9 #4).
+                lost[t] = base_counts[t]
+        observed[name] = counts
+        if baseline is not None and base_counts is None:
+            flagged[name] = (
+                "no baseline entry — regenerate tools/scan_baseline.json "
+                "with --write-baseline after triaging the query's shape"
             )
-            print(f'{{"query": "{name}", "status": "multi-scan", '
+        detail = []
+        if over:
+            detail.append(", ".join(
+                f"{t}: {n} scans (allowed {a})" for t, (n, a) in over.items()
+            ))
+        if lost:
+            detail.append(", ".join(
+                f"{t}: 0 scans (baseline {b})" for t, b in lost.items()
+            ))
+        if detail:
+            flagged[name] = "; ".join(detail)
+        if name in flagged:
+            print(f'{{"query": "{name}", "status": "scan-shape", '
                   f'"detail": "{flagged[name]}"}}', flush=True)
+    if baseline is not None and only is None:
+        stale = sorted(set(baseline.get("counts", {})) - set(observed))
+        if stale:
+            flagged["<baseline>"] = (
+                f"baseline names not in registry: {stale} — regenerate"
+            )
     print(f"\n# {audited} audited, {audited - len(flagged)} match, "
           f"{len(flagged)} flagged")
     for n, d in sorted(flagged.items()):
         print(f"--- {n}: {d}")
+    if args.write_baseline:
+        if flagged:
+            print("# --write-baseline REFUSED: sweep is not green")
+            return 1
+        with open(BASELINE_PATH, "w") as fh:
+            json.dump(
+                {"sf_dir": args.sf_dir, "counts": observed}, fh,
+                indent=1, sort_keys=True,
+            )
+            fh.write("\n")
+        print(f"# baseline written: {BASELINE_PATH} ({len(observed)} queries)")
     return 1 if flagged else 0
 
 
