@@ -341,6 +341,7 @@ def jaccard_for_pairs(
     # states: the index plan (semi-join of the corpus against the
     # already-materialized candidate ids, then shingling) is
     # deterministic, so racing branches cache identical rows.
+    # Canonical lazy-vs-eager rules: SCALE.md "Materialization policy".
     idx = shingle_index(
         df.join(pair_ids, id_col, "left_semi"), text_col, id_col, n
     ).localCheckpoint(eager=False)
@@ -387,7 +388,10 @@ def minhash_dedup_pairs(
     two-stage dedup pipeline that lands candidates in a table between
     candidate generation and verification; production jobs on clusters
     with executor churn should write to a real table instead
-    (localCheckpoint storage dies with its executor)."""
+    (localCheckpoint storage dies with its executor). The checkpoint is
+    EAGER by policy: connected-components' auto gate counts the pairs
+    before choosing its method, so consumers span multiple driver-side
+    jobs (canonical rules: SCALE.md "Materialization policy")."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).localCheckpoint()
     return jaccard_for_pairs(df, cands, text_col, id_col, n).filter(

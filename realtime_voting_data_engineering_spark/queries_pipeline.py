@@ -654,10 +654,10 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark side is a small fraction of the corpus, so the join
     shuffles little and the train side streams through it.
 
-    The benchmark postings are materialized once (LAZY localCheckpoint,
-    the ``jaccard_for_pairs`` pattern -- every branch feeds one final
-    job, and the checkpointed plan is deterministic, its stated
-    precondition): they feed BOTH the df cut and the semi-joined kept
+    The benchmark postings are materialized once (LAZY localCheckpoint
+    -- every branch feeds one final job, and the checkpointed plan is
+    deterministic, the lazy precondition; canonical rules: SCALE.md
+    "Materialization policy"): they feed BOTH the df cut and the semi-joined kept
     set, and without materialization each reference re-ran the full
     tokenize+shingle explode -- the r9 executed-plan sweep found the
     documents text column scanned 3x for what is logically one pass
@@ -740,8 +740,9 @@ def hourly_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The hourly aggregate feeds BOTH the span derivation and the
     # grid's left join; without materialization each reference re-ran
     # the raw-data aggregate (the r9 executed-plan sweep: events
-    # scanned 2x). LAZY localCheckpoint (the ``jaccard_for_pairs``
-    # pattern; plan deterministic, the stated precondition) makes the
+    # scanned 2x). LAZY localCheckpoint (plan deterministic, the lazy
+    # precondition; canonical rules: SCALE.md "Materialization policy")
+    # makes the
     # docstring's "ONE raw-data shuffle" literally true: the checkpoint
     # holds only the tiny (series x hours) aggregate.
     hourly = events.groupBy(
