@@ -353,19 +353,26 @@ def test_checkpoint_inputs_scan_raw_tables_once(spark, sf_dir, monkeypatch):
         return real(self, eager=eager)
 
     monkeypatch.setattr(DataFrame, "localCheckpoint", capturing)
-    for name, table in (
-        ("benchmark_contamination", "documents"),
-        ("hourly_gap_filled", "events"),
+    # (query, raw table, expected checkpoint sites). minhash_lsh_dedup
+    # covers BOTH dedup-side policy sites: the eager candidate-pair
+    # checkpoint (its input runs signatures+banding over one corpus
+    # scan) and the lazy jaccard shingle-index checkpoint (semi-join of
+    # the corpus against the already-materialized ids — one scan; the
+    # cands LogicalRDD contributes none).
+    for name, table, n_sites in (
+        ("benchmark_contamination", "documents", 1),
+        ("hourly_gap_filled", "events", 1),
+        ("minhash_lsh_dedup", "documents", 2),
     ):
         captured.clear()
-        Q.REGISTRY[name].fn(spark, sf_dir)  # build only — checkpoint is lazy
-        assert len(captured) == 1, (name, len(captured))
-        inp = captured[0]
-        inp.collect()
-        final = (
-            inp._jdf.queryExecution().executedPlan().toString()
-        ).split("== Initial Plan ==")[0]
-        assert final.count(f"{table}.parquet") == 1, (name, final)
+        Q.REGISTRY[name].fn(spark, sf_dir)  # build only — lazy sites defer
+        assert len(captured) == n_sites, (name, len(captured))
+        for inp in captured:
+            inp.collect()
+            final = (
+                inp._jdf.queryExecution().executedPlan().toString()
+            ).split("== Initial Plan ==")[0]
+            assert final.count(f"{table}.parquet") == 1, (name, final)
 
 
 def test_bm25_single_corpus_scan(spark, sf_dir):
