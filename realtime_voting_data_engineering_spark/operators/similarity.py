@@ -1046,15 +1046,30 @@ def _require_same_id_type(queries: DataFrame, other: DataFrame, id_col: str,
     everything unequal, so a vector would silently score against ITSELF
     and win its own top-k — a plausible wrong answer, not a crash
     (ADVICE r9 #3). Same Spark type ⇒ same Arrow/numpy kind in the
-    kernel, so the driver-side schema check closes the whole class."""
+    kernel, so the driver-side schema check closes the whole class.
+
+    Mixed INTEGRAL widths (int vs bigint) stay allowed: numpy compares
+    int32 against int64 exactly, so those calls were always correct —
+    only the cross-family classes are refused (string vs numeric is the
+    vacuous compare; int vs double is subtler — an id beyond 2^53 would
+    round on the float side and could FALSELY equal a neighbor,
+    silently dropping a legitimate top-k row)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
     qt = queries.schema[id_col].dataType
     ot = other.schema[id_col].dataType
-    if qt != ot:
-        raise TypeError(
-            f"id column {id_col!r} type mismatch: queries side is {qt}, "
-            f"{other_what} side is {ot} — self-match exclusion would be "
-            "silently vacuous; cast one side before calling"
-        )
+    if qt == ot:
+        return
+    if isinstance(qt, integral) and isinstance(ot, integral):
+        # Output query_id takes the OTHER side's type; a query id too
+        # wide for it fails loudly in the Arrow cast, never silently.
+        return
+    raise TypeError(
+        f"id column {id_col!r} type mismatch: queries side is {qt}, "
+        f"{other_what} side is {ot} — self-match exclusion would be "
+        "silently vacuous; cast one side before calling"
+    )
 
 
 def _pq_query_luts(

@@ -395,6 +395,14 @@ def test_pq_adc_rejects_mismatched_id_types(spark):
     codes = S.pq_encode(corpus, dims=8, m=2, ksub=4)
     with pytest.raises(TypeError, match="id column .* type mismatch"):
         S.knn_pq_adc_from_codes(str_queries, codes, dims=8, m=2, ksub=4, k=3)
+    # Mixed INTEGRAL widths were always numerically correct (numpy
+    # compares int32 vs int64 exactly) — the guard must not break them
+    # (r10 review finding).
+    int_queries = spark.createDataFrame(
+        [(3, [0.03] * 8)], "vec_id int, embedding array<float>"
+    )
+    out = S.knn_pq_adc(int_queries, corpus, dims=8, m=2, ksub=4, k=3).collect()
+    assert len(out) == 3 and all(r.neighbor_id != 3 for r in out)
 
 
 def test_apply_changes_latest_null_predicate_keeps_key(spark):

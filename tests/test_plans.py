@@ -359,20 +359,40 @@ def test_checkpoint_inputs_scan_raw_tables_once(spark, sf_dir, monkeypatch):
     # scan) and the lazy jaccard shingle-index checkpoint (semi-join of
     # the corpus against the already-materialized ids — one scan; the
     # cands LogicalRDD contributes none).
-    for name, table, n_sites in (
-        ("benchmark_contamination", "documents", 1),
-        ("hourly_gap_filled", "events", 1),
-        ("minhash_lsh_dedup", "documents", 2),
+    for name, table, n_sites, per_site in (
+        ("benchmark_contamination", "documents", 1, {0: 1}),
+        ("hourly_gap_filled", "events", 1, {0: 1}),
+        ("minhash_lsh_dedup", "documents", 2, {0: 1, 1: 1}),
+        # near_dup_clusters routes through connected_components: the
+        # minhash cands + jaccard idx sites scan documents once each;
+        # the CC pairs pin's input reads only the already-checkpointed
+        # frames (zero raw scans). The auto gate may or may not add
+        # per-iteration sites depending on the driver/distributed
+        # dispatch, so the site count is a lower bound there and every
+        # captured input is capped at one raw scan.
+        ("near_dup_clusters", "documents", None, {0: 1, 1: 1, 2: 0}),
+        # The star engine adds eager edge/node frames plus per-round
+        # contraction checkpoints — all fed from the checkpointed pairs
+        # pin, so zero raw scans beyond the first two sites.
+        ("near_dup_clusters_star", "documents", None, {0: 1, 1: 1, 2: 0}),
     ):
         captured.clear()
         Q.REGISTRY[name].fn(spark, sf_dir)  # build only — lazy sites defer
-        assert len(captured) == n_sites, (name, len(captured))
-        for inp in captured:
+        if n_sites is not None:
+            assert len(captured) == n_sites, (name, len(captured))
+        else:
+            assert len(captured) >= len(per_site), (name, len(captured))
+        for i, inp in enumerate(captured):
             inp.collect()
             final = (
                 inp._jdf.queryExecution().executedPlan().toString()
             ).split("== Initial Plan ==")[0]
-            assert final.count(f"{table}.parquet") == 1, (name, final)
+            got = final.count(f"{table}.parquet")
+            want = per_site.get(i)
+            if want is not None:
+                assert got == want, (name, i, got, final)
+            else:
+                assert got <= 1, (name, i, got, final)
 
 
 def test_bm25_single_corpus_scan(spark, sf_dir):

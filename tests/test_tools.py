@@ -825,3 +825,24 @@ def test_scan_audit_zero_scan_detection(spark, sf_smoke, tmp_path, monkeypatch):
          "counts": {"text_profile": {"documents": 1, "region": 1}}}
     ))
     assert scan_audit.main() == 0, "sf-mismatched baseline must skip, not flag"
+
+    # Regeneration must not launder drift (r10 review finding): with a
+    # baseline claiming a scan the query has lost, --write-baseline has
+    # to refuse AND leave the old baseline untouched.
+    poisoned = _json.dumps(
+        {"sf_dir": sf_smoke,
+         "counts": {"text_profile": {"documents": 1, "region": 1}}}
+    )
+    base.write_text(poisoned)
+    monkeypatch.setattr(
+        sys, "argv", ["scan_audit.py", "--sf-dir", sf_smoke, "--write-baseline"]
+    )
+    # Full-sweep regen would run all 98 queries; narrow the registry to
+    # the one query under test (regen requires no --only by design).
+    from realtime_voting_data_engineering_spark import queries as Q
+
+    monkeypatch.setattr(
+        Q, "REGISTRY", {"text_profile": Q.REGISTRY["text_profile"]}
+    )
+    assert scan_audit.main() == 1, "write-baseline did not refuse on drift"
+    assert base.read_text() == poisoned, "refused write still mutated baseline"

@@ -26,13 +26,23 @@ site needs a matching input pin in that test.
 DOWNWARD drift (ADVICE r9 #4): EXPECTED allowances are upper bounds, so
 a query whose scan count silently drops to ZERO for a table it is known
 to read (renamed path, vacuously empty plan) used to pass. The
-committed ``tools/scan_baseline.json`` records each query's observed
-per-table scan counts from a green sweep; any audited query that now
-scans NOTHING of a table the baseline says it reads is flagged. The
-zero-check only applies when the audit runs at the baseline's sf_dir
-(AQE shapes are compared like-for-like); regenerate after intentional
-shape changes or new registrations with ``--write-baseline`` (refused
-while any query is flagged).
+committed ``tools/scan_baseline.json`` records each query's per-table
+scan counts from a green sweep; any audited query that now scans
+NOTHING of a table the baseline says it reads is flagged. The
+zero-check and the baseline count the INITIAL-plan section (pre-AQE),
+not the final plan: several queries' FINAL plans legitimately
+AQE-collapse to EmptyRelation at small SFs (an empty join side
+propagates), erasing every scan and making a final-plan zero-check
+vacuous for exactly the vacuously-empty-plan class it exists to catch
+(r10 review finding) — the initial plan always retains the logical
+scan set. The multi-scan upper bounds stay on the FINAL plan, where
+runtime ReusedExchange merges legitimately reduce counts. Zero-checks
+only apply when the audit runs at the baseline's sf_dir (AQE shapes
+compare like-for-like); regenerate after intentional shape changes or
+new registrations with ``--write-baseline``, which FIRST audits against
+the existing baseline and refuses to overwrite while anything flags —
+otherwise regeneration would silently bless the very drift the
+baseline exists to detect.
 
 A multi-scan is not automatically a bug: two DIFFERENT pushed-down
 slices of one table (funnel event-type legs, a 10-row query-side kNN
@@ -107,6 +117,13 @@ EXPECTED: dict[tuple[str, str], tuple[int, str]] = {
 EXACT: dict[tuple[str, str], tuple[int, str]] = {
     ("hourly_gap_filled", "events"): (0, "raw scan lives inside the hourly-agg checkpoint"),
     ("benchmark_contamination", "documents"): (1, "train side only; bench postings checkpointed"),
+    # The minhash family's corpus reads live entirely inside the
+    # cands/idx (and CC pairs) checkpoints — zero scans in the final
+    # plan is the CONTRACT, and the checkpoint inputs' own scan counts
+    # are pinned by test_plans.py::test_checkpoint_inputs_scan_raw_tables_once.
+    ("minhash_lsh_dedup", "documents"): (0, "reads live inside cands/idx checkpoints"),
+    ("near_dup_clusters", "documents"): (0, "same checkpoints + CC pairs pin"),
+    ("near_dup_clusters_star", "documents"): (0, "same, star engine"),
 }
 
 
@@ -128,8 +145,12 @@ def main() -> int:
     if args.write_baseline and only is not None:
         ap.error("--write-baseline requires a full sweep (no --only)")
 
+    # The existing baseline is loaded EVEN under --write-baseline: the
+    # regen sweep must first pass the zero-checks against the old
+    # baseline, or regenerating for an unrelated reason would silently
+    # bless a lost scan as the new green reference (r10 review finding).
     baseline: dict | None = None
-    if not args.write_baseline and os.path.exists(BASELINE_PATH):
+    if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as fh:
             baseline = json.load(fh)
         if baseline.get("sf_dir") != args.sf_dir:
@@ -155,6 +176,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     flagged: dict[str, str] = {}
     observed: dict[str, dict[str, int]] = {}
+    errored: set[str] = set()
     audited = 0
     for name in sorted(Q.REGISTRY):
         if only is not None and name not in only:
@@ -163,39 +185,43 @@ def main() -> int:
         try:
             df = Q.REGISTRY[name].fn(spark, args.sf_dir)
             df.collect()
-            final = (
-                df._jdf.queryExecution().executedPlan().toString()
-            ).split("== Initial Plan ==")[0]
+            plan_txt = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001 — sweep must survive any query
             flagged[name] = f"error: {type(exc).__name__}: {str(exc)[:200]}"
+            errored.add(name)
             continue
+        # An executed AQE plan prints the FINAL plan, then the pre-AQE
+        # "== Initial Plan ==". Upper bounds count the final section
+        # (ReusedExchange merges are real savings); the zero-check and
+        # the baseline count the INITIAL section, which never
+        # AQE-collapses to EmptyRelation (non-adaptive plans have no
+        # marker: both sections are the whole text).
+        sections = plan_txt.split("== Initial Plan ==")
+        final = sections[0]
+        initial = sections[1] if len(sections) > 1 else sections[0]
         over = {}
         lost = {}
         base_counts = (baseline or {}).get("counts", {}).get(name)
         counts: dict[str, int] = {}
         for t in TABLES:
-            n = final.count(f"{t}.parquet")
-            if n:
-                counts[t] = n
+            n_fin = final.count(f"{t}.parquet")
+            n_ini = initial.count(f"{t}.parquet")
+            if n_ini:
+                counts[t] = n_ini
             if (name, t) in EXACT:
                 required = EXACT[(name, t)][0]
-                if n != required:
-                    over[t] = (n, required)
+                if n_fin != required:
+                    over[t] = (n_fin, required)
                 continue
             allowed = EXPECTED.get((name, t), (1, ""))[0]
-            if n > allowed:
-                over[t] = (n, allowed)
-            elif n == 0 and base_counts is not None and base_counts.get(t, 0):
+            if n_fin > allowed:
+                over[t] = (n_fin, allowed)
+            if n_ini == 0 and base_counts is not None and base_counts.get(t, 0):
                 # Downward drift: the query used to read this table and
                 # now reads NOTHING of it — renamed path, vacuously
                 # empty plan, or a lost branch (ADVICE r9 #4).
                 lost[t] = base_counts[t]
         observed[name] = counts
-        if baseline is not None and base_counts is None:
-            flagged[name] = (
-                "no baseline entry — regenerate tools/scan_baseline.json "
-                "with --write-baseline after triaging the query's shape"
-            )
         detail = []
         if over:
             detail.append(", ".join(
@@ -205,13 +231,22 @@ def main() -> int:
             detail.append(", ".join(
                 f"{t}: 0 scans (baseline {b})" for t, b in lost.items()
             ))
+        if baseline is not None and base_counts is None:
+            detail.append(
+                "no baseline entry — regenerate tools/scan_baseline.json "
+                "with --write-baseline after triaging the query's shape"
+            )
         if detail:
             flagged[name] = "; ".join(detail)
-        if name in flagged:
             print(f'{{"query": "{name}", "status": "scan-shape", '
                   f'"detail": "{flagged[name]}"}}', flush=True)
     if baseline is not None and only is None:
-        stale = sorted(set(baseline.get("counts", {})) - set(observed))
+        # Errored queries ARE registered — they're reported above, not
+        # here (misfiling them as stale names would direct the operator
+        # to regenerate the baseline instead of fixing the query).
+        stale = sorted(
+            set(baseline.get("counts", {})) - set(observed) - errored
+        )
         if stale:
             flagged["<baseline>"] = (
                 f"baseline names not in registry: {stale} — regenerate"
@@ -224,6 +259,14 @@ def main() -> int:
         if flagged:
             print("# --write-baseline REFUSED: sweep is not green")
             return 1
+        empty = sorted(n for n, c in observed.items() if not c)
+        if empty:
+            # Visibility, not a failure: with initial-plan counting the
+            # only legitimately empty entries are checkpoint-hidden
+            # shapes (the EXACT map must cover those). Anything else
+            # here means the zero-check will be vacuous for that query.
+            print(f"# NOTE: empty baseline counts (zero-check vacuous, "
+                  f"must be EXACT-covered): {empty}")
         with open(BASELINE_PATH, "w") as fh:
             json.dump(
                 {"sf_dir": args.sf_dir, "counts": observed}, fh,
