@@ -183,7 +183,24 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     training/serving consumes a table. Row-local checks share ONE
     aggregate pass (conditional counts — count(when(...)) stays BIGINT
     in both engines, avoiding DuckDB's SUM→HUGEINT widening); the FK
-    check is a left-anti count; output is long-format (check, value)."""
+    check is a second, COLUMN-PRUNED pass (the anti-join scan reads
+    o_custkey only — ~1/9 of the table bytes, PushedFilters/ReadSchema
+    verified) plus a narrow custkey shuffle; output is long-format
+    (check, value).
+
+    Tried and REJECTED (r10, the q21 discipline): folding the FK check
+    into the aggregate scan via a LEFT join against the distinct
+    customer-key set (count(__present IS NULL) == the anti count;
+    row-identical on clean AND duplicate-key/NULL-key corpora, oracle
+    MATCH). It is the wrong trade at both scales: customer is
+    SF-SCALED, so the broadcast hint that made it fast locally is
+    forbidden (test_no_broadcast_hint_on_sf_scaled_relations — at 100×
+    it OOMs), and without it the join shuffles the FULL 4-column orders
+    rows by custkey before any aggregation can reduce them — replacing
+    a 1-column re-scan with a full-row shuffle, strictly more bytes
+    moved at cluster scale. Measured locally: 0.364 s (this shape) vs
+    0.592 s (fold) min-of-3 at sf0.1. The two-pass shape's second scan
+    stays in tools/scan_audit.py EXPECTED with this justification."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     agg = orders.agg(

@@ -92,7 +92,12 @@ EXPECTED: dict[tuple[str, str], tuple[int, str]] = {
     ("purchases_after_error", "events"): (2, "error + purchase slices, pushed filters"),
     ("purchase_and_error_users", "events"): (2, "two event-type slices (intersect)"),
     ("weekly_retention_cohorts", "events"): (2, "signup cohort + activity slices"),
-    ("data_quality_report", "orders"): (2, "two independent rule scans, pruned columns"),
+    ("data_quality_report", "orders"): (
+        2,
+        "agg pass + COLUMN-PRUNED (o_custkey-only) FK anti probe; the "
+        "left-join fold was measured and REJECTED r10 (full-row shuffle "
+        "at scale, broadcast hint scale-unsafe — see query docstring)",
+    ),
     # Query side = pushed ~10-row scan next to the one corpus scan.
     ("knn_cosine_topk", "embeddings"): (2, "pushed query-side scan + corpus scan"),
     ("knn_ann_srp", "embeddings"): (2, "pushed query-side scan + corpus scan"),
