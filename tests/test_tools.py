@@ -846,3 +846,32 @@ def test_scan_audit_zero_scan_detection(spark, sf_smoke, tmp_path, monkeypatch):
     )
     assert scan_audit.main() == 1, "write-baseline did not refuse on drift"
     assert base.read_text() == poisoned, "refused write still mutated baseline"
+
+    # ...but ADVISORY flags must NOT block the write, or the documented
+    # regen-after-registration workflow is circular: a new query's
+    # missing baseline entry (and a removed query's stale entry) are
+    # exactly what the write resolves (r10 review #2, finding 1).
+    base.write_text(_json.dumps(
+        {"sf_dir": sf_smoke,
+         "counts": {"some_removed_query": {"documents": 1}}}
+    ))
+    assert scan_audit.main() == 0, "advisory flags blocked regeneration"
+    regen = _json.loads(base.read_text())
+    assert set(regen["counts"]) == {"text_profile"}, regen
+    assert regen["counts"]["text_profile"].get("documents") == 1
+
+    # Cross-sf regen must be refused without --force-sf-change: the sf
+    # mismatch disables every drift check, so the overwrite would
+    # launder a lost scan through the side door (r10 review #2,
+    # finding 2). argparse errors exit with SystemExit(2).
+    import pytest as _pytest
+
+    monkeypatch.setattr(sys, "argv", [
+        "scan_audit.py", "--sf-dir", "/root/testdata/sf0.01",
+        "--write-baseline",
+    ])
+    with _pytest.raises(SystemExit):
+        scan_audit.main()
+    assert _json.loads(base.read_text())["sf_dir"] == sf_smoke, (
+        "cross-sf refusal still mutated the baseline"
+    )

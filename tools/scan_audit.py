@@ -40,9 +40,14 @@ runtime ReusedExchange merges legitimately reduce counts. Zero-checks
 only apply when the audit runs at the baseline's sf_dir (AQE shapes
 compare like-for-like); regenerate after intentional shape changes or
 new registrations with ``--write-baseline``, which FIRST audits against
-the existing baseline and refuses to overwrite while anything flags —
-otherwise regeneration would silently bless the very drift the
-baseline exists to detect.
+the existing baseline and refuses to overwrite on any BLOCKING flag
+(over-scan, lost scan, query error) — otherwise regeneration would
+silently bless the very drift the baseline exists to detect. ADVISORY
+flags (a new query's missing entry, a removed query's stale entry) do
+NOT block the write: they are the bookkeeping the write resolves, and
+blocking on them would make the regen workflow circular. Cross-sf
+regeneration is refused without ``--force-sf-change``, since the sf
+mismatch disables every drift check before the overwrite.
 
 A multi-scan is not automatically a bug: two DIFFERENT pushed-down
 slices of one table (funnel event-type legs, a 10-row query-side kNN
@@ -143,7 +148,16 @@ def main() -> int:
     ap.add_argument(
         "--write-baseline", action="store_true",
         help="record this sweep's observed per-table scan counts as the "
-        "zero-check baseline (full sweep only, refused if anything flags)",
+        "zero-check baseline (full sweep only; refused on over-scan, "
+        "lost-scan, or error flags — missing/stale baseline entries are "
+        "exactly what regeneration resolves and do not block it)",
+    )
+    ap.add_argument(
+        "--force-sf-change", action="store_true",
+        help="allow --write-baseline at a different sf_dir than the "
+        "existing baseline's. Without this, cross-sf regen is refused: "
+        "the sf mismatch disables every zero-check, so the write would "
+        "silently bless any drift the old baseline was guarding",
     )
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
@@ -159,6 +173,16 @@ def main() -> int:
         with open(BASELINE_PATH) as fh:
             baseline = json.load(fh)
         if baseline.get("sf_dir") != args.sf_dir:
+            if args.write_baseline and not args.force_sf_change:
+                # Cross-sf regen with no drift checks would launder a
+                # lost scan through the sf side door (r10 review #2).
+                ap.error(
+                    f"--write-baseline at {args.sf_dir} but the existing "
+                    f"baseline was recorded at {baseline.get('sf_dir')}: "
+                    "every zero-check would be skipped before the "
+                    "overwrite. Re-run at the baseline's sf_dir first, "
+                    "or pass --force-sf-change to accept that"
+                )
             print(
                 f"# NOTE: baseline was recorded at {baseline.get('sf_dir')}, "
                 f"this run is {args.sf_dir} — zero-scan checks SKIPPED "
@@ -179,7 +203,15 @@ def main() -> int:
 
     spark = get_spark(app_name="scan-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    flagged: dict[str, str] = {}
+    # Two flag severities (r10 review): BLOCKING (over-scan, lost scan,
+    # query error — real shape problems) and ADVISORY (missing/stale
+    # baseline entries — bookkeeping that regeneration itself resolves).
+    # Both fail a normal run; only blocking flags refuse a
+    # --write-baseline run, otherwise the documented "regenerate after
+    # new registrations" workflow would be circular: the new query's
+    # missing entry would forbid the very write that creates it.
+    blocking: dict[str, str] = {}
+    advisory: dict[str, str] = {}
     observed: dict[str, dict[str, int]] = {}
     errored: set[str] = set()
     audited = 0
@@ -192,7 +224,7 @@ def main() -> int:
             df.collect()
             plan_txt = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001 — sweep must survive any query
-            flagged[name] = f"error: {type(exc).__name__}: {str(exc)[:200]}"
+            blocking[name] = f"error: {type(exc).__name__}: {str(exc)[:200]}"
             errored.add(name)
             continue
         # An executed AQE plan prints the FINAL plan, then the pre-AQE
@@ -236,15 +268,19 @@ def main() -> int:
             detail.append(", ".join(
                 f"{t}: 0 scans (baseline {b})" for t, b in lost.items()
             ))
+        if detail:
+            blocking[name] = "; ".join(detail)
         if baseline is not None and base_counts is None:
-            detail.append(
+            advisory[name] = (
                 "no baseline entry — regenerate tools/scan_baseline.json "
                 "with --write-baseline after triaging the query's shape"
             )
-        if detail:
-            flagged[name] = "; ".join(detail)
+        if name in blocking or name in advisory:
+            merged = "; ".join(
+                p for p in (blocking.get(name), advisory.get(name)) if p
+            )
             print(f'{{"query": "{name}", "status": "scan-shape", '
-                  f'"detail": "{flagged[name]}"}}', flush=True)
+                  f'"detail": "{merged}"}}', flush=True)
     if baseline is not None and only is None:
         # Errored queries ARE registered — they're reported above, not
         # here (misfiling them as stale names would direct the operator
@@ -253,17 +289,24 @@ def main() -> int:
             set(baseline.get("counts", {})) - set(observed) - errored
         )
         if stale:
-            flagged["<baseline>"] = (
+            advisory["<baseline>"] = (
                 f"baseline names not in registry: {stale} — regenerate"
             )
+    flagged = {
+        n: "; ".join(p for p in (blocking.get(n), advisory.get(n)) if p)
+        for n in blocking.keys() | advisory.keys()
+    }
     print(f"\n# {audited} audited, {audited - len(flagged)} match, "
           f"{len(flagged)} flagged")
     for n, d in sorted(flagged.items()):
         print(f"--- {n}: {d}")
     if args.write_baseline:
-        if flagged:
-            print("# --write-baseline REFUSED: sweep is not green")
+        if blocking:
+            print("# --write-baseline REFUSED: sweep has blocking flags "
+                  f"({sorted(blocking)})")
             return 1
+        for n, d in sorted(advisory.items()):
+            print(f"# advisory (resolved by this write): {n}: {d}")
         empty = sorted(n for n, c in observed.items() if not c)
         if empty:
             # Visibility, not a failure: with initial-plan counting the
@@ -279,6 +322,7 @@ def main() -> int:
             )
             fh.write("\n")
         print(f"# baseline written: {BASELINE_PATH} ({len(observed)} queries)")
+        return 0  # advisories were bookkeeping this write just resolved
     return 1 if flagged else 0
 
 
