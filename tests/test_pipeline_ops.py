@@ -374,6 +374,44 @@ def test_pq_adc_query_chunking_changes_no_bits(spark, monkeypatch):
     assert whole == chunked and len(whole) == 7 * 3
 
 
+def test_adc_query_chunk_kwarg_overrides_module_default(spark, monkeypatch):
+    """VERDICT r10 #2: the chunk size needs a public kwarg, not a
+    monkeypatch-only override — and the kwarg must take precedence over
+    the module constant, which the default path must still read at CALL
+    time. Poison the constant with a negative step (range() yields no
+    blocks → zero output rows on the default path); the kwarg call must
+    be unaffected, on BOTH ADC entry points."""
+    from realtime_voting_data_engineering_spark.operators import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(i, [0.01 * i + 0.001 * (i % 3)] * 8) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, [0.05 * (i + 1)] * 8) for i in range(5)],
+        "vec_id bigint, embedding array<float>",
+    )
+    codes = S.pq_encode(corpus, dims=8, m=2, ksub=4)
+    monkeypatch.setattr(S, "_ADC_QUERY_CHUNK", -1)
+    assert S.knn_pq_adc(queries, corpus, dims=8, m=2, ksub=4, k=3).count() == 0
+    assert (
+        S.knn_pq_adc(
+            queries, corpus, dims=8, m=2, ksub=4, k=3, adc_query_chunk=2
+        ).count()
+        == 5 * 3
+    )
+    assert (
+        S.knn_pq_adc_from_codes(queries, codes, dims=8, m=2, ksub=4, k=3).count()
+        == 0
+    )
+    assert (
+        S.knn_pq_adc_from_codes(
+            queries, codes, dims=8, m=2, ksub=4, k=3, adc_query_chunk=2
+        ).count()
+        == 5 * 3
+    )
+
+
 def test_pq_adc_rejects_mismatched_id_types(spark):
     """Mixed id dtypes make the kernels' numpy self-match compare
     vacuous (string vs int64 → everything 'unequal' → a vector scores
@@ -395,14 +433,29 @@ def test_pq_adc_rejects_mismatched_id_types(spark):
     codes = S.pq_encode(corpus, dims=8, m=2, ksub=4)
     with pytest.raises(TypeError, match="id column .* type mismatch"):
         S.knn_pq_adc_from_codes(str_queries, codes, dims=8, m=2, ksub=4, k=3)
-    # Mixed INTEGRAL widths were always numerically correct (numpy
-    # compares int32 vs int64 exactly) — the guard must not break them
-    # (r10 review finding).
+    # NARROWER-query integral mixes were always numerically correct
+    # (numpy compares int32 vs int64 exactly, and the output query_id
+    # upcasts exactly to the corpus's wider type) — the guard must not
+    # break them (r10 review finding).
     int_queries = spark.createDataFrame(
         [(3, [0.03] * 8)], "vec_id int, embedding array<float>"
     )
     out = S.knn_pq_adc(int_queries, corpus, dims=8, m=2, ksub=4, k=3).collect()
     assert len(out) == 3 and all(r.neighbor_id != 3 for r in out)
+    # WIDER-query integral mixes must refuse (ADVICE r10 #1): the
+    # output query_id takes the corpus's narrower type and the session
+    # leaves convertToArrowArraySafely=false, so pyarrow WRAPS an
+    # out-of-range query id (int64 2^33+7 → int32 7) — a corrupted id
+    # that can collide with a real one, silently.
+    int_corpus = corpus.withColumn("vec_id", F.col("vec_id").cast("int"))
+    wide_queries = spark.createDataFrame(
+        [((1 << 33) + 7, [0.03] * 8)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(TypeError, match="width mismatch"):
+        S.knn_pq_adc(wide_queries, int_corpus, dims=8, m=2, ksub=4, k=3)
+    int_codes = S.pq_encode(int_corpus, dims=8, m=2, ksub=4)
+    with pytest.raises(TypeError, match="width mismatch"):
+        S.knn_pq_adc_from_codes(wide_queries, int_codes, dims=8, m=2, ksub=4, k=3)
 
 
 def test_apply_changes_latest_null_predicate_keeps_key(spark):

@@ -294,3 +294,55 @@ def test_knn_ivf_fixed_recall_vs_brute_force(spark, sf_dir):
     # nprobe/n_centroids = 1/4 of the corpus scanned; random subsets
     # would give ~0.25 expected overlap.
     assert recall >= 0.25, f"fixed-IVF recall {recall:.2f}"
+
+
+def _dense_chunk_fixture(spark):
+    """Small corpus/query pair for the chunking pins: non-trivial values
+    (no ties by construction), a zero corpus row (validity mask must
+    slice with the chunk), and 7 queries so chunk sizes 1/3 straddle
+    uneven block boundaries."""
+    corpus = spark.createDataFrame(
+        [(i, [0.01 * i + 0.003 * ((i * 7) % 5) * (d + 1) for d in range(8)])
+         for i in range(1, 30)] + [(30, [0.0] * 8)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, [0.05 * (i + 1) + 0.002 * d for d in range(8)])
+         for i in range(7)],
+        "vec_id bigint, embedding array<float>",
+    )
+    return corpus, queries
+
+
+@pytest.mark.parametrize("fn_name", ["knn_brute_force_pandas", "knn_quantized"])
+def test_dense_query_chunking_changes_no_bits(spark, fn_name):
+    """The dense cosine kernels block the QUERY axis so per-batch peak
+    memory is O(chunk × batch) instead of O(|Q| × batch) — the deferred
+    half of ADVICE r9 #2 (VERDICT r10 #2). Blocking slices only the
+    matmul's N dimension (each cosine is an independent dot over the
+    same operands), so it must be invisible in the output: chunk sizes
+    1 and 3 must be row- and BIT-identical to one block covering
+    everything."""
+    fn = getattr(S, fn_name)
+    corpus, queries = _dense_chunk_fixture(spark)
+    whole = sorted(map(tuple, fn(queries, corpus, k=3, query_chunk=10_000).collect()))
+    assert len(whole) == 7 * 3
+    for chunk in (1, 3):
+        chunked = sorted(map(tuple, fn(queries, corpus, k=3, query_chunk=chunk).collect()))
+        assert chunked == whole, (fn_name, chunk)
+
+
+@pytest.mark.parametrize("fn_name", ["knn_brute_force_pandas", "knn_quantized"])
+def test_dense_query_chunk_default_reads_module_constant(spark, fn_name, monkeypatch):
+    """The kwarg must OVERRIDE the module default, and the default path
+    must actually read ``_SIMS_QUERY_CHUNK`` at call time (so the
+    monkeypatch override documented for deployments keeps working).
+    Poison the constant with a negative step — range() then yields no
+    blocks, so a default-path call emits zero rows; the kwarg call must
+    be unaffected. A vacuous wiring (kwarg ignored, or constant read at
+    import) fails one of the two arms."""
+    fn = getattr(S, fn_name)
+    corpus, queries = _dense_chunk_fixture(spark)
+    monkeypatch.setattr(S, "_SIMS_QUERY_CHUNK", -1)
+    assert fn(queries, corpus, k=3).count() == 0
+    assert fn(queries, corpus, k=3, query_chunk=3).count() == 7 * 3

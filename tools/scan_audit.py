@@ -232,10 +232,21 @@ def main() -> int:
         # (ReusedExchange merges are real savings); the zero-check and
         # the baseline count the INITIAL section, which never
         # AQE-collapses to EmptyRelation (non-adaptive plans have no
-        # marker: both sections are the whole text).
+        # marker: both sections are the whole text). Assumption
+        # (ADVICE r10 #3): the TOP-LEVEL plan contributes the only
+        # marker. A nested adaptively-executed subplan would add its
+        # own, splitting the text further — joining everything after
+        # the first marker keeps "initial" a superset of all pre-AQE
+        # text (monotone for the zero-check; the baseline and the
+        # check count with the same rule, so drift detection is
+        # unaffected), at the cost of the stored counts then reading
+        # "scans outside the top-level final section".
         sections = plan_txt.split("== Initial Plan ==")
         final = sections[0]
-        initial = sections[1] if len(sections) > 1 else sections[0]
+        initial = (
+            "== Initial Plan ==".join(sections[1:]) if len(sections) > 1
+            else sections[0]
+        )
         over = {}
         lost = {}
         base_counts = (baseline or {}).get("counts", {}).get(name)
@@ -296,10 +307,17 @@ def main() -> int:
         n: "; ".join(p for p in (blocking.get(n), advisory.get(n)) if p)
         for n in blocking.keys() | advisory.keys()
     }
-    print(f"\n# {audited} audited, {audited - len(flagged)} match, "
-          f"{len(flagged)} flagged")
-    for n, d in sorted(flagged.items()):
+    # The stale-baseline advisory is keyed "<baseline>" — it is not an
+    # audited query, so it must not enter the audited/match arithmetic
+    # (ADVICE r10 #2). It still counts toward the exit code below: a
+    # baseline naming retired queries needs a regen.
+    per_query = {n: d for n, d in flagged.items() if n != "<baseline>"}
+    print(f"\n# {audited} audited, {audited - len(per_query)} match, "
+          f"{len(per_query)} flagged")
+    for n, d in sorted(per_query.items()):
         print(f"--- {n}: {d}")
+    if "<baseline>" in flagged:
+        print(f"--- advisory: {flagged['<baseline>']}")
     if args.write_baseline:
         if blocking:
             print("# --write-baseline REFUSED: sweep has blocking flags "
