@@ -1103,12 +1103,17 @@ def _require_same_id_type(queries: DataFrame, other: DataFrame, id_col: str,
     no wider than the corpus/codes id type: numpy compares int32
     against int64 exactly, so the self-match exclusion is correct for
     any width mix, but the OUTPUT ``query_id`` column takes the OTHER
-    side's type and the session leaves
-    ``spark.sql.execution.pandas.convertToArrowArraySafely`` at its
-    default (false) — pyarrow casts with ``safe=False`` and a
-    too-wide query id silently WRAPS (verified: int64 2^33+7 → int32
-    7), emitting a corrupted query_id that can collide with a real id
-    (ADVICE r10 #1). Narrower-query mixes upcast exactly and remain
+    side's type, and under Spark's DEFAULT
+    ``spark.sql.execution.pandas.convertToArrowArraySafely=false``
+    pyarrow casts with ``safe=False`` — a too-wide query id silently
+    WRAPS (verified: int64 2^33+7 → int32 7), emitting a corrupted
+    query_id that can collide with a real id (ADVICE r10 #1). The
+    engine now pins that conf true (session.get_spark +
+    ensure_session_confs), turning the wrap into a loud task failure —
+    but this plan-time refusal stays: a scheduler-visible TypeError
+    beats a mid-job executor error, and direct operator callers may
+    hold a session that never passed through load_table.
+    Narrower-query mixes upcast exactly and remain
     allowed. The cross-family classes are always refused (string vs
     numeric is the vacuous compare; int vs double is subtler — an id
     beyond 2^53 would round on the float side and could FALSELY equal

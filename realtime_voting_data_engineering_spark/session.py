@@ -55,6 +55,14 @@ def get_spark(
         # nanos timestamp type — read as long, convert at the source
         # (sources/tables.py) by truncating to micros like DuckDB does.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Safe pandas→Arrow conversion in Python workers: an
+        # out-of-range value crossing into a narrower output-schema
+        # type raises in the task instead of silently WRAPPING
+        # (default false let int64 2^33+7 become int32 7 — the id
+        # corruption class ADVICE r10 #1 verified). Runtime-settable;
+        # also pinned in sources/tables.py:ensure_session_confs so the
+        # driver's vanilla session gets it too.
+        .config("spark.sql.execution.pandas.convertToArrowArraySafely", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )

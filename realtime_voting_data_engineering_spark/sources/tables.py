@@ -45,6 +45,18 @@ def ensure_session_confs(spark: SparkSession) -> None:
     our session builder having been used."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Loud-not-wrong for every Pandas kernel: with the default (false),
+    # a worker-side pandas→Arrow conversion into a narrower output
+    # type silently WRAPS out-of-range values (verified: int64 2^33+7
+    # → int32 7 — ADVICE r10 #1's id-corruption class). True makes the
+    # task fail instead. Plan-time guards (e.g. similarity.
+    # _require_same_id_type) remain the first line — a scheduler-visible
+    # refusal beats a mid-job executor error — but this closes the class
+    # for kernels without a guard, under the driver's vanilla session
+    # too (every registered query passes through load_table).
+    spark.conf.set(
+        "spark.sql.execution.pandas.convertToArrowArraySafely", "true"
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

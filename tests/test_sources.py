@@ -81,3 +81,39 @@ def test_rate_source_vote_stream(spark, tmp_path):
     # deterministic-per-voter: same voter never maps to two candidates
     pairs = {(r.voter_id, r.candidate_id) for r in rows}
     assert len(pairs) == len({r.voter_id for r in rows})
+
+
+def test_safe_arrow_conversion_is_pinned_and_loud(spark):
+    """``ensure_session_confs`` pins
+    ``spark.sql.execution.pandas.convertToArrowArraySafely=true``: a
+    Pandas kernel emitting an out-of-range value into a narrower
+    output-schema type must FAIL the task, not silently wrap (the
+    default false turned int64 2^33+7 into int32 7 — ADVICE r10 #1's
+    id-corruption class; every registered query passes through
+    load_table, so the driver's vanilla session gets the pin too).
+    Anti-vacuity: the same kernel under the unsafe default returns the
+    wrapped value — proving the conf, not the cast, is what's loud."""
+    import pandas as pd
+
+    from realtime_voting_data_engineering_spark.sources.tables import (
+        ensure_session_confs,
+    )
+
+    ensure_session_confs(spark)
+    conf = "spark.sql.execution.pandas.convertToArrowArraySafely"
+    assert spark.conf.get(conf) == "true"
+
+    def emit(_batches):
+        yield pd.DataFrame({"x": [(1 << 33) + 7]})
+
+    # coalesce(1): the kernel yields one frame per PARTITION, so a
+    # multi-partition range would emit one wrapped row per partition.
+    one = spark.range(1).coalesce(1)
+    with pytest.raises(Exception, match="(?i)overflow|invalid|unsafe|conver"):
+        one.mapInPandas(emit, schema="x int").collect()
+    try:
+        spark.conf.set(conf, "false")
+        wrapped = one.mapInPandas(emit, schema="x int").collect()
+        assert [r.x for r in wrapped] == [7], "wrap class gone — update pin"
+    finally:
+        spark.conf.set(conf, "true")
