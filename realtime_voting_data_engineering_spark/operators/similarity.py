@@ -788,6 +788,19 @@ def knn_ivf_fixed(
 _SIMS_QUERY_CHUNK = 256
 
 
+def _resolve_query_chunk(override: "int | None", default: int) -> int:
+    """Resolve a public chunk kwarg against its module default and
+    refuse a non-positive block size at PLAN time: a negative step
+    would make ``range()`` yield no blocks (silent empty top-k — a
+    wrong answer, not an error) and zero would raise ``ValueError``
+    inside the executor mid-job (r11 review finding; same
+    loud-at-plan-time principle as ``_require_same_id_type``)."""
+    chunk = default if override is None else override
+    if chunk < 1:
+        raise ValueError(f"query chunk must be >= 1, got {chunk}")
+    return chunk
+
+
 def _cosine_score_frames(
     q_ids, q_mat, q_norm, q_valid, ids, c_mat, c_norm, c_valid,
     chunk: int, scales=None,
@@ -802,8 +815,8 @@ def _cosine_score_frames(
     matmul's N dimension only, so every (corpus, query) dot accumulates
     over the same K elements from the same operands and the blocking
     changes no bits (pinned by
-    test_knn_pandas_query_chunking_changes_no_bits /
-    test_knn_quantized_query_chunking_changes_no_bits). Frame
+    tests/test_similarity.py::test_dense_query_chunking_changes_no_bits,
+    parametrized over both dense kernels). Frame
     boundaries are invisible downstream: mapInPandas concatenates
     yields, and the consumer is a per-query top-k window.
 
@@ -855,7 +868,7 @@ def knn_quantized(
     )
 
     ensure_workers_can_import(corpus.sparkSession)
-    q_chunk = _SIMS_QUERY_CHUNK if query_chunk is None else query_chunk
+    q_chunk = _resolve_query_chunk(query_chunk, _SIMS_QUERY_CHUNK)
     # Full contract (NULL + ragged) on both sides: dims comes from the
     # collected query matrix and gates the corpus scan (r6 ADVICE #1).
     q_ids, q_mat, dims = collect_query_matrix(queries, id_col, vec_col)
@@ -922,7 +935,7 @@ def knn_brute_force_pandas(
     )
 
     ensure_workers_can_import(corpus.sparkSession)
-    q_chunk = _SIMS_QUERY_CHUNK if query_chunk is None else query_chunk
+    q_chunk = _resolve_query_chunk(query_chunk, _SIMS_QUERY_CHUNK)
     # Full contract (NULL + ragged) on both sides: dims comes from the
     # collected query matrix and gates the corpus scan (r6 ADVICE #1).
     q_ids, q_mat, dims = collect_query_matrix(queries, id_col, vec_col)
@@ -1282,7 +1295,7 @@ def knn_pq_adc(
     ensure_workers_can_import(queries.sparkSession)
     _require_same_id_type(queries, corpus, id_col, "corpus")
     # Driver-side capture: ships in the closure.
-    q_chunk = _ADC_QUERY_CHUNK if adc_query_chunk is None else adc_query_chunk
+    q_chunk = _resolve_query_chunk(adc_query_chunk, _ADC_QUERY_CHUNK)
     dsub = dims // m
     cb = pq_codebooks(dims, m, ksub)  # (m, ksub, dsub)
     qids_arr, luts_arr = _pq_query_luts(
@@ -1366,7 +1379,7 @@ def knn_pq_adc_from_codes(
     ensure_workers_can_import(queries.sparkSession)
     _require_same_id_type(queries, codes, id_col, "codes")
     # Driver-side capture: ships in the closure.
-    q_chunk = _ADC_QUERY_CHUNK if adc_query_chunk is None else adc_query_chunk
+    q_chunk = _resolve_query_chunk(adc_query_chunk, _ADC_QUERY_CHUNK)
     cb = pq_codebooks(dims, m, ksub)
     qids_arr, luts_arr = _pq_query_luts(
         queries, cb, dims, m, ksub, id_col, vec_col

@@ -586,7 +586,7 @@ from realtime_voting_data_engineering_spark import queries_pipeline  # noqa: E40
 # which queries get a driver-side correctness row each round. We order
 # explicitly rather than leaning on import side-effect order.
 #
-# Round-10 window (a DEPTH round — the 98-query cap makes every round
+# Round-11 window (a DEPTH round — the 98-query cap makes every round
 # ~48-forced + 2-free): the 48 queries whose last driver row is
 # CORRECTNESS_r09 all rotate back in (the rotation invariant forces
 # them in before their evidence goes two rounds stale), leaving exactly

@@ -398,7 +398,16 @@ def test_checkpoint_inputs_scan_raw_tables_once(spark, sf_dir, monkeypatch):
                 inp._jdf.queryExecution().executedPlan().toString()
             ).split("== Initial Plan ==")
             final = sections[0]
-            initial = sections[1] if len(sections) > 1 else sections[0]
+            # Join ALL trailing sections: a nested adaptive subplan
+            # adds extra markers, and keeping only sections[1] would
+            # drop scans printed after the second marker —
+            # undercounting the zero/cap arms. (scan_audit refuses
+            # multi-marker plans outright; here the joined superset is
+            # safe because these arms only ever bound scans above.)
+            initial = (
+                "== Initial Plan ==".join(sections[1:]) if len(sections) > 1
+                else sections[0]
+            )
             want = per_site.get(i)
             if want:
                 got = final.count(f"{table}.parquet")

@@ -337,12 +337,17 @@ def test_dense_query_chunk_default_reads_module_constant(spark, fn_name, monkeyp
     """The kwarg must OVERRIDE the module default, and the default path
     must actually read ``_SIMS_QUERY_CHUNK`` at call time (so the
     monkeypatch override documented for deployments keeps working).
-    Poison the constant with a negative step — range() then yields no
-    blocks, so a default-path call emits zero rows; the kwarg call must
-    be unaffected. A vacuous wiring (kwarg ignored, or constant read at
-    import) fails one of the two arms."""
+    Poison the constant with a negative value — the plan-time chunk
+    validator refuses it loudly (an unvalidated negative step would
+    have made range() yield no blocks: a silent empty top-k, the r11
+    review finding), so a default-path call raises; the kwarg call
+    must be unaffected. A vacuous wiring (kwarg ignored, or constant
+    read at import) fails one of the two arms."""
     fn = getattr(S, fn_name)
     corpus, queries = _dense_chunk_fixture(spark)
     monkeypatch.setattr(S, "_SIMS_QUERY_CHUNK", -1)
-    assert fn(queries, corpus, k=3).count() == 0
+    with pytest.raises(ValueError, match="chunk must be >= 1"):
+        fn(queries, corpus, k=3)
     assert fn(queries, corpus, k=3, query_chunk=3).count() == 7 * 3
+    with pytest.raises(ValueError, match="chunk must be >= 1"):
+        fn(queries, corpus, k=3, query_chunk=0)

@@ -232,21 +232,27 @@ def main() -> int:
         # (ReusedExchange merges are real savings); the zero-check and
         # the baseline count the INITIAL section, which never
         # AQE-collapses to EmptyRelation (non-adaptive plans have no
-        # marker: both sections are the whole text). Assumption
-        # (ADVICE r10 #3): the TOP-LEVEL plan contributes the only
-        # marker. A nested adaptively-executed subplan would add its
-        # own, splitting the text further — joining everything after
-        # the first marker keeps "initial" a superset of all pre-AQE
-        # text (monotone for the zero-check; the baseline and the
-        # check count with the same rule, so drift detection is
-        # unaffected), at the cost of the stored counts then reading
-        # "scans outside the top-level final section".
+        # marker: both sections are the whole text). ENFORCED
+        # assumption (ADVICE r10 #3): the top-level plan contributes
+        # the only marker. A nested adaptively-executed subplan would
+        # add its own, splitting BOTH sections mid-text (the final
+        # side would silently undercount upper bounds — worse than the
+        # initial side's overcount), so a multi-marker plan is flagged
+        # blocking here and the parser extended with real plan text in
+        # hand, instead of weakening the bounds quietly. Verified
+        # single-marker across the registry (incl. the scalar-subquery
+        # TPC-H shapes) at r11.
         sections = plan_txt.split("== Initial Plan ==")
+        if len(sections) > 2:
+            blocking[name] = (
+                f"{len(sections) - 1} '== Initial Plan ==' markers — "
+                "nested adaptive subplan; scan_audit's section parser "
+                "needs extending before this query's bounds are trusted"
+            )
+            errored.add(name)
+            continue
         final = sections[0]
-        initial = (
-            "== Initial Plan ==".join(sections[1:]) if len(sections) > 1
-            else sections[0]
-        )
+        initial = sections[1] if len(sections) > 1 else sections[0]
         over = {}
         lost = {}
         base_counts = (baseline or {}).get("counts", {}).get(name)
