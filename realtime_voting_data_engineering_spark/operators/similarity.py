@@ -794,10 +794,14 @@ def _resolve_query_chunk(override: "int | None", default: int) -> int:
     would make ``range()`` yield no blocks (silent empty top-k — a
     wrong answer, not an error) and zero would raise ``ValueError``
     inside the executor mid-job (r11 review finding; same
-    loud-at-plan-time principle as ``_require_same_id_type``)."""
+    loud-at-plan-time principle as ``_require_same_id_type``). A
+    non-int (e.g. a float) is refused here too — ``range()`` would
+    reject it with a TypeError inside the executor otherwise."""
     chunk = default if override is None else override
-    if chunk < 1:
-        raise ValueError(f"query chunk must be >= 1, got {chunk}")
+    if not isinstance(chunk, int) or isinstance(chunk, bool) or chunk < 1:
+        raise ValueError(
+            f"query chunk must be an int >= 1, got {chunk!r}"
+        )
     return chunk
 
 

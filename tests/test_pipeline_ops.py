@@ -397,7 +397,7 @@ def test_adc_query_chunk_kwarg_overrides_module_default(spark, monkeypatch):
     )
     codes = S.pq_encode(corpus, dims=8, m=2, ksub=4)
     monkeypatch.setattr(S, "_ADC_QUERY_CHUNK", -1)
-    with pytest.raises(ValueError, match="chunk must be >= 1"):
+    with pytest.raises(ValueError, match="chunk must be an int >= 1"):
         S.knn_pq_adc(queries, corpus, dims=8, m=2, ksub=4, k=3)
     assert (
         S.knn_pq_adc(
@@ -405,7 +405,7 @@ def test_adc_query_chunk_kwarg_overrides_module_default(spark, monkeypatch):
         ).count()
         == 5 * 3
     )
-    with pytest.raises(ValueError, match="chunk must be >= 1"):
+    with pytest.raises(ValueError, match="chunk must be an int >= 1"):
         S.knn_pq_adc_from_codes(queries, codes, dims=8, m=2, ksub=4, k=3)
     assert (
         S.knn_pq_adc_from_codes(
@@ -413,7 +413,7 @@ def test_adc_query_chunk_kwarg_overrides_module_default(spark, monkeypatch):
         ).count()
         == 5 * 3
     )
-    with pytest.raises(ValueError, match="chunk must be >= 1"):
+    with pytest.raises(ValueError, match="chunk must be an int >= 1"):
         S.knn_pq_adc(
             queries, corpus, dims=8, m=2, ksub=4, k=3, adc_query_chunk=0
         )

@@ -346,8 +346,10 @@ def test_dense_query_chunk_default_reads_module_constant(spark, fn_name, monkeyp
     fn = getattr(S, fn_name)
     corpus, queries = _dense_chunk_fixture(spark)
     monkeypatch.setattr(S, "_SIMS_QUERY_CHUNK", -1)
-    with pytest.raises(ValueError, match="chunk must be >= 1"):
+    with pytest.raises(ValueError, match="chunk must be an int >= 1"):
         fn(queries, corpus, k=3)
     assert fn(queries, corpus, k=3, query_chunk=3).count() == 7 * 3
-    with pytest.raises(ValueError, match="chunk must be >= 1"):
+    with pytest.raises(ValueError, match="chunk must be an int >= 1"):
         fn(queries, corpus, k=3, query_chunk=0)
+    with pytest.raises(ValueError, match="chunk must be an int >= 1"):
+        fn(queries, corpus, k=3, query_chunk=2.5)
