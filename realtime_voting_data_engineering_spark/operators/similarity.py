@@ -794,14 +794,26 @@ def _resolve_query_chunk(override: "int | None", default: int) -> int:
     would make ``range()`` yield no blocks (silent empty top-k — a
     wrong answer, not an error) and zero would raise ``ValueError``
     inside the executor mid-job (r11 review finding; same
-    loud-at-plan-time principle as ``_require_same_id_type``). A
-    non-int (e.g. a float) is refused here too — ``range()`` would
-    reject it with a TypeError inside the executor otherwise."""
+    loud-at-plan-time principle as ``_require_same_id_type``).
+    Non-integral values (e.g. a float) are refused here too —
+    ``range()`` would reject them with a TypeError inside the executor
+    otherwise. Normalization goes through ``operator.index`` so any
+    true integer type (numpy int64 included — this is a numpy-centric
+    call surface) stays accepted, exactly the set ``range()`` itself
+    accepts; bool is excluded as an always-a-bug sentinel."""
+    import operator
+
     chunk = default if override is None else override
-    if not isinstance(chunk, int) or isinstance(chunk, bool) or chunk < 1:
+    try:
+        if isinstance(chunk, bool):
+            raise TypeError("bool is not a chunk size")
+        chunk = operator.index(chunk)
+    except TypeError:
         raise ValueError(
             f"query chunk must be an int >= 1, got {chunk!r}"
-        )
+        ) from None
+    if chunk < 1:
+        raise ValueError(f"query chunk must be an int >= 1, got {chunk!r}")
     return chunk
 
 

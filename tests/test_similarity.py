@@ -353,3 +353,9 @@ def test_dense_query_chunk_default_reads_module_constant(spark, fn_name, monkeyp
         fn(queries, corpus, k=3, query_chunk=0)
     with pytest.raises(ValueError, match="chunk must be an int >= 1"):
         fn(queries, corpus, k=3, query_chunk=2.5)
+    # numpy integers are valid chunk sizes (the call surface is
+    # numpy-centric; range() accepts any __index__ type) — the
+    # validator must normalize, not reject (r11 second-pass review).
+    import numpy as np
+
+    assert fn(queries, corpus, k=3, query_chunk=np.int64(3)).count() == 7 * 3
