@@ -797,21 +797,22 @@ def _resolve_query_chunk(override: "int | None", default: int) -> int:
     loud-at-plan-time principle as ``_require_same_id_type``).
     Non-integral values (e.g. a float) are refused here too —
     ``range()`` would reject them with a TypeError inside the executor
-    otherwise. Normalization goes through ``operator.index`` so any
-    true integer type (numpy int64 included — this is a numpy-centric
-    call surface) stays accepted, exactly the set ``range()`` itself
-    accepts; bool is excluded as an always-a-bug sentinel."""
+    otherwise. Acceptance is ``numbers.Integral`` minus the bools
+    (numpy integer scalars register as Integral on this numpy-centric
+    surface; ``np.bool_`` does NOT, and builtin ``bool`` is excluded
+    explicitly as an always-a-bug sentinel — an ``operator.index``-only
+    check would silently admit ``np.True_`` as chunk=1, r11 review),
+    then normalized through ``operator.index`` so downstream slicing
+    sees a plain int."""
+    import numbers
     import operator
 
     chunk = default if override is None else override
-    try:
-        if isinstance(chunk, bool):
-            raise TypeError("bool is not a chunk size")
-        chunk = operator.index(chunk)
-    except TypeError:
+    if not isinstance(chunk, numbers.Integral) or isinstance(chunk, bool):
         raise ValueError(
             f"query chunk must be an int >= 1, got {chunk!r}"
-        ) from None
+        )
+    chunk = operator.index(chunk)
     if chunk < 1:
         raise ValueError(f"query chunk must be an int >= 1, got {chunk!r}")
     return chunk
@@ -826,13 +827,32 @@ def _cosine_score_frames(
     invalid (zero/excluded) rows dropped. ``chunk`` is captured
     DRIVER-side at plan time and ships inside the pickled kernel
     closure (a module-global read here would resolve against the
-    worker's fresh import — see ``_adc_score_frames``). Each cosine is
-    an independent dot product: blocking the QUERY axis slices the
-    matmul's N dimension only, so every (corpus, query) dot accumulates
-    over the same K elements from the same operands and the blocking
-    changes no bits (pinned by
-    tests/test_similarity.py::test_dense_query_chunking_changes_no_bits,
-    parametrized over both dense kernels). Frame
+    worker's fresh import — see ``_adc_score_frames``).
+
+    Numeric contract (stated precisely — the r11 review measured the
+    edges): blocking the QUERY axis slices only the matmul's N
+    dimension, so every (corpus, query) dot consumes the same K
+    operands — but unlike ``_adc_score_frames`` (explicit s-sequential
+    adds, bit-identical under any chunk), the dot itself is a BLAS
+    kernel whose K-accumulation ORDER may differ between output shapes
+    (gemv- vs gemm-shaped dispatch, micro-kernel blocking). Chunked
+    scores can therefore differ from the single-block result within
+    reassociation distance (measured ≲2e-13 relative at dims=64) and
+    rank flips are possible only between near-exact ties — the SAME
+    accepted residual class as the kernel-vs-``list_sum`` caveat in
+    ``knn_quantized``'s registration. What IS guaranteed, and pinned:
+    (a) any query set that fits one block — |Q| ≤ chunk, which
+    includes EVERY registered query (bounded serving sets ≤10 vs the
+    256 default) — is bit-identical to the unchunked form (a numpy
+    slice past the end returns the whole array, so the matmul shape is
+    unchanged); (b) results are deterministic for a fixed (data,
+    chunk): same bits across runs and partitionings; (c) on
+    float32-grid inputs whose dots are exactly representable, blocking
+    is provably invisible at ANY chunk
+    (test_dense_query_chunking_changes_no_bits); (d) on general float
+    data, top-k SETS agree across chunk sizes whenever rank gaps
+    exceed reassociation distance
+    (test_dense_query_chunking_reassociation_residual). Frame
     boundaries are invisible downstream: mapInPandas concatenates
     yields, and the consumer is a per-query top-k window.
 

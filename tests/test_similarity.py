@@ -318,11 +318,15 @@ def _dense_chunk_fixture(spark):
 def test_dense_query_chunking_changes_no_bits(spark, fn_name):
     """The dense cosine kernels block the QUERY axis so per-batch peak
     memory is O(chunk × batch) instead of O(|Q| × batch) — the deferred
-    half of ADVICE r9 #2 (VERDICT r10 #2). Blocking slices only the
-    matmul's N dimension (each cosine is an independent dot over the
-    same operands), so it must be invisible in the output: chunk sizes
-    1 and 3 must be row- and BIT-identical to one block covering
-    everything."""
+    half of ADVICE r9 #2 (VERDICT r10 #2). SCOPE (r11 second review):
+    this fixture's float32-grid values make every dot exactly
+    representable in float64, so bitwise equality here proves the
+    blocking BOOKKEEPING (id repeat/tile, validity-mask slicing, frame
+    boundaries) and the exact-arithmetic case — NOT BLAS accumulation
+    order, which genuinely differs between gemv/gemm shapes on general
+    data (the reassociation residual is pinned separately by
+    test_dense_query_chunking_reassociation_residual). Chunk sizes 1
+    and 3 must be row- and BIT-identical to one covering block."""
     fn = getattr(S, fn_name)
     corpus, queries = _dense_chunk_fixture(spark)
     whole = sorted(map(tuple, fn(queries, corpus, k=3, query_chunk=10_000).collect()))
@@ -330,6 +334,52 @@ def test_dense_query_chunking_changes_no_bits(spark, fn_name):
     for chunk in (1, 3):
         chunked = sorted(map(tuple, fn(queries, corpus, k=3, query_chunk=chunk).collect()))
         assert chunked == whole, (fn_name, chunk)
+
+
+@pytest.mark.parametrize("fn_name", ["knn_brute_force_pandas", "knn_quantized"])
+def test_dense_query_chunking_reassociation_residual(spark, fn_name):
+    """The honest numeric contract for general float data (r11 second
+    review, which MEASURED bitwise drift between chunked and unchunked
+    matmuls at dims=64): BLAS may reassociate the K-accumulation
+    differently per output shape, so chunked cosines are only
+    reassociation-close to the single-block result — but whenever rank
+    gaps exceed that distance, the selected top-k PAIRS are identical.
+    Random normal 64-dim vectors have rank gaps ~1e-2, so set equality
+    is sound by construction here (asserted, not assumed); the score
+    drift bound is the measured ≲2e-13 relative with margin."""
+    import numpy as np
+
+    fn = getattr(S, fn_name)
+    rng = np.random.default_rng(11)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=64)]) for i in range(25)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.normal(size=64)]) for i in range(9)],
+        "vec_id bigint, embedding array<float>",
+    )
+    whole = fn(queries, corpus, k=3, query_chunk=10_000).collect()
+    by_pair = {(r.query_id, r.neighbor_id): r.cos for r in whole}
+    # Fixture soundness: adjacent ranks are separated far beyond the
+    # reassociation distance, so a 1-ulp score change cannot flip sets.
+    by_q: dict = {}
+    for r in whole:
+        by_q.setdefault(r.query_id, []).append(r.cos)
+    for q, scores in by_q.items():
+        scores = sorted(scores, reverse=True)
+        gaps = [a - b for a, b in zip(scores, scores[1:])]
+        assert all(g > 1e-6 for g in gaps), (q, gaps)
+    for chunk in (1, 4):
+        got = fn(queries, corpus, k=3, query_chunk=chunk).collect()
+        assert {(r.query_id, r.neighbor_id) for r in got} == set(by_pair), (
+            fn_name, chunk,
+        )
+        for r in got:
+            ref = by_pair[(r.query_id, r.neighbor_id)]
+            assert abs(r.cos - ref) <= 1e-9 * max(1.0, abs(ref)), (
+                fn_name, chunk, r, ref,
+            )
 
 
 @pytest.mark.parametrize("fn_name", ["knn_brute_force_pandas", "knn_quantized"])
