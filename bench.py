@@ -156,7 +156,12 @@ def main() -> None:
         # 1-min loadavg ranged 0.00-5.38 and stopped predicting the
         # ambient band; readings self-classify on this field instead
         # (quiet ≈ ≤0.03, contended ≳0.04 — SCALE.md quiet-floor table).
-        "thermometer_bm25_sec": timings.get("bm25_search_topk", -1.0),
+        # A failed bm25 run times as -1.0, which would satisfy ≤0.03 —
+        # emit null instead so failure never reads as quiet (r12
+        # review #2).
+        "thermometer_bm25_sec": (
+            t if (t := timings.get("bm25_search_topk", -1.0)) >= 0 else None
+        ),
     }
     print(json.dumps(out))
 

@@ -576,6 +576,7 @@ def ivf_assign(
         ensure_workers_can_import,
     )
 
+    _require_integral_id(corpus, id_col, "corpus")
     ensure_workers_can_import(corpus.sparkSession)
     cent = np.asarray(centroids, dtype=np.float64)
     corpus = valid_vectors(corpus, vec_col, int(cent.shape[1]))
@@ -616,6 +617,11 @@ def knn_ivf(
     Recall < 1 by construction; tests measure it against brute force."""
     import numpy as np
 
+    # Both sides feed hard-coded-long id schemas (the probe frame's
+    # query_id and the assign kernel's {id_col}); refuse non-integral
+    # ids BEFORE the training collect runs any job.
+    _require_integral_id(queries, id_col, "queries")
+    _require_integral_id(corpus, id_col, "corpus")
     cent = ivf_train_centroids(
         corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
@@ -686,6 +692,7 @@ def ivf_fixed_assign(
         ensure_workers_can_import,
     )
 
+    _require_integral_id(corpus, id_col, "corpus")
     ensure_workers_can_import(corpus.sparkSession)
     cent = ivf_fixed_centroids(dims, n_centroids)  # (n_centroids, dims)
     corpus = valid_vectors(corpus, vec_col, dims)
@@ -734,6 +741,10 @@ def knn_ivf_fixed(
     contract as ``knn_brute_force_pandas``. Recall/latency trade-off vs
     the k-means quantizer is pytest-measured; production keeps
     ``knn_ivf``, grading evidence comes from this twin."""
+    # Both sides feed hard-coded-long id schemas (probe frame + assign
+    # kernel) — refuse non-integral ids before any job runs.
+    _require_integral_id(queries, id_col, "queries")
+    _require_integral_id(corpus, id_col, "corpus")
     queries = valid_vectors(queries, vec_col, dims)
     cent = ivf_fixed_centroids(dims, n_centroids)
     assigned = ivf_fixed_assign(
@@ -819,36 +830,49 @@ def _resolve_query_chunk(override: "int | None", default: int) -> int:
 
 
 def _require_integral_id(df: DataFrame, id_col: str, what: str) -> None:
-    """Refuse a non-integral id column on the Arrow-batched dense
-    scorers, loudly and at PLAN time (VERDICT r11 "What's wrong" #2).
-    Their output schemas hard-code ``query_id long, neighbor_id long``
-    (the collected query ids and each corpus batch's ids are emitted
-    through that schema), so a string/decimal/double id passes plan
-    analysis but dies mid-job in the executor's pandas→Arrow cast —
-    loud-but-late under the session-wide
-    ``convertToArrowArraySafely=true`` pin. A scheduler-visible
-    TypeError at the call site beats a mid-job task failure (the same
-    loud-at-plan-time principle as ``_require_same_id_type`` and
-    ``_resolve_query_chunk``). Any integral width is accepted — a
-    narrower id widens to long exactly.
+    """Refuse a non-integral id column on the kernels whose OUTPUT id
+    columns are hard-coded LONG, loudly and at PLAN time (VERDICT r11
+    "What's wrong" #2, extended by the r12 review which found the same
+    class in the IVF paths). Guarded surfaces — every ``id_col``-generic
+    entry point with a hard-coded long id output:
 
-    The EXPRESSION variants (``knn_brute_force``, ``knn_ann``) are
-    deliberately NOT guarded: their output columns alias the input
-    columns, so the id types propagate end-to-end and a string-id
-    caller gets a correct string-typed result — the same graceful
-    non-long handling the ADC paths get by typing their output from
-    the corpus side (similarity.py ``knn_pq_adc``). Refusing there
-    would break working callers to guard nothing (SCALE.md
-    "Round-12 — dense-kernel id guard")."""
+    - dense scorers ``knn_quantized`` / ``knn_brute_force_pandas``
+      (``query_id long, neighbor_id long`` mapInPandas schemas);
+    - ``ivf_assign`` / ``ivf_fixed_assign`` (``{id_col} long`` assign
+      schemas);
+    - ``knn_ivf`` / ``knn_ivf_fixed`` (``query_id long`` probe frames,
+      whose driver-side ``int(r[0])`` would otherwise silently COERCE
+      a numeric-string query id to long — no error at all, worse than
+      the mid-job crash).
+
+    Without the guard, a string/decimal/double id passes plan analysis
+    but dies mid-job in the executor's pandas→Arrow cast — loud-but-late
+    under the session-wide ``convertToArrowArraySafely=true`` pin. A
+    scheduler-visible TypeError at the call site beats a mid-job task
+    failure (the same loud-at-plan-time principle as
+    ``_require_same_id_type`` and ``_resolve_query_chunk``). Any
+    integral width is accepted — a narrower id widens to long exactly.
+
+    Deliberately NOT guarded: ``knn_brute_force``/``knn_ann`` (output
+    ids alias the inputs — types propagate end-to-end, so a string-id
+    caller gets a correct string-typed result), ``with_srp_signature``
+    and ``pq_encode`` (output schema is built from the input field),
+    the ADC searchers (output typed from the corpus side), and the
+    winnow kernel (casts back to the input id type) — all handle
+    non-long ids gracefully, so a refusal would break working callers
+    to guard nothing. The multimodal kernels hard-code ``media_id
+    long`` but take no ``id_col``: their whole input schema is the
+    documented media contract, not a generic-id surface. Full triage:
+    SCALE.md "Round-12 — dense-kernel id guard"."""
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
     t = df.schema[id_col].dataType
     if type(t) not in (ByteType, ShortType, IntegerType, LongType):
         raise TypeError(
             f"id column {id_col!r} on the {what} side is {t}, but this "
-            "kernel's output schema hard-codes query_id/neighbor_id as "
-            "LONG — the pandas→Arrow cast would fail mid-job; cast the "
-            "id to an integral type (or use the expression-based "
+            "kernel's output schema hard-codes its id columns as LONG — "
+            "the pandas→Arrow cast would fail mid-job; cast the id to "
+            "an integral type (or use the expression-based "
             "knn_brute_force/knn_ann, whose output id types follow the "
             "input) before calling"
         )

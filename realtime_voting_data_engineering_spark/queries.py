@@ -592,16 +592,20 @@ from realtime_voting_data_engineering_spark import queries_pipeline  # noqa: E40
 # them in before their evidence goes two rounds stale), leaving exactly
 # 2 free slots. Both go to RE-VERIFICATION of r11-evidenced queries
 # around this round's change (the proven r8-r11 pattern, VERDICT r11
-# #2): r12 adds a plan-time integral-id refusal to the two Arrow-batched
-# dense kernels whose output schemas hard-code ``query_id long``
-# (``knn_quantized`` / ``knn_brute_force_pandas`` — VERDICT r11 "What's
-# wrong" #2), so ``knn_quantized`` re-verifies; ``knn_cosine_topk``
-# re-verifies as the dense-family exact baseline — its oracle is the
-# external evidence that the guarded family still scores identically
-# (its own expression path at ``similarity.knn_brute_force`` is
-# deliberately NOT guarded: the output id types there propagate from
-# the input columns, the same graceful non-long handling the ADC paths
-# have — rationale in SCALE.md "Round-12"). Registry stays at the 98
+# #2): r12 adds a plan-time integral-id refusal to the kernels whose
+# output schemas hard-code long ids — the two Arrow-batched dense
+# scorers (``knn_quantized`` / ``knn_brute_force_pandas`` — VERDICT
+# r11 "What's wrong" #2) plus, per this round's review, the IVF
+# assign/probe paths — so ``knn_quantized`` re-verifies (free slot);
+# ``knn_ivf_fixed``, the IVF guard's one registered query, is already
+# rotation-FORCED into this window and costs no slot; and
+# ``knn_cosine_topk`` re-verifies as the dense-family exact baseline —
+# its oracle is the external evidence that the guarded family still
+# scores identically (its own expression path at
+# ``similarity.knn_brute_force`` is deliberately NOT guarded: the
+# output id types there propagate from the input columns, the same
+# graceful non-long handling the ADC paths have — rationale in
+# SCALE.md "Round-12"). Registry stays at the 98
 # cap (2×50-window − 2) so the rotation stays feasible with 2-slot
 # slack — pinned below by
 # tests/test_registry_order.py::test_registry_leaves_two_window_slots.

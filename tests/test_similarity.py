@@ -429,10 +429,10 @@ def test_dense_kernels_refuse_non_integral_ids_at_plan_time(spark, fn_name):
     plan analysis but died mid-job in the executor's pandas→Arrow cast.
     The plan-time guard must refuse EITHER side's non-integral id with
     a TypeError raised at the CALL (no job ever starts — pytest.raises
-    wraps the plan call, not a collect), keep integral width mixes
-    working (narrower ids widen to long exactly), and leave the
-    expression variants permissive (their output id types propagate
-    from the input — refusing there would break correct callers)."""
+    wraps the plan call, not a collect) and keep integral width mixes
+    working (narrower ids widen to long exactly). The expression
+    variants must stay permissive — pinned separately by
+    test_expression_knn_variants_stay_permissive_on_string_ids."""
     fn = getattr(S, fn_name)
     corpus, queries = _dense_chunk_fixture(spark)
     s_corpus = corpus.withColumn("vec_id", F.col("vec_id").cast("string"))
@@ -453,13 +453,50 @@ def test_dense_kernels_refuse_non_integral_ids_at_plan_time(spark, fn_name):
     # the long output exactly (no wrap class — widening only).
     i_queries = queries.withColumn("vec_id", F.col("vec_id").cast("int"))
     assert fn(i_queries, corpus, k=3).count() == 7 * 3
-    # The expression variant is DELIBERATELY unguarded: its output
-    # columns alias the inputs, so string ids yield a correct
-    # string-typed result (the graceful handling the ADC paths get by
-    # typing output from the corpus side) — the guard must not creep.
-    # (Drop the fixture's zero vector: this arm tests id-type
-    # propagation, and under ANSI the expression path's 0/0 cosine is
-    # a loud divide-by-zero, not a score.)
+
+
+def test_ivf_paths_refuse_non_integral_ids_at_plan_time(spark):
+    """The r12 review extended VERDICT r11 #2's class to the IVF paths:
+    ``ivf_assign``/``ivf_fixed_assign`` hard-code ``{id_col} long``
+    mapInPandas schemas, and ``knn_ivf``/``knn_ivf_fixed`` build
+    ``query_id long`` probe frames through a driver-side ``int(r[0])``
+    that would silently COERCE a numeric-string query id (no error at
+    all). All four must refuse non-integral ids at the CALL; integral
+    width mixes widen to long exactly and stay allowed."""
+    corpus, queries = _dense_chunk_fixture(spark)
+    s_corpus = corpus.withColumn("vec_id", F.col("vec_id").cast("string"))
+    s_queries = queries.withColumn("vec_id", F.col("vec_id").cast("string"))
+    with pytest.raises(TypeError, match="corpus side"):
+        S.ivf_assign(s_corpus, S.ivf_fixed_centroids(8, 4))
+    with pytest.raises(TypeError, match="corpus side"):
+        S.ivf_fixed_assign(s_corpus, dims=8, n_centroids=4)
+    with pytest.raises(TypeError, match="queries side"):
+        S.knn_ivf(s_queries, corpus, k=3, n_centroids=4)
+    with pytest.raises(TypeError, match="corpus side"):
+        S.knn_ivf(queries, s_corpus, k=3, n_centroids=4)
+    with pytest.raises(TypeError, match="queries side"):
+        S.knn_ivf_fixed(s_queries, corpus, dims=8, k=3, n_centroids=4)
+    with pytest.raises(TypeError, match="corpus side"):
+        S.knn_ivf_fixed(queries, s_corpus, dims=8, k=3, n_centroids=4)
+    # Width mix: int32 ids assign fine and widen to the long schema.
+    i_corpus = corpus.withColumn("vec_id", F.col("vec_id").cast("int"))
+    assert S.ivf_fixed_assign(i_corpus, dims=8, n_centroids=4).count() == 30
+
+
+def test_expression_knn_variants_stay_permissive_on_string_ids(spark):
+    """The expression variants (``knn_brute_force``, ``knn_ann``) are
+    DELIBERATELY unguarded: their output columns alias the inputs, so
+    string ids yield a correct string-typed result (the graceful
+    handling the ADC paths get by typing output from the corpus side)
+    — the integral-id guard must not creep onto them. (Unparametrized
+    on purpose: this arm is independent of which pandas kernel the
+    guard test exercises — r12 review #3.) The fixture's zero vector
+    is dropped: this pin tests id-type propagation, and under ANSI the
+    expression path's 0/0 cosine is a loud divide-by-zero, not a
+    score."""
+    corpus, queries = _dense_chunk_fixture(spark)
+    s_corpus = corpus.withColumn("vec_id", F.col("vec_id").cast("string"))
+    s_queries = queries.withColumn("vec_id", F.col("vec_id").cast("string"))
     rows = S.knn_brute_force(
         s_queries, s_corpus.filter(F.col("vec_id") != "30"), k=3
     ).collect()
