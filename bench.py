@@ -140,11 +140,19 @@ def main() -> None:
         print(f"bench: streaming smoke failed: {exc}", file=sys.stderr)
         events_per_sec = -1.0
 
+    # A failed query times as the -1.0 sentinel (visible per-query in
+    # "queries"); it must not be SUBTRACTED from the headline total —
+    # a broken query would read as a round-over-round speedup (r12
+    # review: same failure-reads-as-good class as the thermometer
+    # sentinel below). Sum successes only and name failures explicitly;
+    # a non-empty "failed_queries" marks the total as non-comparable.
+    failed = sorted(n for n, t in timings.items() if t < 0)
     out = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(t for t in timings.values() if t >= 0), 4),
         "unit": "sec",
         "queries": timings,
+        "failed_queries": failed,
         "sf": parse_sf(sf_dir),
         "streaming_events_per_sec": events_per_sec,
         "loadavg_before": [round(x, 2) for x in load_before],

@@ -502,3 +502,13 @@ def test_expression_knn_variants_stay_permissive_on_string_ids(spark):
     ).collect()
     assert len(rows) == 7 * 3
     assert all(isinstance(r.query_id, str) for r in rows[:3])
+    # knn_ann too (review-of-review: the pin named both variants but
+    # exercised only one — creep onto knn_ann would have passed).
+    # Candidate generation is banded so counts are recall-dependent,
+    # not 7×3; the pin is that string ids run and propagate.
+    ann_rows = S.knn_ann(
+        s_queries, s_corpus.filter(F.col("vec_id") != "30"),
+        dims=8, k=3, planes=8, bands=4,
+    ).collect()
+    assert len(ann_rows) >= 1
+    assert all(isinstance(r.query_id, str) for r in ann_rows)
