@@ -147,6 +147,12 @@ def main() -> None:
     # sentinel below). Sum successes only and name failures explicitly;
     # a non-empty "failed_queries" marks the total as non-comparable.
     failed = sorted(n for n, t in timings.items() if t < 0)
+    if "bm25_search_topk" not in timings:
+        print(
+            "bench: bm25_search_topk missing from the headline set — "
+            "thermometer telemetry disabled (headline panel drifted?)",
+            file=sys.stderr,
+        )
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(t for t in timings.values() if t >= 0), 4),
@@ -166,7 +172,9 @@ def main() -> None:
         # (quiet ≈ ≤0.03, contended ≳0.04 — SCALE.md quiet-floor table).
         # A failed bm25 run times as -1.0, which would satisfy ≤0.03 —
         # emit null instead so failure never reads as quiet (r12
-        # review #2).
+        # review #2). bm25 ABSENT from the headline set is a different
+        # event (set drift — the panel is pinned) and must be LOUD, not
+        # a permanent silent null (r12 third review pass).
         "thermometer_bm25_sec": (
             t if (t := timings.get("bm25_search_topk", -1.0)) >= 0 else None
         ),

@@ -829,7 +829,9 @@ def _resolve_query_chunk(override: "int | None", default: int) -> int:
     return chunk
 
 
-def _require_integral_id(df: DataFrame, id_col: str, what: str) -> None:
+def _require_integral_id(
+    df: DataFrame, id_col: str, what: str, alternative: str = ""
+) -> None:
     """Refuse a non-integral id column on the kernels whose OUTPUT id
     columns are hard-coded LONG, loudly and at PLAN time (VERDICT r11
     "What's wrong" #2, extended by the r12 review which found the same
@@ -863,7 +865,13 @@ def _require_integral_id(df: DataFrame, id_col: str, what: str) -> None:
     to guard nothing. The multimodal kernels hard-code ``media_id
     long`` but take no ``id_col``: their whole input schema is the
     documented media contract, not a generic-id surface. Full triage:
-    SCALE.md "Round-12 — dense-kernel id guard"."""
+    SCALE.md "Round-12 — dense-kernel id guard".
+
+    ``alternative`` customizes the remediation hint per call site: the
+    dense scorers point at their expression twins (which genuinely
+    accept any id type), while the IVF paths must NOT — recommending
+    brute force there would silently swap an index path for the
+    |Q|·|C| cross product (r12 third review pass)."""
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
     t = df.schema[id_col].dataType
@@ -872,9 +880,7 @@ def _require_integral_id(df: DataFrame, id_col: str, what: str) -> None:
             f"id column {id_col!r} on the {what} side is {t}, but this "
             "kernel's output schema hard-codes its id columns as LONG — "
             "the pandas→Arrow cast would fail mid-job; cast the id to "
-            "an integral type (or use the expression-based "
-            "knn_brute_force/knn_ann, whose output id types follow the "
-            "input) before calling"
+            f"an integral type{alternative} before calling"
         )
 
 
@@ -963,8 +969,12 @@ def knn_quantized(
         ensure_workers_can_import,
     )
 
-    _require_integral_id(queries, id_col, "queries")
-    _require_integral_id(corpus, id_col, "corpus")
+    _require_integral_id(
+        queries, id_col, "queries", alternative=' (or use the expression-based knn_brute_force/knn_ann, whose output id types follow the input)'
+    )
+    _require_integral_id(
+        corpus, id_col, "corpus", alternative=' (or use the expression-based knn_brute_force/knn_ann, whose output id types follow the input)'
+    )
     ensure_workers_can_import(corpus.sparkSession)
     q_chunk = _resolve_query_chunk(query_chunk, _SIMS_QUERY_CHUNK)
     # Full contract (NULL + ragged) on both sides: dims comes from the
@@ -1032,8 +1042,12 @@ def knn_brute_force_pandas(
         ensure_workers_can_import,
     )
 
-    _require_integral_id(queries, id_col, "queries")
-    _require_integral_id(corpus, id_col, "corpus")
+    _require_integral_id(
+        queries, id_col, "queries", alternative=' (or use the expression-based knn_brute_force/knn_ann, whose output id types follow the input)'
+    )
+    _require_integral_id(
+        corpus, id_col, "corpus", alternative=' (or use the expression-based knn_brute_force/knn_ann, whose output id types follow the input)'
+    )
     ensure_workers_can_import(corpus.sparkSession)
     q_chunk = _resolve_query_chunk(query_chunk, _SIMS_QUERY_CHUNK)
     # Full contract (NULL + ragged) on both sides: dims comes from the
