@@ -86,6 +86,51 @@ def streaming_events_per_sec(spark, n_events: int = 100_000) -> float:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def assemble_output(
+    timings: dict[str, float],
+    events_per_sec: float,
+    sf: float,
+    load_before,
+    load_after,
+) -> dict:
+    """Assemble the one-line JSON payload from raw timings. Pure — unit
+    tested (tests/test_tools.py) because every behavior here encodes a
+    failure-reads-as-good fix from the r12 reviews: the -1.0 sentinel of
+    a failed query must not be SUBTRACTED from the headline total (a
+    broken query would read as a speedup), a failed bm25 must emit a
+    null thermometer (never a quiet-looking -1.0), and bm25 ABSENT from
+    the panel is set drift — loud on stderr, not a permanent silent
+    null indistinguishable from a transient failure."""
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    if "bm25_search_topk" not in timings:
+        print(
+            "bench: bm25_search_topk missing from the headline set — "
+            "thermometer telemetry disabled (headline panel drifted?)",
+            file=sys.stderr,
+        )
+    return {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(t for t in timings.values() if t >= 0), 4),
+        "unit": "sec",
+        "queries": timings,
+        "failed_queries": failed,
+        "sf": sf,
+        "streaming_events_per_sec": events_per_sec,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        # Idleness thermometer (r11 verdict #6): bm25_search_topk is
+        # memoized warm-serving — its timed runs do no Spark work beyond
+        # a cached top-k, so its latency tracks ONLY scheduler/CPU
+        # contention. Observed 0.027-0.040 s across r11's runs while
+        # 1-min loadavg ranged 0.00-5.38 and stopped predicting the
+        # ambient band; readings self-classify on this field instead
+        # (quiet ≈ ≤0.03, contended ≳0.04 — SCALE.md quiet-floor table).
+        "thermometer_bm25_sec": (
+            t if (t := timings.get("bm25_search_topk", -1.0)) >= 0 else None
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Ambient-load telemetry (r8 verdict #3): the shared sandbox can sit
@@ -140,45 +185,9 @@ def main() -> None:
         print(f"bench: streaming smoke failed: {exc}", file=sys.stderr)
         events_per_sec = -1.0
 
-    # A failed query times as the -1.0 sentinel (visible per-query in
-    # "queries"); it must not be SUBTRACTED from the headline total —
-    # a broken query would read as a round-over-round speedup (r12
-    # review: same failure-reads-as-good class as the thermometer
-    # sentinel below). Sum successes only and name failures explicitly;
-    # a non-empty "failed_queries" marks the total as non-comparable.
-    failed = sorted(n for n, t in timings.items() if t < 0)
-    if "bm25_search_topk" not in timings:
-        print(
-            "bench: bm25_search_topk missing from the headline set — "
-            "thermometer telemetry disabled (headline panel drifted?)",
-            file=sys.stderr,
-        )
-    out = {
-        "metric": "headline_queries_total_runtime",
-        "value": round(sum(t for t in timings.values() if t >= 0), 4),
-        "unit": "sec",
-        "queries": timings,
-        "failed_queries": failed,
-        "sf": parse_sf(sf_dir),
-        "streaming_events_per_sec": events_per_sec,
-        "loadavg_before": [round(x, 2) for x in load_before],
-        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-        # Idleness thermometer (r11 verdict #6): bm25_search_topk is
-        # memoized warm-serving — its timed runs do no Spark work beyond
-        # a cached top-k, so its latency tracks ONLY scheduler/CPU
-        # contention. Observed 0.027-0.040 s across r11's runs while
-        # 1-min loadavg ranged 0.00-5.38 and stopped predicting the
-        # ambient band; readings self-classify on this field instead
-        # (quiet ≈ ≤0.03, contended ≳0.04 — SCALE.md quiet-floor table).
-        # A failed bm25 run times as -1.0, which would satisfy ≤0.03 —
-        # emit null instead so failure never reads as quiet (r12
-        # review #2). bm25 ABSENT from the headline set is a different
-        # event (set drift — the panel is pinned) and must be LOUD, not
-        # a permanent silent null (r12 third review pass).
-        "thermometer_bm25_sec": (
-            t if (t := timings.get("bm25_search_topk", -1.0)) >= 0 else None
-        ),
-    }
+    out = assemble_output(
+        timings, events_per_sec, parse_sf(sf_dir), load_before, os.getloadavg()
+    )
     print(json.dumps(out))
 
 

@@ -512,3 +512,32 @@ def test_expression_knn_variants_stay_permissive_on_string_ids(spark):
     ).collect()
     assert len(ann_rows) >= 1
     assert all(isinstance(r.query_id, str) for r in ann_rows)
+
+
+def test_id_guard_hint_direction_per_call_site(spark):
+    """The guard's remediation hint is per-call-site (r12 third review
+    pass): the dense scorers genuinely have expression twins
+    (knn_brute_force/knn_ann accept any id type), so their refusal may
+    recommend them — but an IVF refusal must NOT, because following
+    that advice there would silently swap an index path for the
+    |Q|·|C| cross product. Pin both directions so a future refactor
+    can't restore the shared (dangerous) hint."""
+    corpus, queries = _dense_chunk_fixture(spark)
+    s_queries = queries.withColumn("vec_id", F.col("vec_id").cast("string"))
+    with pytest.raises(TypeError, match="knn_brute_force"):
+        S.knn_brute_force_pandas(s_queries, corpus, k=3)
+    with pytest.raises(TypeError, match="knn_brute_force"):
+        S.knn_quantized(s_queries, corpus, k=3)
+    for call in (
+        lambda: S.knn_ivf(s_queries, corpus, k=3, n_centroids=4),
+        lambda: S.knn_ivf_fixed(
+            s_queries, corpus, dims=8, k=3, n_centroids=4
+        ),
+        lambda: S.ivf_fixed_assign(s_queries, dims=8, n_centroids=4),
+        lambda: S.ivf_assign(s_queries, S.ivf_fixed_centroids(8, 4)),
+    ):
+        with pytest.raises(TypeError) as exc_info:
+            call()
+        msg = str(exc_info.value)
+        assert "knn_brute_force" not in msg and "knn_ann" not in msg
+        assert "cast the id" in msg

@@ -875,3 +875,41 @@ def test_scan_audit_zero_scan_detection(spark, sf_smoke, tmp_path, monkeypatch):
     assert _json.loads(base.read_text())["sf_dir"] == sf_smoke, (
         "cross-sf refusal still mutated the baseline"
     )
+
+
+def test_bench_assemble_output_failure_semantics(capsys):
+    """bench.assemble_output encodes three failure-reads-as-good fixes
+    from the r12 reviews; pin each direction so a refactor can't
+    regress them: (1) the -1.0 sentinel of a failed query is excluded
+    from the headline total (never subtracted — a broken query must not
+    read as a speedup) and named in failed_queries; (2) a failed bm25
+    emits a NULL thermometer (a -1.0 would satisfy the quiet ≤0.03
+    rule); (3) bm25 absent from the panel warns loudly on stderr
+    instead of a permanent silent null."""
+    import bench
+
+    load = (0.1, 0.2, 0.3)
+
+    # Happy path: total sums everything, thermometer = bm25's timing.
+    out = bench.assemble_output(
+        {"q1": 1.5, "bm25_search_topk": 0.03}, 50_000.0, 0.1, load, load
+    )
+    assert out["value"] == 1.53
+    assert out["failed_queries"] == []
+    assert out["thermometer_bm25_sec"] == 0.03
+    assert capsys.readouterr().err == ""
+
+    # A failed query: excluded from the total (not subtracted), named.
+    out = bench.assemble_output(
+        {"q1": 1.5, "q2": -1.0, "bm25_search_topk": -1.0},
+        -1.0, 0.1, load, load,
+    )
+    assert out["value"] == 1.5
+    assert out["failed_queries"] == ["bm25_search_topk", "q2"]
+    assert out["thermometer_bm25_sec"] is None
+    assert capsys.readouterr().err == ""
+
+    # Panel drift: loud stderr warning, thermometer null.
+    out = bench.assemble_output({"q1": 1.5}, 50_000.0, 0.1, load, load)
+    assert out["thermometer_bm25_sec"] is None
+    assert "bm25_search_topk missing" in capsys.readouterr().err
