@@ -93,8 +93,9 @@ def assemble_output(
     load_before,
     load_after,
 ) -> dict:
-    """Assemble the one-line JSON payload from raw timings. Pure — unit
-    tested (tests/test_tools.py) because every behavior here encodes a
+    """Assemble the one-line JSON payload from raw timings. No Spark,
+    no I/O beyond one stderr warning on panel drift — unit tested
+    (tests/test_tools.py) because every behavior here encodes a
     failure-reads-as-good fix from the r12 reviews: the -1.0 sentinel of
     a failed query must not be SUBTRACTED from the headline total (a
     broken query would read as a speedup), a failed bm25 must emit a

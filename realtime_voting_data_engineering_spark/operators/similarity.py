@@ -828,6 +828,14 @@ def _resolve_query_chunk(override: "int | None", default: int) -> int:
         raise ValueError(f"query chunk must be an int >= 1, got {chunk!r}")
     return chunk
 
+# The dense scorers' refusal may recommend their expression twins (which
+# genuinely accept any id type); the IVF paths must NOT pass this — see
+# _require_integral_id's docstring.
+_EXPRESSION_TWIN_HINT = (
+    " (or use the expression-based knn_brute_force/knn_ann, whose "
+    "output id types follow the input)"
+)
+
 
 def _require_integral_id(
     df: DataFrame, id_col: str, what: str, alternative: str = ""
@@ -970,10 +978,10 @@ def knn_quantized(
     )
 
     _require_integral_id(
-        queries, id_col, "queries", alternative=' (or use the expression-based knn_brute_force/knn_ann, whose output id types follow the input)'
+        queries, id_col, "queries", alternative=_EXPRESSION_TWIN_HINT
     )
     _require_integral_id(
-        corpus, id_col, "corpus", alternative=' (or use the expression-based knn_brute_force/knn_ann, whose output id types follow the input)'
+        corpus, id_col, "corpus", alternative=_EXPRESSION_TWIN_HINT
     )
     ensure_workers_can_import(corpus.sparkSession)
     q_chunk = _resolve_query_chunk(query_chunk, _SIMS_QUERY_CHUNK)
@@ -1043,10 +1051,10 @@ def knn_brute_force_pandas(
     )
 
     _require_integral_id(
-        queries, id_col, "queries", alternative=' (or use the expression-based knn_brute_force/knn_ann, whose output id types follow the input)'
+        queries, id_col, "queries", alternative=_EXPRESSION_TWIN_HINT
     )
     _require_integral_id(
-        corpus, id_col, "corpus", alternative=' (or use the expression-based knn_brute_force/knn_ann, whose output id types follow the input)'
+        corpus, id_col, "corpus", alternative=_EXPRESSION_TWIN_HINT
     )
     ensure_workers_can_import(corpus.sparkSession)
     q_chunk = _resolve_query_chunk(query_chunk, _SIMS_QUERY_CHUNK)
