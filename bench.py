@@ -86,12 +86,29 @@ def streaming_events_per_sec(spark, n_events: int = 100_000) -> float:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def cpu_probe(n: int = 5_000_000) -> float:
+    """Single-core busy-loop timing — a Spark-independent ambient
+    signal. The bm25 thermometer is measured DURING the run and the
+    loadavg fields only count this VM's runnable threads; host-side CPU
+    steal is visible to neither at the run's edges (measured r12:
+    loadavg_before 0.00 yet the same loop ran ~40% slower and the run
+    landed at thermometer 0.08). Interpret RELATIVELY across readings
+    in the same artifact series, like loadavg — lower is quieter."""
+    start = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i
+    return round(time.perf_counter() - start, 4)
+
+
 def assemble_output(
     timings: dict[str, float],
     events_per_sec: float,
     sf: float,
     load_before,
     load_after,
+    cpu_probe_before: "float | None" = None,
+    cpu_probe_after: "float | None" = None,
 ) -> dict:
     """Assemble the one-line JSON payload from raw timings. No Spark,
     no I/O beyond one stderr warning on panel drift — unit tested
@@ -119,6 +136,10 @@ def assemble_output(
         "streaming_events_per_sec": events_per_sec,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
+        # Spark-independent steal probe (r12: loadavg can read 0.00
+        # while the host steals 40% of a core — see cpu_probe).
+        "cpu_probe_sec_before": cpu_probe_before,
+        "cpu_probe_sec_after": cpu_probe_after,
         # Idleness thermometer (r11 verdict #6): bm25_search_topk is
         # memoized warm-serving — its timed runs do no Spark work beyond
         # a cached top-k, so its latency tracks ONLY scheduler/CPU
@@ -141,6 +162,7 @@ def main() -> None:
     # makes every BENCH artifact self-attributing: compare totals only
     # against runs with comparable load.
     load_before = os.getloadavg()
+    probe_before = cpu_probe()
     spark = get_spark(app_name="rtv-bench")
 
     # One tiny action to finish JVM/executor warmup before timing.
@@ -187,7 +209,13 @@ def main() -> None:
         events_per_sec = -1.0
 
     out = assemble_output(
-        timings, events_per_sec, parse_sf(sf_dir), load_before, os.getloadavg()
+        timings,
+        events_per_sec,
+        parse_sf(sf_dir),
+        load_before,
+        os.getloadavg(),
+        cpu_probe_before=probe_before,
+        cpu_probe_after=cpu_probe(),
     )
     print(json.dumps(out))
 

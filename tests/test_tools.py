@@ -890,14 +890,21 @@ def test_bench_assemble_output_failure_semantics(capsys):
 
     load = (0.1, 0.2, 0.3)
 
-    # Happy path: total sums everything, thermometer = bm25's timing.
+    # Happy path: total sums everything, thermometer = bm25's timing,
+    # steal-probe fields pass through (absent → null, never fabricated).
     out = bench.assemble_output(
-        {"q1": 1.5, "bm25_search_topk": 0.03}, 50_000.0, 0.1, load, load
+        {"q1": 1.5, "bm25_search_topk": 0.03}, 50_000.0, 0.1, load, load,
+        cpu_probe_before=0.2, cpu_probe_after=0.25,
     )
     assert out["value"] == 1.53
     assert out["failed_queries"] == []
     assert out["thermometer_bm25_sec"] == 0.03
+    assert (out["cpu_probe_sec_before"], out["cpu_probe_sec_after"]) == (
+        0.2, 0.25,
+    )
     assert capsys.readouterr().err == ""
+    # The probe itself returns a positive wall time.
+    assert bench.cpu_probe(n=100_000) > 0
 
     # A failed query: excluded from the total (not subtracted), named.
     out = bench.assemble_output(
