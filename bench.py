@@ -86,6 +86,30 @@ def streaming_events_per_sec(spark, n_events: int = 100_000) -> float:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def read_cpu_jiffies() -> "tuple[int, int] | None":
+    """(total, steal) jiffies from /proc/stat's aggregate cpu line, or
+    None off-Linux. The delta across the run gives the host-steal
+    fraction DURING the run — the direct measurement of the r12 finding
+    that the host steals CPU only when the VM saturates its 32 vCPUs
+    (measured 8.8% under a full 32-core burn while a single-core probe
+    saw nothing), which is what inflates totals and collapses streaming
+    throughput while loadavg and edge probes read quiet."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        vals = [int(v) for v in parts[1:]]
+        return sum(vals), (vals[7] if len(vals) > 7 else 0)
+    except Exception:
+        return None
+
+
+def steal_pct(before: "tuple[int, int] | None", after) -> "float | None":
+    """Percent of CPU time stolen by the host between two
+    read_cpu_jiffies samples; None if unavailable or no time passed."""
+    if not before or not after or after[0] <= before[0]:
+        return None
+    return round(100.0 * (after[1] - before[1]) / (after[0] - before[0]), 2)
+
+
 def cpu_probe(n: int = 5_000_000) -> float:
     """Single-core busy-loop timing — a Spark-independent ambient
     signal. The bm25 thermometer is measured DURING the run and the
@@ -109,6 +133,7 @@ def assemble_output(
     load_after,
     cpu_probe_before: "float | None" = None,
     cpu_probe_after: "float | None" = None,
+    cpu_steal_pct: "float | None" = None,
 ) -> dict:
     """Assemble the one-line JSON payload from raw timings. No Spark,
     no I/O beyond one stderr warning on panel drift — unit tested
@@ -140,6 +165,10 @@ def assemble_output(
         # while the host steals 40% of a core — see cpu_probe).
         "cpu_probe_sec_before": cpu_probe_before,
         "cpu_probe_sec_after": cpu_probe_after,
+        # Direct host-steal fraction over the whole run (/proc/stat
+        # delta — see read_cpu_jiffies); the authoritative ambient
+        # signal: >~2% means the totals are not floor-comparable.
+        "cpu_steal_pct": cpu_steal_pct,
         # Idleness thermometer (r11 verdict #6): bm25_search_topk is
         # memoized warm-serving — its timed runs do no Spark work beyond
         # a cached top-k, so its latency tracks ONLY scheduler/CPU
@@ -163,6 +192,7 @@ def main() -> None:
     # against runs with comparable load.
     load_before = os.getloadavg()
     probe_before = cpu_probe()
+    jiffies_before = read_cpu_jiffies()
     spark = get_spark(app_name="rtv-bench")
 
     # One tiny action to finish JVM/executor warmup before timing.
@@ -216,6 +246,7 @@ def main() -> None:
         os.getloadavg(),
         cpu_probe_before=probe_before,
         cpu_probe_after=cpu_probe(),
+        cpu_steal_pct=steal_pct(jiffies_before, read_cpu_jiffies()),
     )
     print(json.dumps(out))
 

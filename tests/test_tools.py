@@ -906,6 +906,22 @@ def test_bench_assemble_output_failure_semantics(capsys):
     # The probe itself returns a positive wall time.
     assert bench.cpu_probe(n=100_000) > 0
 
+    # Steal accounting: pure arithmetic on /proc/stat samples; None
+    # (off-Linux or zero elapsed) must pass through as null, never 0.0
+    # (an unavailable measurement must not read as "measured quiet").
+    assert bench.steal_pct((1000, 10), (2000, 110)) == 10.0
+    assert bench.steal_pct(None, (2000, 110)) is None
+    assert bench.steal_pct((1000, 10), None) is None
+    assert bench.steal_pct((1000, 10), (1000, 10)) is None
+    sample = bench.read_cpu_jiffies()
+    assert sample is None or (sample[0] > 0 and sample[1] >= 0)
+    out = bench.assemble_output(
+        {"q1": 1.5, "bm25_search_topk": 0.03}, 50_000.0, 0.1, load, load,
+        cpu_steal_pct=8.8,
+    )
+    assert out["cpu_steal_pct"] == 8.8
+    assert out["cpu_probe_sec_before"] is None
+
     # A failed query: excluded from the total (not subtracted), named.
     out = bench.assemble_output(
         {"q1": 1.5, "q2": -1.0, "bm25_search_topk": -1.0},
