@@ -115,9 +115,14 @@ def cpu_probe(n: int = 5_000_000) -> float:
     signal. The bm25 thermometer is measured DURING the run and the
     loadavg fields only count this VM's runnable threads; host-side CPU
     steal is visible to neither at the run's edges (measured r12:
-    loadavg_before 0.00 yet the same loop ran ~40% slower and the run
-    landed at thermometer 0.08). Interpret RELATIVELY across readings
-    in the same artifact series, like loadavg — lower is quieter."""
+    loadavg_before 0.00 yet the same loop ran ~30% slower and the run
+    landed at thermometer 0.08). A quiet edge does NOT guarantee a
+    quiet run — the host steals chiefly under full vCPU saturation
+    (measured: edge probes at their quiet floor bracketing a run with
+    6.2% steal) — cpu_steal_pct is the authoritative signal; this
+    probe's value is catching contention that steal accounting misses
+    (memory-bandwidth/LLC pressure from co-tenants). Interpret
+    RELATIVELY across readings in the same artifact series."""
     start = time.perf_counter()
     x = 0
     for i in range(n):
