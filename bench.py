@@ -32,14 +32,19 @@ def parse_sf(sf_dir: str) -> float:
         return -1.0
 
 
-def streaming_events_per_sec(spark, n_events: int = 100_000) -> float:
+def streaming_events_per_sec(
+    spark, n_events: int = 100_000
+) -> "tuple[float, float | None]":
     """End-to-end streaming smoke: replay n_events synthetic votes from a
     file source through the full pipeline (JSON parse against the
     22-field schema → watermark → update-mode grouped aggregate) with an
-    availableNow trigger, and return events/s. The reference's envelope
-    is ≤2 events/s by construction (voting.py:93); this records the
-    engine's measured single-node rate so throughput regressions are
-    visible round over round."""
+    availableNow trigger, and return (events/s, host-steal %). The
+    reference's envelope is ≤2 events/s by construction (voting.py:93);
+    this records the engine's measured single-node rate so throughput
+    regressions are visible round over round. The steal sample brackets
+    exactly the measured streaming query — the datagen/write preamble
+    would dilute it (same class as the headline-window review
+    finding)."""
     import shutil
     import tempfile
 
@@ -72,32 +77,46 @@ def streaming_events_per_sec(spark, n_events: int = 100_000) -> float:
         raw = spark.readStream.schema("key STRING, value STRING").json(wire_dir)
         parsed = P.parse_vote_stream(raw, SCH.vote_event_schema())
         agg = P.votes_per_candidate_stream(parsed)
+        jiffies_before = read_cpu_jiffies()
         start = time.perf_counter()
         q = P.start_update_aggregate(
             agg, "bench_stream", os.path.join(workdir, "ckpt")
         )
         finished = q.awaitTermination(600)
         elapsed = time.perf_counter() - start
+        steal = steal_pct(jiffies_before, read_cpu_jiffies())
         if not finished:  # timeout: partial count ⇒ rate would be fiction
             q.stop()
-            return -1.0
-        return round(total / elapsed, 1)
+            return -1.0, steal
+        return round(total / elapsed, 1), steal
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def parse_cpu_line(line: str) -> "tuple[int, int] | None":
+    """(total, steal) jiffies from /proc/stat's aggregate cpu line.
+    None when the line has no steal field (column 8) — an unmeasurable
+    signal must surface as null, never as a fabricated "measured 0"
+    (review finding, same contract as the thermometer sentinel). The
+    total sums fields 0-7 only: guest/guest_nice are already folded
+    into user/nice by the kernel and would double-count."""
+    vals = [int(v) for v in line.split()[1:]]
+    if len(vals) <= 7:
+        return None
+    return sum(vals[:8]), vals[7]
+
+
 def read_cpu_jiffies() -> "tuple[int, int] | None":
-    """(total, steal) jiffies from /proc/stat's aggregate cpu line, or
-    None off-Linux. The delta across the run gives the host-steal
-    fraction DURING the run — the direct measurement of the r12 finding
-    that the host steals CPU only when the VM saturates its 32 vCPUs
-    (measured 8.8% under a full 32-core burn while a single-core probe
-    saw nothing), which is what inflates totals and collapses streaming
+    """(total, steal) jiffies from /proc/stat, or None off-Linux. The
+    delta across a measured section gives the host-steal fraction
+    DURING it — the direct measurement of the r12 finding that the
+    host steals CPU only when the VM saturates its 32 vCPUs (measured
+    8.8% under a full 32-core burn while a single-core probe saw
+    nothing), which is what inflates totals and collapses streaming
     throughput while loadavg and edge probes read quiet."""
     try:
-        parts = open("/proc/stat").readline().split()
-        vals = [int(v) for v in parts[1:]]
-        return sum(vals), (vals[7] if len(vals) > 7 else 0)
+        with open("/proc/stat") as f:
+            return parse_cpu_line(f.readline())
     except Exception:
         return None
 
@@ -139,6 +158,7 @@ def assemble_output(
     cpu_probe_before: "float | None" = None,
     cpu_probe_after: "float | None" = None,
     cpu_steal_pct: "float | None" = None,
+    cpu_steal_pct_streaming: "float | None" = None,
 ) -> dict:
     """Assemble the one-line JSON payload from raw timings. No Spark,
     no I/O beyond one stderr warning on panel drift — unit tested
@@ -170,10 +190,13 @@ def assemble_output(
         # while the host steals 40% of a core — see cpu_probe).
         "cpu_probe_sec_before": cpu_probe_before,
         "cpu_probe_sec_after": cpu_probe_after,
-        # Direct host-steal fraction over the whole run (/proc/stat
-        # delta — see read_cpu_jiffies); the authoritative ambient
-        # signal: >~2% means the totals are not floor-comparable.
+        # Direct host-steal fraction (/proc/stat delta — see
+        # read_cpu_jiffies), bracketing EXACTLY the timed headline
+        # section / the measured streaming leg respectively; the
+        # authoritative ambient signal: >~2% means that section's
+        # numbers are not floor-comparable.
         "cpu_steal_pct": cpu_steal_pct,
+        "cpu_steal_pct_streaming": cpu_steal_pct_streaming,
         # Idleness thermometer (r11 verdict #6): bm25_search_topk is
         # memoized warm-serving — its timed runs do no Spark work beyond
         # a cached top-k, so its latency tracks ONLY scheduler/CPU
@@ -197,7 +220,6 @@ def main() -> None:
     # against runs with comparable load.
     load_before = os.getloadavg()
     probe_before = cpu_probe()
-    jiffies_before = read_cpu_jiffies()
     spark = get_spark(app_name="rtv-bench")
 
     # One tiny action to finish JVM/executor warmup before timing.
@@ -212,6 +234,11 @@ def main() -> None:
 
     # Min of 3 runs per query: steady-state latency, robust to GC/OS
     # noise (a single noisy run must not read as a 2× regression).
+    # The steal window brackets EXACTLY the timed section: sampling
+    # before JVM startup and warmup diluted a burst that hits only the
+    # timed queries below the ~2% triage threshold (review finding —
+    # warmup is ~5x the timed section's wall time).
+    jiffies_before = read_cpu_jiffies()
     timings: dict[str, float] = {}
     for name, fn in Q.headline_queries().items():
         best = None
@@ -225,7 +252,9 @@ def main() -> None:
         except Exception as exc:  # one broken query must not kill the bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+    headline_steal = steal_pct(jiffies_before, read_cpu_jiffies())
 
+    stream_steal = None
     try:
         # Streaming warmup, symmetric with the batch codegen warmup
         # above: the first streaming query of a session pays one-time
@@ -238,7 +267,7 @@ def main() -> None:
         # number is steady-state engine throughput per the module
         # docstring.
         streaming_events_per_sec(spark, n_events=5_000)
-        events_per_sec = streaming_events_per_sec(spark)
+        events_per_sec, stream_steal = streaming_events_per_sec(spark)
     except Exception as exc:  # streaming smoke must not kill the bench
         print(f"bench: streaming smoke failed: {exc}", file=sys.stderr)
         events_per_sec = -1.0
@@ -251,7 +280,8 @@ def main() -> None:
         os.getloadavg(),
         cpu_probe_before=probe_before,
         cpu_probe_after=cpu_probe(),
-        cpu_steal_pct=steal_pct(jiffies_before, read_cpu_jiffies()),
+        cpu_steal_pct=headline_steal,
+        cpu_steal_pct_streaming=stream_steal,
     )
     print(json.dumps(out))
 

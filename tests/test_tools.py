@@ -915,11 +915,23 @@ def test_bench_assemble_output_failure_semantics(capsys):
     assert bench.steal_pct((1000, 10), (1000, 10)) is None
     sample = bench.read_cpu_jiffies()
     assert sample is None or (sample[0] > 0 and sample[1] >= 0)
+    # Parser contract (review findings): a cpu line WITHOUT a steal
+    # field is unmeasurable → None, never a fabricated (total, 0) that
+    # steal_pct would render as "measured 0.0% = quiet"; guest and
+    # guest_nice (fields 9-10, already folded into user/nice by the
+    # kernel) must not inflate the denominator.
+    assert bench.parse_cpu_line("cpu 10 20 30 40 50 60 70 5") == (285, 5)
+    assert (
+        bench.parse_cpu_line("cpu 10 20 30 40 50 60 70 5 999 999")
+        == (285, 5)
+    )
+    assert bench.parse_cpu_line("cpu 10 20 30 40 50 60 70") is None
     out = bench.assemble_output(
         {"q1": 1.5, "bm25_search_topk": 0.03}, 50_000.0, 0.1, load, load,
-        cpu_steal_pct=8.8,
+        cpu_steal_pct=8.8, cpu_steal_pct_streaming=1.2,
     )
     assert out["cpu_steal_pct"] == 8.8
+    assert out["cpu_steal_pct_streaming"] == 1.2
     assert out["cpu_probe_sec_before"] is None
 
     # A failed query: excluded from the total (not subtracted), named.
