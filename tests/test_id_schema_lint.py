@@ -1,0 +1,227 @@
+"""Pins for tools/id_schema_lint.py — the registry-wide hard-coded-id-
+schema lint (VERDICT r12 "What's wrong" #2).
+
+The r12 review proved the class SPREADS: the dense-scorer guard was
+incomplete the day it was written because the IVF paths carried the
+same hard-coded-long pattern. These tests (a) hold the current tree
+clean against the documented allowlist, (b) pin the guarded inventory
+so a guard can't silently disappear, and (c) prove detection power
+with red fixtures — an unguarded kernel in each schema FORM the lint
+distinguishes (literal DDL, f-string DDL, driver-built probe frame,
+hard-coded StructField) must flag, and each graceful form (propagated
+StructField type, non-id columns, guarded twin) must not.
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+from tools.id_schema_lint import (
+    ALLOWLIST,
+    audit_package,
+    audit_source,
+    violations,
+)
+
+
+def _audit(snippet: str, module: str = "operators/fixture.py"):
+    return audit_source(textwrap.dedent(snippet), module)
+
+
+# ---------------------------------------------------------------- current tree
+
+
+def test_current_tree_has_no_unguarded_or_stale_sites():
+    bad, stale = violations(audit_package())
+    assert not bad, f"unguarded id-typed schema sites: {bad}"
+    assert not stale, f"stale allowlist entries: {stale}"
+
+
+def test_guarded_inventory_is_exactly_the_six_similarity_kernels():
+    """The guard must not silently disappear from any of the six entry
+    points the r12 triage guarded (SCALE.md 'dense-kernel id guard')."""
+    sites = audit_package()
+    guarded = {(s.module, s.function) for s in sites if s.guarded}
+    assert guarded == {
+        ("operators/similarity.py", "ivf_assign"),
+        ("operators/similarity.py", "ivf_fixed_assign"),
+        ("operators/similarity.py", "knn_ivf"),
+        ("operators/similarity.py", "knn_ivf_fixed"),
+        ("operators/similarity.py", "knn_quantized"),
+        ("operators/similarity.py", "knn_brute_force_pandas"),
+    }
+
+
+def test_allowlisted_inventory_matches_live_findings_exactly():
+    """Both directions: every unguarded finding is allowlisted AND every
+    allowlist entry is live — the list can't rot into a blanket waiver."""
+    sites = audit_package()
+    unguarded = {(s.module, s.function) for s in sites if not s.guarded}
+    assert unguarded == set(ALLOWLIST)
+
+
+# ---------------------------------------------------------- red fixtures (MUST flag)
+
+
+def test_red_unguarded_literal_ddl_kernel_flags():
+    sites = _audit(
+        """
+        def bad_kernel(df, id_col="doc_id"):
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema="query_id long, score double")
+        """
+    )
+    assert len(sites) == 1
+    s = sites[0]
+    assert not s.guarded
+    assert s.function == "bad_kernel"
+    assert s.columns == ("query_id long",)
+    bad, _ = violations(sites, allowlist={})
+    assert bad == sites
+
+
+def test_red_unguarded_fstring_ddl_kernel_flags():
+    sites = _audit(
+        """
+        def bad_assign(df, id_col, vec_col):
+            def k(batches):
+                yield None
+            return df.mapInPandas(
+                k, schema=f"{id_col} long, {vec_col} array<float>, c int"
+            )
+        """
+    )
+    assert len(sites) == 1
+    # only the id placeholder offends — the vec column is generic data
+    assert sites[0].columns == ("{id_col} long",)
+
+
+def test_red_unguarded_probe_frame_flags():
+    sites = _audit(
+        """
+        def bad_probe(queries, id_col):
+            rows = [(int(r[0]), r[1]) for r in queries.collect()]
+            return queries.sparkSession.createDataFrame(
+                rows, schema="query_id long, q_vec array<float>"
+            )
+        """
+    )
+    assert len(sites) == 1 and sites[0].call == "createDataFrame"
+
+
+def test_red_hardcoded_structfield_flags():
+    sites = _audit(
+        """
+        def bad_struct(df, id_col):
+            out_schema = StructType(
+                [StructField("neighbor_id", LongType()),
+                 StructField("score", DoubleType())]
+            )
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=out_schema)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("neighbor_id LongType()",)
+
+
+def test_red_stateful_output_schema_flags():
+    sites = _audit(
+        """
+        def bad_stateful(events, key_col="voter_id"):
+            out_schema = f"{key_col} string, n bigint"
+            return events.groupBy(key_col).applyInPandasWithState(
+                u, outputStructType=out_schema, stateStructType="n bigint",
+                outputMode="update", timeoutConf=None,
+            )
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("{key_col} string",)
+
+
+def test_red_stale_allowlist_entry_fails():
+    sites = _audit(
+        """
+        def clean(df):
+            return df.select("x")
+        """
+    )
+    _, stale = violations(
+        sites, allowlist={("operators/fixture.py", "gone"): "obsolete"}
+    )
+    assert stale == [("operators/fixture.py", "gone")]
+
+
+# -------------------------------------------------------- green fixtures (must NOT flag)
+
+
+def test_green_guarded_kernel_passes():
+    sites = _audit(
+        """
+        def good_kernel(df, id_col):
+            _require_integral_id(df, id_col, "corpus")
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema="query_id long, cos double")
+        """
+    )
+    assert len(sites) == 1 and sites[0].guarded
+    bad, _ = violations(sites, allowlist={})
+    assert not bad
+
+
+def test_green_propagated_structfield_type_does_not_flag():
+    """The ADC pattern: StructField('query_id', base.schema[id].dataType)
+    propagates the caller's id type — the documented-graceful form."""
+    sites = _audit(
+        """
+        def adc_like(base, id_col):
+            out_schema = StructType(
+                [StructField("query_id", base.schema[id_col].dataType),
+                 StructField("adc_dot", DoubleType())]
+            )
+            def k(batches):
+                yield None
+            return base.mapInPandas(k, schema=out_schema)
+        """
+    )
+    assert sites == []
+
+
+def test_green_non_id_columns_do_not_flag():
+    sites = _audit(
+        """
+        def profile(df):
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema="tokens int, lang string, grid double")
+        """
+    )
+    assert sites == []
+
+
+def test_green_structtype_from_input_fields_does_not_flag():
+    """The SRP pattern: schema = input fields + a non-id extra column."""
+    sites = _audit(
+        """
+        def srp_like(df, out_col):
+            out_schema = StructType(
+                list(df.schema.fields) + [StructField(out_col, LongType())]
+            )
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=out_schema)
+        """
+    )
+    assert sites == []
+
+
+def test_cli_main_passes_on_current_tree(capsys):
+    from tools import id_schema_lint
+
+    assert id_schema_lint.main() == 0
+    out = capsys.readouterr().out
+    assert "PASS" in out and "UNGUARDED" not in out

@@ -1,0 +1,352 @@
+"""Registry-wide lint for the hard-coded-id-schema class (VERDICT r12
+"What's wrong" #2).
+
+The class: an Arrow-batched kernel (``mapInPandas`` /
+``applyInPandas(WithState)`` / ``transformWithStateInPandas``) or a
+driver-built probe frame (``createDataFrame``) whose OUTPUT schema
+hard-codes the type of an id column while the function accepts the id
+column from caller data. A mismatched caller either dies mid-job in the
+executor's pandas->Arrow cast (loud but late) or — worse, the r12 IVF
+finding — is silently COERCED driver-side. The r12 fix added plan-time
+``_require_integral_id`` guards, but the review that round proved the
+class SPREADS: the dense-scorer fix was incomplete the day it was
+written because the IVF paths carried the same pattern. This lint makes
+the triage structural, the way tests/test_plans.py's UDF/cartesian/
+broadcast lints closed their classes: every call site with a hard-coded
+id-typed schema must either call ``_require_integral_id`` in the same
+(outermost) function or sit on the explicit allowlist below, which
+mirrors the SCALE.md "dense-kernel id guard" triage. The allowlist is
+checked in BOTH directions — a stale entry (nothing flags it anymore)
+fails too, so the list can't rot into a blanket waiver.
+
+Detection (pure AST, no imports of the audited modules):
+
+- schema expressions are taken from the call's ``schema`` /
+  ``outputStructType`` argument (keyword or positional), with one level
+  of local-variable resolution (``out_schema = ...`` then
+  ``schema=out_schema`` — the repo's dominant style);
+- DDL strings (plain or f-string) are split into columns; a column is
+  id-like when its literal name is ``id``/``*_id`` or its f-string
+  placeholder's source mentions ``id``/``key`` (``{id_col} long``,
+  ``{key_col} string``). Every type in a DDL string is hard-coded by
+  construction, so any id-like column flags the site;
+- ``StructType`` constructions flag only ``StructField`` entries whose
+  name is an id-like string literal AND whose type is a constructor
+  call (``LongType()``): a type read off an input field
+  (``base.schema[id_col].dataType``) or a variable propagates the
+  caller's type and is the documented-graceful pattern.
+
+Known reach limit (documented, not silent): a schema assembled by
+joining per-column f-strings over an opaque loop variable
+(``", ".join(f"{c} string" for c in cols)`` —
+``first_seen_dedup_stateful``) carries no statically id-like name; that
+function casts every column to string BEFORE the kernel, so it is in
+the graceful class anyway. A future kernel using that form to smuggle a
+hard-coded long id past this lint would still fail its own pandas->
+Arrow cast loudly under the session-wide safe-conversion pin.
+
+Run: ``python tools/id_schema_lint.py`` — prints one line per finding
+and exits non-zero on any unguarded, un-allowlisted site or any stale
+allowlist entry.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import os
+import re
+import sys
+
+PKG = "realtime_voting_data_engineering_spark"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Call attributes whose schema argument types executor output rows.
+_SCHEMA_CALLS = {
+    "mapInPandas": ("schema", 1),
+    "applyInPandas": ("schema", 1),
+    "applyInPandasWithState": ("outputStructType", 1),
+    "transformWithStateInPandas": ("outputStructType", 1),
+    "createDataFrame": ("schema", 1),
+}
+
+GUARD_NAME = "_require_integral_id"
+
+# (module relpath under the package, outermost function) -> rationale.
+# Mirrors SCALE.md "Round-12 — dense-kernel id guard" plus the r13 lint
+# extension to the generator/stateful surfaces; every entry must stay
+# matched by a live finding (stale entries fail the lint).
+ALLOWLIST: dict[tuple[str, str], str] = {
+    ("operators/text.py", "winnow_fingerprints_kernel"): (
+        "kernel emits {id_col} string then casts back to the INPUT id "
+        "type before returning — graceful for any caller id type"
+    ),
+    ("operators/multimodal.py", "decode_features"): (
+        "media_id long is the documented fixed media contract; the "
+        "function takes no id_col — not a generic-id surface"
+    ),
+    ("datagen.py", "generate_vote_events"): (
+        "candidate_id string is the generator's own voting schema; the "
+        "ordinal frame joins back to ids this module itself created"
+    ),
+    ("streaming/stateful.py", "running_totals_stateful"): (
+        "voting-schema string key contract; emits the group key it was "
+        "given — streaming op, equivalence pytest-covered"
+    ),
+    ("streaming/stateful.py", "running_totals_tws"): (
+        "transformWithState twin of running_totals_stateful; same "
+        "string key contract (environment-gated, PARITY.md)"
+    ),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class IdSchemaSite:
+    """One call site whose schema hard-codes an id-typed column."""
+
+    module: str  # relpath under the package, e.g. "operators/similarity.py"
+    function: str  # outermost enclosing def
+    lineno: int  # of the schema-taking call
+    call: str  # mapInPandas / createDataFrame / ...
+    columns: tuple[str, ...]  # offending "name type" renderings
+    guarded: bool  # _require_integral_id called in the same function
+
+
+def _iter_outermost_functions(tree: ast.Module):
+    """Yield (name, node) for every module-level def, including defs
+    nested in module-level classes (methods); inner defs belong to
+    their outermost function."""
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            yield node.name, node
+        elif isinstance(node, ast.ClassDef):
+            for sub in node.body:
+                if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    yield f"{node.name}.{sub.name}", sub
+
+
+def _local_assignments(fn: ast.AST) -> dict[str, list[ast.expr]]:
+    out: dict[str, list[ast.expr]] = {}
+    for node in ast.walk(fn):
+        if isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name):
+                    out.setdefault(tgt.id, []).append(node.value)
+    return out
+
+
+def _schema_arg(call: ast.Call) -> "ast.expr | None":
+    kw_name, pos = _SCHEMA_CALLS[call.func.attr]  # type: ignore[union-attr]
+    for kw in call.keywords:
+        if kw.arg == kw_name:
+            return kw.value
+    if len(call.args) > pos:
+        return call.args[pos]
+    return None
+
+
+def _ddl_fragments(expr: ast.expr) -> list[str]:
+    """Render every string/f-string fragment reachable in the
+    expression (f-string placeholders become ``{source}``)."""
+    frags: list[str] = []
+    for node in ast.walk(expr):
+        if isinstance(node, ast.Constant) and isinstance(node.value, str):
+            frags.append(node.value)
+        elif isinstance(node, ast.JoinedStr):
+            parts = []
+            for part in node.values:
+                if isinstance(part, ast.Constant):
+                    parts.append(str(part.value))
+                elif isinstance(part, ast.FormattedValue):
+                    parts.append("{" + ast.unparse(part.value) + "}")
+            frags.append("".join(parts))
+    # Drop f-string inner constants double-counted by walk (JoinedStr
+    # children are Constants too): keep fragments that look like DDL.
+    return frags
+
+
+def _split_ddl_columns(ddl: str) -> list[tuple[str, str]]:
+    """Top-level comma split of a DDL-ish string into (name, type),
+    respecting ``array<...>`` / ``struct<...>`` nesting."""
+    cols, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            cols.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    cols.append("".join(cur))
+    out = []
+    for col in cols:
+        bits = col.strip().split(None, 1)
+        if len(bits) == 2:
+            out.append((bits[0], bits[1]))
+    return out
+
+
+def _name_is_id_like(name: str) -> bool:
+    if name.startswith("{") and name.endswith("}"):
+        src = name[1:-1].lower()
+        return "id" in src or "key" in src
+    low = name.strip("`").lower()
+    return low == "id" or low.endswith("_id")
+
+
+_TYPE_TOKEN = re.compile(
+    r"^(tinyint|smallint|int(eger)?|bigint|long|string|varchar.*|char.*|"
+    r"float|double|decimal.*|binary|boolean|date|timestamp.*)\b",
+    re.IGNORECASE,
+)
+
+
+def _offending_ddl_columns(expr: ast.expr) -> list[str]:
+    offending = []
+    for frag in _ddl_fragments(expr):
+        if "," not in frag and " " not in frag.strip():
+            continue  # not a DDL column list (separator / bare token)
+        for name, typ in _split_ddl_columns(frag):
+            # A placeholder TYPE ({id_type}-style) propagates the
+            # caller's type — only literal type tokens are hard-coded.
+            if _name_is_id_like(name) and _TYPE_TOKEN.match(typ.strip()):
+                offending.append(f"{name} {typ.strip()}")
+    return offending
+
+
+def _offending_structfields(expr: ast.expr) -> list[str]:
+    """StructField("query_id", LongType()) — literal id-like name AND a
+    type-constructor CALL (a .dataType attribute or a variable
+    propagates the input type and is the graceful pattern)."""
+    offending = []
+    for node in ast.walk(expr):
+        if not (isinstance(node, ast.Call) and _callee_name(node) == "StructField"):
+            continue
+        if len(node.args) < 2:
+            continue
+        name_arg, type_arg = node.args[0], node.args[1]
+        if (
+            isinstance(name_arg, ast.Constant)
+            and isinstance(name_arg.value, str)
+            and _name_is_id_like(name_arg.value)
+            and isinstance(type_arg, ast.Call)
+        ):
+            offending.append(f"{name_arg.value} {ast.unparse(type_arg)}")
+    return offending
+
+
+def _callee_name(call: ast.Call) -> str:
+    if isinstance(call.func, ast.Name):
+        return call.func.id
+    if isinstance(call.func, ast.Attribute):
+        return call.func.attr
+    return ""
+
+
+def audit_source(source: str, module: str) -> list[IdSchemaSite]:
+    """Pure audit of one module's source; ``module`` is the relpath
+    used in findings and the allowlist."""
+    tree = ast.parse(source)
+    sites: list[IdSchemaSite] = []
+    for fn_name, fn in _iter_outermost_functions(tree):
+        assigns = _local_assignments(fn)
+        guarded = any(
+            isinstance(n, ast.Call) and _callee_name(n) == GUARD_NAME
+            for n in ast.walk(fn)
+        )
+        for node in ast.walk(fn):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in _SCHEMA_CALLS
+            ):
+                continue
+            schema = _schema_arg(node)
+            if schema is None:
+                continue
+            exprs = [schema]
+            if isinstance(schema, ast.Name):  # one level of local resolution
+                exprs = assigns.get(schema.id, [])
+            offending: list[str] = []
+            for expr in exprs:
+                offending += _offending_ddl_columns(expr)
+                offending += _offending_structfields(expr)
+            if offending:
+                sites.append(
+                    IdSchemaSite(
+                        module=module,
+                        function=fn_name,
+                        lineno=node.lineno,
+                        call=node.func.attr,
+                        columns=tuple(dict.fromkeys(offending)),
+                        guarded=guarded,
+                    )
+                )
+    return sites
+
+
+def audit_package(pkg_root: "str | None" = None) -> list[IdSchemaSite]:
+    root = pkg_root or os.path.join(REPO, PKG)
+    sites: list[IdSchemaSite] = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fname in sorted(filenames):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            with open(path, encoding="utf-8") as f:
+                sites.extend(audit_source(f.read(), rel))
+    return sites
+
+
+def violations(
+    sites: list[IdSchemaSite],
+    allowlist: "dict[tuple[str, str], str] | None" = None,
+) -> "tuple[list[IdSchemaSite], list[tuple[str, str]]]":
+    """(unguarded un-allowlisted sites, stale allowlist entries)."""
+    allow = ALLOWLIST if allowlist is None else allowlist
+    unguarded = [s for s in sites if not s.guarded]
+    bad = [s for s in unguarded if (s.module, s.function) not in allow]
+    live = {(s.module, s.function) for s in unguarded}
+    stale = sorted(k for k in allow if k not in live)
+    return bad, stale
+
+
+def main() -> int:
+    sites = audit_package()
+    bad, stale = violations(sites)
+    for s in sites:
+        status = (
+            "guarded"
+            if s.guarded
+            else (
+                "allowlisted"
+                if (s.module, s.function) in ALLOWLIST
+                else "UNGUARDED"
+            )
+        )
+        print(
+            f"{status:11s} {s.module}:{s.lineno} {s.function} "
+            f"[{s.call}] {', '.join(s.columns)}"
+        )
+    for key in stale:
+        print(f"STALE allowlist entry (nothing flags it): {key}")
+    if bad or stale:
+        print(
+            f"id_schema_lint: FAIL ({len(bad)} unguarded site(s), "
+            f"{len(stale)} stale allowlist entr(ies))",
+            file=sys.stderr,
+        )
+        return 1
+    print(
+        f"id_schema_lint: PASS ({len(sites)} id-typed schema site(s): "
+        f"{sum(s.guarded for s in sites)} guarded, "
+        f"{len(sites) - sum(s.guarded for s in sites)} allowlisted)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
