@@ -34,7 +34,7 @@ def parse_sf(sf_dir: str) -> float:
 
 def streaming_events_per_sec(
     spark, n_events: int = 100_000
-) -> "tuple[float, float | None]":
+) -> "tuple[float | None, float | None]":
     """End-to-end streaming smoke: replay n_events synthetic votes from a
     file source through the full pipeline (JSON parse against the
     22-field schema → watermark → update-mode grouped aggregate) with an
@@ -87,7 +87,7 @@ def streaming_events_per_sec(
         steal = steal_pct(jiffies_before, read_cpu_jiffies())
         if not finished:  # timeout: partial count ⇒ rate would be fiction
             q.stop()
-            return -1.0, steal
+            return None, steal
         return round(total / elapsed, 1), steal
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -123,8 +123,11 @@ def read_cpu_jiffies() -> "tuple[int, int] | None":
 
 def steal_pct(before: "tuple[int, int] | None", after) -> "float | None":
     """Percent of CPU time stolen by the host between two
-    read_cpu_jiffies samples; None if unavailable or no time passed."""
-    if not before or not after or after[0] <= before[0]:
+    read_cpu_jiffies samples; None if unavailable, no time passed, or
+    EITHER counter regressed (CPU hotplug changing the aggregate line,
+    counter reset — r12 ADVICE #2: a negative percentage would read as
+    quiet to the >~2% triage rule; unmeasurable must surface as null)."""
+    if not before or not after or after[0] <= before[0] or after[1] < before[1]:
         return None
     return round(100.0 * (after[1] - before[1]) / (after[0] - before[0]), 2)
 
@@ -151,7 +154,7 @@ def cpu_probe(n: int = 5_000_000) -> float:
 
 def assemble_output(
     timings: dict[str, float],
-    events_per_sec: float,
+    events_per_sec: "float | None",
     sf: float,
     load_before,
     load_after,
@@ -166,10 +169,16 @@ def assemble_output(
     failure-reads-as-good fix from the r12 reviews: the -1.0 sentinel of
     a failed query must not be SUBTRACTED from the headline total (a
     broken query would read as a speedup), a failed bm25 must emit a
-    null thermometer (never a quiet-looking -1.0), and bm25 ABSENT from
+    null thermometer (never a quiet-looking -1.0), bm25 ABSENT from
     the panel is set drift — loud on stderr, not a permanent silent
-    null indistinguishable from a transient failure."""
+    null indistinguishable from a transient failure — and (r13, VERDICT
+    r12 #1) a failed streaming smoke emits streaming_events_per_sec:
+    null + streaming_failed: true, never the legacy -1.0 sentinel a
+    naive "events/s band >=45k" consumer would score as a clean false
+    rather than a type error (null-for-unmeasurable contract; a -1.0
+    from an older caller is normalized the same way)."""
     failed = sorted(n for n, t in timings.items() if t < 0)
+    streaming_failed = events_per_sec is None or events_per_sec < 0
     if "bm25_search_topk" not in timings:
         print(
             "bench: bm25_search_topk missing from the headline set — "
@@ -183,11 +192,17 @@ def assemble_output(
         "queries": timings,
         "failed_queries": failed,
         "sf": sf,
-        "streaming_events_per_sec": events_per_sec,
+        "streaming_events_per_sec": (
+            None if streaming_failed else events_per_sec
+        ),
+        "streaming_failed": streaming_failed,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
         # Spark-independent steal probe (r12: loadavg can read 0.00
-        # while the host steals 40% of a core — see cpu_probe).
+        # while the host steals 40% of a core — see cpu_probe). Both
+        # edges sample with no Spark JVM alive (before get_spark /
+        # after spark.stop — r13), so they measure the same
+        # ambient-only condition.
         "cpu_probe_sec_before": cpu_probe_before,
         "cpu_probe_sec_after": cpu_probe_after,
         # Direct host-steal fraction (/proc/stat delta — see
@@ -270,14 +285,23 @@ def main() -> None:
         events_per_sec, stream_steal = streaming_events_per_sec(spark)
     except Exception as exc:  # streaming smoke must not kill the bench
         print(f"bench: streaming smoke failed: {exc}", file=sys.stderr)
-        events_per_sec = -1.0
+        events_per_sec = None
 
+    load_after = os.getloadavg()
+    # Stop Spark BEFORE the after-probe so both edge probes measure the
+    # same ambient-only condition (r12 ADVICE #1: sampling while the
+    # bench's own JVM threads/GC are still alive reads residual
+    # self-load as host contention). Residual asymmetry after stop()
+    # (JVM teardown finishing in the background) is bounded and brief;
+    # loadavg is sampled before stop on purpose — its 1-min window
+    # spans the run, where the JVM's own threads are the signal.
+    spark.stop()
     out = assemble_output(
         timings,
         events_per_sec,
         parse_sf(sf_dir),
         load_before,
-        os.getloadavg(),
+        load_after,
         cpu_probe_before=probe_before,
         cpu_probe_after=cpu_probe(),
         cpu_steal_pct=headline_steal,

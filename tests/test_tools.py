@@ -913,6 +913,10 @@ def test_bench_assemble_output_failure_semantics(capsys):
     assert bench.steal_pct(None, (2000, 110)) is None
     assert bench.steal_pct((1000, 10), None) is None
     assert bench.steal_pct((1000, 10), (1000, 10)) is None
+    # Steal-counter regression (CPU hotplug / counter reset — r12
+    # ADVICE #2): null, never a NEGATIVE percentage the >~2% triage
+    # rule would silently read as quiet.
+    assert bench.steal_pct((1000, 10), (2000, 5)) is None
     sample = bench.read_cpu_jiffies()
     assert sample is None or (sample[0] > 0 and sample[1] >= 0)
     # Parser contract (review findings): a cpu line WITHOUT a steal
@@ -937,11 +941,29 @@ def test_bench_assemble_output_failure_semantics(capsys):
     # A failed query: excluded from the total (not subtracted), named.
     out = bench.assemble_output(
         {"q1": 1.5, "q2": -1.0, "bm25_search_topk": -1.0},
-        -1.0, 0.1, load, load,
+        None, 0.1, load, load,
     )
     assert out["value"] == 1.5
     assert out["failed_queries"] == ["bm25_search_topk", "q2"]
     assert out["thermometer_bm25_sec"] is None
+    # Streaming failure (VERDICT r12 #1): null + explicit flag — the
+    # one field left on the old -1.0 convention now matches the
+    # null-for-unmeasurable contract. A naive "events/s band >=45k"
+    # consumer gets a type error, not a clean false.
+    assert out["streaming_events_per_sec"] is None
+    assert out["streaming_failed"] is True
+    # Legacy -1.0 from an older caller normalizes identically.
+    legacy = bench.assemble_output(
+        {"q1": 1.5, "bm25_search_topk": 0.03}, -1.0, 0.1, load, load,
+    )
+    assert legacy["streaming_events_per_sec"] is None
+    assert legacy["streaming_failed"] is True
+    # Healthy streaming: value passes through, flag is False.
+    ok = bench.assemble_output(
+        {"q1": 1.5, "bm25_search_topk": 0.03}, 50_000.0, 0.1, load, load,
+    )
+    assert ok["streaming_events_per_sec"] == 50_000.0
+    assert ok["streaming_failed"] is False
     assert capsys.readouterr().err == ""
 
     # Panel drift: loud stderr warning, thermometer null.
