@@ -200,9 +200,9 @@ def assemble_output(
         "loadavg_after": [round(x, 2) for x in load_after],
         # Spark-independent steal probe (r12: loadavg can read 0.00
         # while the host steals 40% of a core — see cpu_probe). Both
-        # edges sample with no Spark JVM alive (before get_spark /
-        # after spark.stop — r13), so they measure the same
-        # ambient-only condition.
+        # edges sample with no live SparkContext (before get_spark /
+        # after spark.stop — r13); the gateway JVM process persists,
+        # so the after-edge can carry a sliver of teardown self-load.
         "cpu_probe_sec_before": cpu_probe_before,
         "cpu_probe_sec_after": cpu_probe_after,
         # Direct host-steal fraction (/proc/stat delta — see
@@ -288,13 +288,15 @@ def main() -> None:
         events_per_sec = None
 
     load_after = os.getloadavg()
-    # Stop Spark BEFORE the after-probe so both edge probes measure the
-    # same ambient-only condition (r12 ADVICE #1: sampling while the
-    # bench's own JVM threads/GC are still alive reads residual
-    # self-load as host contention). Residual asymmetry after stop()
-    # (JVM teardown finishing in the background) is bounded and brief;
-    # loadavg is sampled before stop on purpose — its 1-min window
-    # spans the run, where the JVM's own threads are the signal.
+    # Stop Spark BEFORE the after-probe so both edge probes measure
+    # comparable ambient-only conditions (r12 ADVICE #1: sampling with
+    # executor threads still running reads residual self-load as host
+    # contention). Not perfectly symmetric: stop() ends the
+    # SparkContext but the gateway JVM process lives until this
+    # process exits, so teardown/GC can leave a sliver of self-load in
+    # the after-probe. loadavg is sampled before stop on purpose — its
+    # 1-min window spans the run, where the JVM's threads ARE the
+    # signal.
     spark.stop()
     out = assemble_output(
         timings,

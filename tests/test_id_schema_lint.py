@@ -142,6 +142,82 @@ def test_red_stateful_output_schema_flags():
     assert sites[0].columns == ("{key_col} string",)
 
 
+def test_red_annotated_assignment_schema_flags():
+    """r13 review finding #1: an annotated assignment binding the
+    schema variable must not be a silent bypass."""
+    sites = _audit(
+        """
+        def bad_annotated(df, id_col):
+            out_schema: str = "query_id long, score double"
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=out_schema)
+        """
+    )
+    assert len(sites) == 1 and sites[0].columns == ("query_id long",)
+
+
+def test_red_tuple_unpacking_schema_flags():
+    sites = _audit(
+        """
+        def bad_tuple(df):
+            sch, other = "neighbor_id long, s double", 1
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=sch)
+        """
+    )
+    assert len(sites) == 1 and sites[0].columns == ("neighbor_id long",)
+
+
+def test_red_keyword_structfield_flags():
+    """r13 review finding #2: keyword-style StructField must not bypass
+    the positional-only extraction."""
+    sites = _audit(
+        """
+        def bad_kw_struct(df):
+            out_schema = StructType(
+                [StructField(name="query_id", dataType=LongType())]
+            )
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=out_schema)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("query_id LongType()",)
+
+
+def test_red_map_in_arrow_flags():
+    """r13 review finding #3: the Arrow-native sibling APIs carry the
+    same hard-coded-schema hazard."""
+    sites = _audit(
+        """
+        def bad_arrow(df, id_col):
+            def k(batches):
+                yield None
+            return df.mapInArrow(k, schema="query_id long, score double")
+        """
+    )
+    assert len(sites) == 1 and sites[0].call == "mapInArrow"
+
+
+def test_red_guard_inside_nested_def_does_not_count():
+    """r13 review finding #4: a guard call inside a nested (possibly
+    never-invoked) def must not mark the outer function guarded."""
+    sites = _audit(
+        """
+        def bad_nested_guard(df, id_col):
+            def never_called():
+                _require_integral_id(df, id_col, "corpus")
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema="query_id long, s double")
+        """
+    )
+    assert len(sites) == 1 and not sites[0].guarded
+
+
 def test_red_stale_allowlist_entry_fails():
     sites = _audit(
         """
@@ -186,6 +262,23 @@ def test_green_propagated_structfield_type_does_not_flag():
             def k(batches):
                 yield None
             return base.mapInPandas(k, schema=out_schema)
+        """
+    )
+    assert sites == []
+
+
+def test_green_non_id_placeholders_do_not_flag():
+    """r13 review finding #5: placeholder id-likeness is a token match
+    — {grid_col}/{idx_col} must not read as id columns (substring 'id'
+    would force a meaningless guard or a bogus allowlist entry)."""
+    sites = _audit(
+        """
+        def grid_kernel(df, grid_col, idx_col):
+            def k(batches):
+                yield None
+            return df.mapInPandas(
+                k, schema=f"{grid_col} double, {idx_col} int, n int"
+            )
         """
     )
     assert sites == []

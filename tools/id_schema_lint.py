@@ -21,9 +21,13 @@ fails too, so the list can't rot into a blanket waiver.
 
 Detection (pure AST, no imports of the audited modules):
 
+- audited calls: ``mapInPandas`` / ``applyInPandas`` / ``mapInArrow``
+  / ``applyInArrow`` / ``applyInPandasWithState`` /
+  ``transformWithStateInPandas`` / ``createDataFrame``;
 - schema expressions are taken from the call's ``schema`` /
   ``outputStructType`` argument (keyword or positional), with one level
-  of local-variable resolution (``out_schema = ...`` then
+  of local-variable resolution covering plain, annotated, and
+  same-length tuple-unpacking assignments (``out_schema = ...`` then
   ``schema=out_schema`` — the repo's dominant style);
 - DDL strings (plain or f-string) are split into columns; a column is
   id-like when its literal name is ``id``/``*_id`` or its f-string
@@ -36,14 +40,22 @@ Detection (pure AST, no imports of the audited modules):
   (``base.schema[id_col].dataType``) or a variable propagates the
   caller's type and is the documented-graceful pattern.
 
-Known reach limit (documented, not silent): a schema assembled by
-joining per-column f-strings over an opaque loop variable
-(``", ".join(f"{c} string" for c in cols)`` —
-``first_seen_dedup_stateful``) carries no statically id-like name; that
-function casts every column to string BEFORE the kernel, so it is in
-the graceful class anyway. A future kernel using that form to smuggle a
-hard-coded long id past this lint would still fail its own pandas->
-Arrow cast loudly under the session-wide safe-conversion pin.
+Known reach limits (documented, not silent):
+
+- a schema assembled by joining per-column f-strings over an opaque
+  loop variable (``", ".join(f"{c} string" for c in cols)`` —
+  ``first_seen_dedup_stateful``) carries no statically id-like name;
+  that function casts every column to string BEFORE the kernel, so it
+  is in the graceful class anyway;
+- guard detection is function-scoped, not per-site (see
+  ``_walk_own_scope``): a function that guards one input but
+  hard-codes an id schema over a second, unguarded input reads
+  guarded.
+
+Either way a smuggled mismatch still fails its own pandas->Arrow cast
+loudly at task time under the session-wide safe-conversion pin — this
+lint moves the common forms to plan/CI time; the pin remains the
+backstop for what static analysis can't see.
 
 Run: ``python tools/id_schema_lint.py`` — prints one line per finding
 and exits non-zero on any unguarded, un-allowlisted site or any stale
@@ -62,9 +74,14 @@ PKG = "realtime_voting_data_engineering_spark"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Call attributes whose schema argument types executor output rows.
+# mapInArrow/applyInArrow are the sibling Arrow-native APIs — the
+# natural performance port for a dense kernel carries the same
+# hard-coded-schema hazard (r13 review finding #3).
 _SCHEMA_CALLS = {
     "mapInPandas": ("schema", 1),
     "applyInPandas": ("schema", 1),
+    "mapInArrow": ("schema", 1),
+    "applyInArrow": ("schema", 1),
     "applyInPandasWithState": ("outputStructType", 1),
     "transformWithStateInPandas": ("outputStructType", 1),
     "createDataFrame": ("schema", 1),
@@ -126,12 +143,27 @@ def _iter_outermost_functions(tree: ast.Module):
 
 
 def _local_assignments(fn: ast.AST) -> dict[str, list[ast.expr]]:
+    """Name -> assigned value exprs: plain, ANNOTATED, and same-length
+    tuple-unpacking assignments (r13 review finding #1: ``out_schema:
+    str = "query_id long, ..."`` was invisible to the plain-Assign-only
+    version — a silent bypass of exactly the class this lint closes)."""
     out: dict[str, list[ast.expr]] = {}
+
+    def bind(tgt: ast.expr, value: ast.expr) -> None:
+        if isinstance(tgt, ast.Name):
+            out.setdefault(tgt.id, []).append(value)
+        elif isinstance(tgt, (ast.Tuple, ast.List)) and isinstance(
+            value, (ast.Tuple, ast.List)
+        ) and len(tgt.elts) == len(value.elts):
+            for t, v in zip(tgt.elts, value.elts):
+                bind(t, v)
+
     for node in ast.walk(fn):
         if isinstance(node, ast.Assign):
             for tgt in node.targets:
-                if isinstance(tgt, ast.Name):
-                    out.setdefault(tgt.id, []).append(node.value)
+                bind(tgt, node.value)
+        elif isinstance(node, ast.AnnAssign) and node.value is not None:
+            bind(node.target, node.value)
     return out
 
 
@@ -160,8 +192,11 @@ def _ddl_fragments(expr: ast.expr) -> list[str]:
                 elif isinstance(part, ast.FormattedValue):
                     parts.append("{" + ast.unparse(part.value) + "}")
             frags.append("".join(parts))
-    # Drop f-string inner constants double-counted by walk (JoinedStr
-    # children are Constants too): keep fragments that look like DDL.
+    # ast.walk double-yields f-string inner constants (JoinedStr
+    # children are Constants too); that's harmless here — non-DDL
+    # fragments are filtered by the column-shape check in
+    # _offending_ddl_columns and duplicate columns are deduped in
+    # audit_source.
     return frags
 
 
@@ -190,8 +225,13 @@ def _split_ddl_columns(ddl: str) -> list[tuple[str, str]]:
 
 def _name_is_id_like(name: str) -> bool:
     if name.startswith("{") and name.endswith("}"):
-        src = name[1:-1].lower()
-        return "id" in src or "key" in src
+        # Token match, not substring (r13 review finding #5: substring
+        # 'id' flagged {grid_col}/{idx_col} — a false failure forcing a
+        # meaningless guard or a bogus allowlist entry). Split the
+        # placeholder source into identifier tokens: {id_col} and
+        # {key_col} flag; {grid_col}, {idx_col}, {width} don't.
+        tokens = re.split(r"[^a-z]+", name[1:-1].lower())
+        return any(t in ("id", "ids", "key", "keys") for t in tokens)
     low = name.strip("`").lower()
     return low == "id" or low.endswith("_id")
 
@@ -224,9 +264,16 @@ def _offending_structfields(expr: ast.expr) -> list[str]:
     for node in ast.walk(expr):
         if not (isinstance(node, ast.Call) and _callee_name(node) == "StructField"):
             continue
-        if len(node.args) < 2:
+        # Positional or keyword style (r13 review finding #2:
+        # StructField(name="query_id", dataType=LongType()) bypassed
+        # the positional-only version).
+        kwargs = {kw.arg: kw.value for kw in node.keywords}
+        name_arg = node.args[0] if node.args else kwargs.get("name")
+        type_arg = (
+            node.args[1] if len(node.args) > 1 else kwargs.get("dataType")
+        )
+        if name_arg is None or type_arg is None:
             continue
-        name_arg, type_arg = node.args[0], node.args[1]
         if (
             isinstance(name_arg, ast.Constant)
             and isinstance(name_arg.value, str)
@@ -245,6 +292,26 @@ def _callee_name(call: ast.Call) -> str:
     return ""
 
 
+def _walk_own_scope(fn: ast.AST):
+    """Walk a function's subtree WITHOUT descending into nested defs or
+    lambdas (r13 review finding #4: a guard call inside a nested —
+    possibly never-invoked — def must not mark the outer function's
+    schema sites guarded; the kernel closures here never guard, the
+    entry-point body does). Guard detection stays function-scoped, not
+    per-site: statically matching which DataFrame a guard call covers
+    is out of reach, so a function that guards one input but hard-codes
+    an id schema over a second, unguarded input still reads guarded —
+    documented limit, same tier as the join-comprehension reach note."""
+    stack = list(ast.iter_child_nodes(fn))
+    while stack:
+        node = stack.pop()
+        yield node
+        if not isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)
+        ):
+            stack.extend(ast.iter_child_nodes(node))
+
+
 def audit_source(source: str, module: str) -> list[IdSchemaSite]:
     """Pure audit of one module's source; ``module`` is the relpath
     used in findings and the allowlist."""
@@ -254,7 +321,7 @@ def audit_source(source: str, module: str) -> list[IdSchemaSite]:
         assigns = _local_assignments(fn)
         guarded = any(
             isinstance(n, ast.Call) and _callee_name(n) == GUARD_NAME
-            for n in ast.walk(fn)
+            for n in _walk_own_scope(fn)
         )
         for node in ast.walk(fn):
             if not (
