@@ -218,6 +218,96 @@ def test_red_guard_inside_nested_def_does_not_count():
     assert len(sites) == 1 and not sites[0].guarded
 
 
+def test_red_aliased_schema_chain_flags():
+    """r13 ADVICE #1: a schema aliased through a second local name
+    (sch = "..."; schema = sch) resolved to an empty expression list
+    in the one-level version and the site silently passed."""
+    sites = _audit(
+        """
+        def bad_alias(df):
+            sch = "query_id long, score double"
+            schema = sch
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=schema)
+        """
+    )
+    assert len(sites) == 1 and sites[0].columns == ("query_id long",)
+
+
+def test_red_unresolved_schema_name_flags_visibly():
+    """r13 ADVICE #1, second half: a Name with NO local assignment (a
+    parameter, global, or import) must flag as unresolved — reviewed
+    via guard or allowlist — instead of silently passing."""
+    sites = _audit(
+        """
+        def bad_param_schema(df, out_schema):
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=out_schema)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("<unresolved schema: out_schema>",)
+    bad, _ = violations(sites, allowlist={})
+    assert bad == sites
+
+
+def test_red_assignment_cycle_terminates_as_unresolved():
+    sites = _audit(
+        """
+        def bad_cycle(df):
+            a = b
+            b = a
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=a)
+        """
+    )
+    assert len(sites) == 1
+    assert all(c.startswith("<unresolved schema:") for c in sites[0].columns)
+
+
+def test_red_module_level_call_flags_under_module_scope():
+    """r13 ADVICE #2: a schema-taking call at module scope (outside any
+    def) was previously never audited."""
+    sites = _audit(
+        """
+        import pyspark
+
+        PROBE = spark.createDataFrame([(1,)], schema="query_id long")
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].function == "<module>"
+    assert sites[0].columns == ("query_id long",) and not sites[0].guarded
+
+
+def test_green_module_level_guard_counts_for_module_sites():
+    sites = _audit(
+        """
+        _require_integral_id(base, "query_id", "probe")
+        PROBE = spark.createDataFrame([(1,)], schema="query_id long")
+        """
+    )
+    assert len(sites) == 1 and sites[0].guarded
+
+
+def test_red_literal_key_named_column_flags():
+    """r13 ADVICE #3: the token rule applies to literal names too — a
+    hard-coded 'user_key string' is the same caller-id hazard as
+    '{key_col} string' and must not pass just for being literal."""
+    sites = _audit(
+        """
+        def bad_literal_key(df, key_col):
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema="user_key string, n bigint")
+        """
+    )
+    assert len(sites) == 1 and sites[0].columns == ("user_key string",)
+
+
 def test_red_stale_allowlist_entry_fails():
     sites = _audit(
         """
@@ -291,6 +381,22 @@ def test_green_non_id_columns_do_not_flag():
             def k(batches):
                 yield None
             return df.mapInPandas(k, schema="tokens int, lang string, grid double")
+        """
+    )
+    assert sites == []
+
+
+def test_green_literal_key_substring_does_not_flag():
+    """Token rule on literals (r13 ADVICE #3): 'key' must match as an
+    identifier token, not a substring — monkey/donkeys/keyed pass."""
+    sites = _audit(
+        """
+        def zoo(df):
+            def k(batches):
+                yield None
+            return df.mapInPandas(
+                k, schema="monkey string, donkeys int, keyed boolean"
+            )
         """
     )
     assert sites == []

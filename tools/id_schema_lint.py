@@ -23,17 +23,29 @@ Detection (pure AST, no imports of the audited modules):
 
 - audited calls: ``mapInPandas`` / ``applyInPandas`` / ``mapInArrow``
   / ``applyInArrow`` / ``applyInPandasWithState`` /
-  ``transformWithStateInPandas`` / ``createDataFrame``;
+  ``transformWithStateInPandas`` / ``createDataFrame``, in every
+  module-level function and class method AND in module-level
+  statements, which are audited under the pseudo-function name
+  ``<module>`` (r13 ADVICE #2: a schema-taking call outside any def
+  was previously out of reach, silently);
 - schema expressions are taken from the call's ``schema`` /
-  ``outputStructType`` argument (keyword or positional), with one level
-  of local-variable resolution covering plain, annotated, and
-  same-length tuple-unpacking assignments (``out_schema = ...`` then
-  ``schema=out_schema`` — the repo's dominant style);
+  ``outputStructType`` argument (keyword or positional). Local-variable
+  resolution follows Name chains TRANSITIVELY with a visited set and a
+  depth bound (``sch = "..."`` then ``schema = sch`` then
+  ``schema=schema`` — r13 ADVICE #1), covering plain, annotated, and
+  same-length tuple-unpacking assignments. A Name that dead-ends — a
+  parameter, global, import, or assignment cycle — is NOT silently
+  skipped: the site flags with an ``<unresolved schema: name>`` column
+  so it gets reviewed (guarded or allowlisted) instead of invisibly
+  passing;
 - DDL strings (plain or f-string) are split into columns; a column is
-  id-like when its literal name is ``id``/``*_id`` or its f-string
-  placeholder's source mentions ``id``/``key`` (``{id_col} long``,
-  ``{key_col} string``). Every type in a DDL string is hard-coded by
-  construction, so any id-like column flags the site;
+  id-like under ONE token rule for both forms (r13 ADVICE #3): split
+  the name — the literal column name, or the f-string placeholder's
+  source — into identifier tokens and flag if any token is
+  ``id``/``ids``/``key``/``keys``. ``doc_id string``, ``user_key
+  string``, ``{id_col} long``, ``{key_col} string`` all flag;
+  ``grid``, ``idx``, ``monkey`` don't. Every type in a DDL string is
+  hard-coded by construction, so any id-like column flags the site;
 - ``StructType`` constructions flag only ``StructField`` entries whose
   name is an id-like string literal AND whose type is a constructor
   call (``LongType()``): a type read off an input field
@@ -132,7 +144,21 @@ class IdSchemaSite:
 def _iter_outermost_functions(tree: ast.Module):
     """Yield (name, node) for every module-level def, including defs
     nested in module-level classes (methods); inner defs belong to
-    their outermost function."""
+    their outermost function. Module-level statements OUTSIDE any def
+    or class are audited as one pseudo-function named ``<module>``
+    (r13 ADVICE #2) — note a def nested inside a module-level
+    ``if``/``try`` block lands in the ``<module>`` scope too, so its
+    sites are audited but a guard call inside it does not mark the
+    module scope guarded (same nested-def rule as everywhere else)."""
+    module_stmts = [
+        node
+        for node in tree.body
+        if not isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        )
+    ]
+    if module_stmts:
+        yield "<module>", ast.Module(body=module_stmts, type_ignores=[])
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             yield node.name, node
@@ -224,16 +250,17 @@ def _split_ddl_columns(ddl: str) -> list[tuple[str, str]]:
 
 
 def _name_is_id_like(name: str) -> bool:
-    if name.startswith("{") and name.endswith("}"):
-        # Token match, not substring (r13 review finding #5: substring
-        # 'id' flagged {grid_col}/{idx_col} — a false failure forcing a
-        # meaningless guard or a bogus allowlist entry). Split the
-        # placeholder source into identifier tokens: {id_col} and
-        # {key_col} flag; {grid_col}, {idx_col}, {width} don't.
-        tokens = re.split(r"[^a-z]+", name[1:-1].lower())
-        return any(t in ("id", "ids", "key", "keys") for t in tokens)
-    low = name.strip("`").lower()
-    return low == "id" or low.endswith("_id")
+    # ONE token rule for both forms (r13 ADVICE #3: literal 'user_key
+    # string' previously passed while '{key_col} string' flagged).
+    # Token match, not substring (r13 review finding #5: substring 'id'
+    # flagged {grid_col}/{idx_col} — a false failure forcing a
+    # meaningless guard or a bogus allowlist entry). Split the name —
+    # f-string placeholder source or literal column name — into
+    # identifier tokens: id_col, user_key, doc_id, {key_col} flag;
+    # grid_col, idx, width, monkey don't.
+    source = name[1:-1] if name.startswith("{") and name.endswith("}") else name
+    tokens = re.split(r"[^a-z]+", source.strip("`").lower())
+    return any(t in ("id", "ids", "key", "keys") for t in tokens)
 
 
 _TYPE_TOKEN = re.compile(
@@ -282,6 +309,42 @@ def _offending_structfields(expr: ast.expr) -> list[str]:
         ):
             offending.append(f"{name_arg.value} {ast.unparse(type_arg)}")
     return offending
+
+
+def _resolve_schema_exprs(
+    schema: ast.expr,
+    assigns: "dict[str, list[ast.expr]]",
+    max_depth: int = 8,
+) -> "tuple[list[ast.expr], list[str]]":
+    """Resolve a schema expression to its non-Name value expressions.
+
+    Name chains (``sch = "..."``; ``schema = sch``) are followed
+    transitively with a visited set — cycles terminate — up to
+    ``max_depth`` (r13 ADVICE #1: the one-level version resolved an
+    aliased Name to an empty list and the site silently passed).
+    Returns ``(resolved exprs, unresolved variable names)``: a Name
+    that dead-ends (parameter, global, import, cycle, or depth cap)
+    lands in ``unresolved`` so the caller flags the site visibly
+    instead of skipping it."""
+    resolved: list[ast.expr] = []
+    unresolved: list[str] = []
+    seen: set[str] = set()
+    frontier: list[tuple[ast.expr, int]] = [(schema, 0)]
+    while frontier:
+        expr, depth = frontier.pop()
+        if not isinstance(expr, ast.Name):
+            resolved.append(expr)
+            continue
+        if expr.id in seen or depth >= max_depth:
+            unresolved.append(expr.id)
+            continue
+        seen.add(expr.id)
+        values = assigns.get(expr.id)
+        if not values:
+            unresolved.append(expr.id)
+            continue
+        frontier.extend((v, depth + 1) for v in values)
+    return resolved, sorted(set(unresolved))
 
 
 def _callee_name(call: ast.Call) -> str:
@@ -333,10 +396,13 @@ def audit_source(source: str, module: str) -> list[IdSchemaSite]:
             schema = _schema_arg(node)
             if schema is None:
                 continue
-            exprs = [schema]
-            if isinstance(schema, ast.Name):  # one level of local resolution
-                exprs = assigns.get(schema.id, [])
-            offending: list[str] = []
+            exprs, unresolved = _resolve_schema_exprs(schema, assigns)
+            # An unresolvable schema Name flags the site rather than
+            # silently passing it (r13 ADVICE #1): the reviewer either
+            # guards the function or allowlists it with a rationale.
+            offending: list[str] = [
+                f"<unresolved schema: {n}>" for n in unresolved
+            ]
             for expr in exprs:
                 offending += _offending_ddl_columns(expr)
                 offending += _offending_structfields(expr)
