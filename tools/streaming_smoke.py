@@ -1,0 +1,63 @@
+"""Standalone quiet-conditioned streaming-band probe (VERDICT r13
+"What's wrong" #1 / next-round #2).
+
+Every r13 reading of the streaming leg — builder's, driver's, and the
+judge's — ran under steal contention (4.4-19.6% bracketing exactly that
+section), leaving the ≥45k ev/s band claim resting on r12-and-older
+quiet evidence. This runner executes ONLY the streaming smoke (the same
+`bench.streaming_events_per_sec` the bench artifact reports, same
+session factory, same pinned 32-file wire layout) so it can be retried
+cheaply at low-load moments until one reading lands quiet
+(cpu_steal_pct_streaming < 2% and a quiet edge probe), re-certifying
+the band on fresh evidence — or accumulating the contended readings
+that justify an explicit SCALE.md re-baseline under the telemetry
+triage rule.
+
+Run: ``python tools/streaming_smoke.py [n_runs]`` — prints one JSON
+line per run: events/s, the steal fraction bracketing the measured
+query, and the edge cpu probes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from realtime_voting_data_engineering_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    for i in range(n_runs):
+        probe_before = bench.cpu_probe()
+        ev_s, steal = bench.streaming_events_per_sec(spark)
+        probe_after = bench.cpu_probe()
+        print(
+            json.dumps(
+                {
+                    "run": i + 1,
+                    "streaming_events_per_sec": ev_s,
+                    "cpu_steal_pct_streaming": steal,
+                    "cpu_probe_sec_before": probe_before,
+                    "cpu_probe_sec_after": probe_after,
+                    "quiet": (
+                        steal is not None
+                        and steal < 2.0
+                        and max(probe_before, probe_after) < 0.22
+                    ),
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
