@@ -308,6 +308,109 @@ def test_red_literal_key_named_column_flags():
     assert len(sites) == 1 and sites[0].columns == ("user_key string",)
 
 
+def test_green_diamond_alias_is_not_falsely_unresolved():
+    """r14 review finding #1: two branches assigning the same alias
+    (diamond) must re-resolve cleanly — the global-visited-set version
+    reported the second visit as '<unresolved>' and failed CI on a
+    fully-resolvable, id-free schema."""
+    sites = _audit(
+        """
+        def diamond(df, fast):
+            sch = "value double, n int"
+            if fast:
+                schema = sch
+            else:
+                schema = sch
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=schema)
+        """
+    )
+    assert sites == []
+
+
+def test_red_ifexp_schema_branch_flags_and_dead_end_is_visible():
+    """r14 review finding #2: a Name nested in an IfExp branch must be
+    traced (sch resolves to the id DDL) and an untraceable branch must
+    flag visibly, not silently pass."""
+    sites = _audit(
+        """
+        def conditional(df, wide, other):
+            sch = "query_id long, score double"
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=sch if wide else other)
+        """
+    )
+    assert len(sites) == 1
+    assert set(sites[0].columns) == {
+        "query_id long",
+        "<unresolved schema: other>",
+    }
+
+
+def test_red_concat_schema_operand_flags():
+    sites = _audit(
+        """
+        def concatenated(df):
+            sch = "query_id long"
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=sch + ", extra int")
+        """
+    )
+    assert len(sites) == 1 and sites[0].columns == ("query_id long",)
+
+
+def test_red_class_body_site_flags_under_body_scope():
+    """r14 review finding #4: a schema call in a class attribute
+    initializer was invisible to both the method pass and the module
+    pseudo-scope."""
+    sites = _audit(
+        """
+        class Probes:
+            FRAME = spark.createDataFrame([(1,)], schema="query_id long")
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].function == "Probes.<body>" and not sites[0].guarded
+
+
+def test_green_guarded_def_under_module_level_if_is_own_scope():
+    """r14 review finding #5: a def nested under a module-level if is
+    its OWN scope — its in-function guard counts (the <module>
+    attribution discounted it and failed correctly-guarded code)."""
+    sites = _audit(
+        """
+        if pandas is not None:
+            def gated(df):
+                _require_integral_id(df, "query_id", "gated")
+                def k(batches):
+                    yield None
+                return df.mapInPandas(k, schema="query_id long")
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].function == "gated" and sites[0].guarded
+
+
+def test_red_module_guard_does_not_waive_conditionally_defined_site():
+    """Converse of the above: a stray module-level guard call must not
+    blanket-waive an unguarded def nested under a module-level if."""
+    sites = _audit(
+        """
+        _require_integral_id(base, "doc_id", "module probe")
+        if pandas is not None:
+            def gated(df):
+                def k(batches):
+                    yield None
+                return df.mapInPandas(k, schema="query_id long")
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].function == "gated" and not sites[0].guarded
+
+
 def test_red_stale_allowlist_entry_fails():
     sites = _audit(
         """

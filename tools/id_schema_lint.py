@@ -24,20 +24,26 @@ Detection (pure AST, no imports of the audited modules):
 - audited calls: ``mapInPandas`` / ``applyInPandas`` / ``mapInArrow``
   / ``applyInArrow`` / ``applyInPandasWithState`` /
   ``transformWithStateInPandas`` / ``createDataFrame``, in every
-  module-level function and class method AND in module-level
-  statements, which are audited under the pseudo-function name
-  ``<module>`` (r13 ADVICE #2: a schema-taking call outside any def
-  was previously out of reach, silently);
+  audit SCOPE: every def (module-level, class method, or nested
+  inside a module-level compound statement — the gated-import
+  pattern, each its own scope so its own guard counts), module-level
+  statements under the pseudo-scope ``<module>`` (r13 ADVICE #2), and
+  class-body non-method statements under ``Cls.<body>`` (r14 review
+  finding #4);
 - schema expressions are taken from the call's ``schema`` /
   ``outputStructType`` argument (keyword or positional). Local-variable
-  resolution follows Name chains TRANSITIVELY with a visited set and a
-  depth bound (``sch = "..."`` then ``schema = sch`` then
-  ``schema=schema`` — r13 ADVICE #1), covering plain, annotated, and
-  same-length tuple-unpacking assignments. A Name that dead-ends — a
-  parameter, global, import, or assignment cycle — is NOT silently
-  skipped: the site flags with an ``<unresolved schema: name>`` column
-  so it gets reviewed (guarded or allowlisted) instead of invisibly
-  passing;
+  resolution follows Name chains TRANSITIVELY with per-path cycle
+  detection and a depth bound (``sch = "..."`` then ``schema = sch``
+  — r13 ADVICE #1; diamonds re-resolve cleanly, r14 review finding
+  #1), covering plain, annotated, and same-length tuple-unpacking
+  assignments, and descends through ``IfExp`` branches and
+  ``+``-concat operands (r14 review finding #2). A Name that
+  dead-ends in one of those positions — a parameter, global, import,
+  or assignment cycle — is NOT silently skipped: the site flags with
+  an ``<unresolved schema: name>`` column so it gets reviewed
+  (guarded or allowlisted) instead of invisibly passing. Names nested
+  in other constructor positions (``StructType(fields)`` call
+  arguments, comprehensions) are not traced — documented reach limit;
 - DDL strings (plain or f-string) are split into columns; a column is
   id-like under ONE token rule for both forms (r13 ADVICE #3): split
   the name — the literal column name, or the f-string placeholder's
@@ -59,10 +65,13 @@ Known reach limits (documented, not silent):
   ``first_seen_dedup_stateful``) carries no statically id-like name;
   that function casts every column to string BEFORE the kernel, so it
   is in the graceful class anyway;
-- guard detection is function-scoped, not per-site (see
-  ``_walk_own_scope``): a function that guards one input but
-  hard-codes an id schema over a second, unguarded input reads
-  guarded.
+- guard detection is scope-level, not per-site (see
+  ``audit_source``): a function that guards one input but hard-codes
+  an id schema over a second, unguarded input reads guarded;
+- Names nested inside constructor calls or comprehensions
+  (``StructType(fields)`` where ``fields`` is a variable) are not
+  traced through the call boundary — the resolver covers alias
+  chains, ``IfExp`` branches, and ``+``-concat operands only.
 
 Either way a smuggled mismatch still fails its own pandas->Arrow cast
 loudly at task time under the session-wide safe-conversion pin — this
@@ -141,38 +150,87 @@ class IdSchemaSite:
     guarded: bool  # _require_integral_id called in the same function
 
 
-def _iter_outermost_functions(tree: ast.Module):
-    """Yield (name, node) for every module-level def, including defs
-    nested in module-level classes (methods); inner defs belong to
-    their outermost function. Module-level statements OUTSIDE any def
-    or class are audited as one pseudo-function named ``<module>``
-    (r13 ADVICE #2) — note a def nested inside a module-level
-    ``if``/``try`` block lands in the ``<module>`` scope too, so its
-    sites are audited but a guard call inside it does not mark the
-    module scope guarded (same nested-def rule as everywhere else)."""
-    module_stmts = [
-        node
-        for node in tree.body
-        if not isinstance(
-            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
-        )
-    ]
-    if module_stmts:
-        yield "<module>", ast.Module(body=module_stmts, type_ignores=[])
-    for node in tree.body:
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            yield node.name, node
-        elif isinstance(node, ast.ClassDef):
-            for sub in node.body:
-                if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                    yield f"{node.name}.{sub.name}", sub
+# Subtrees a scope walk never descends into. Real functions own their
+# nested defs' call sites (the kernel-closure pattern) but not their
+# guard calls, so the guard walk skips _FN_SKIP; pseudo-scopes
+# (<module>, Cls.<body>) own neither — every def/class found inside
+# them is extracted as its own scope — so both their site walk and
+# their guard walk skip _PSEUDO_SKIP.
+_FN_SKIP = (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)
+_PSEUDO_SKIP = _FN_SKIP + (ast.ClassDef,)
 
 
-def _local_assignments(fn: ast.AST) -> dict[str, list[ast.expr]]:
-    """Name -> assigned value exprs: plain, ANNOTATED, and same-length
-    tuple-unpacking assignments (r13 review finding #1: ``out_schema:
-    str = "query_id long, ..."`` was invisible to the plain-Assign-only
-    version — a silent bypass of exactly the class this lint closes)."""
+def _walk_skipping(root: ast.AST, skip: tuple):
+    stack = list(ast.iter_child_nodes(root))
+    while stack:
+        node = stack.pop()
+        yield node
+        if not isinstance(node, skip):
+            stack.extend(ast.iter_child_nodes(node))
+
+
+def _iter_scopes(tree: ast.Module):
+    """Yield (qualname, node, is_pseudo) for every audit scope:
+
+    - every def — module-level, a class method, or nested inside a
+      module-level/class-body compound statement (``if``/``try``/
+      ``with`` — the gated-import pattern; r14 review finding #5: such
+      a def must be its OWN scope so its in-function guard counts,
+      rather than landing in ``<module>`` where a stray module-level
+      guard would blanket-waive it). Defs nested inside another def
+      still belong to that def (the kernel-closure rule);
+    - ``<module>`` — module-level statements outside any def/class
+      (r13 ADVICE #2), with extracted def/class subtrees excluded
+      from its walk;
+    - ``Cls.<body>`` — class-body statements that are not methods
+      (r14 review finding #4: a schema call in a class attribute
+      initializer was invisible to both the method pass and the
+      module pseudo-scope)."""
+    scopes: list = []
+
+    def scan(stmts, prefix: str, pseudo_name: str) -> None:
+        residue = []
+        for node in stmts:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                scopes.append((prefix + node.name, node, False))
+            elif isinstance(node, ast.ClassDef):
+                scan(
+                    node.body,
+                    f"{prefix}{node.name}.",
+                    f"{prefix}{node.name}.<body>",
+                )
+            else:
+                residue.append(node)
+                # Extract defs/classes nested in compound statements
+                # (if/try/for/while/with) as their own scopes.
+                stack = list(ast.iter_child_nodes(node))
+                while stack:
+                    sub = stack.pop()
+                    if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                        scopes.append((prefix + sub.name, sub, False))
+                    elif isinstance(sub, ast.ClassDef):
+                        scan(
+                            sub.body,
+                            f"{prefix}{sub.name}.",
+                            f"{prefix}{sub.name}.<body>",
+                        )
+                    elif not isinstance(sub, ast.Lambda):
+                        stack.extend(ast.iter_child_nodes(sub))
+        if residue:
+            scopes.append(
+                (pseudo_name, ast.Module(body=residue, type_ignores=[]), True)
+            )
+
+    scan(tree.body, "", "<module>")
+    return scopes
+
+
+def _local_assignments(nodes) -> dict[str, list[ast.expr]]:
+    """Name -> assigned value exprs over an iterable of nodes: plain,
+    ANNOTATED, and same-length tuple-unpacking assignments (r13 review
+    finding #1: ``out_schema: str = "query_id long, ..."`` was
+    invisible to the plain-Assign-only version — a silent bypass of
+    exactly the class this lint closes)."""
     out: dict[str, list[ast.expr]] = {}
 
     def bind(tgt: ast.expr, value: ast.expr) -> None:
@@ -184,7 +242,7 @@ def _local_assignments(fn: ast.AST) -> dict[str, list[ast.expr]]:
             for t, v in zip(tgt.elts, value.elts):
                 bind(t, v)
 
-    for node in ast.walk(fn):
+    for node in nodes:
         if isinstance(node, ast.Assign):
             for tgt in node.targets:
                 bind(tgt, node.value)
@@ -319,31 +377,49 @@ def _resolve_schema_exprs(
     """Resolve a schema expression to its non-Name value expressions.
 
     Name chains (``sch = "..."``; ``schema = sch``) are followed
-    transitively with a visited set — cycles terminate — up to
-    ``max_depth`` (r13 ADVICE #1: the one-level version resolved an
-    aliased Name to an empty list and the site silently passed).
-    Returns ``(resolved exprs, unresolved variable names)``: a Name
-    that dead-ends (parameter, global, import, cycle, or depth cap)
-    lands in ``unresolved`` so the caller flags the site visibly
-    instead of skipping it."""
-    resolved: list[ast.expr] = []
-    unresolved: list[str] = []
-    seen: set[str] = set()
-    frontier: list[tuple[ast.expr, int]] = [(schema, 0)]
-    while frontier:
-        expr, depth = frontier.pop()
-        if not isinstance(expr, ast.Name):
-            resolved.append(expr)
-            continue
-        if expr.id in seen or depth >= max_depth:
-            unresolved.append(expr.id)
-            continue
-        seen.add(expr.id)
-        values = assigns.get(expr.id)
-        if not values:
-            unresolved.append(expr.id)
-            continue
-        frontier.extend((v, depth + 1) for v in values)
+    transitively up to ``max_depth`` (r13 ADVICE #1: the one-level
+    version resolved an aliased Name to an empty list and the site
+    silently passed). Cycle detection is PER-PATH (the recursion
+    stack), not global — a diamond (two branches assigning
+    ``schema = sch``) re-resolves ``sch`` cleanly instead of falsely
+    reporting it unresolved (r14 review finding #1); only a true
+    cycle (``a = b; b = a``) or the depth cap dead-ends. Resolution
+    also descends through the string-composition positions a schema
+    value can hide in — ``IfExp`` branches and ``+``-concat operands
+    (``schema=sch if wide else other``, ``schema=sch + ", extra int"``
+    — r14 review finding #2). Returns ``(resolved exprs, unresolved
+    variable names)``: a Name that dead-ends (parameter, global,
+    import, cycle, depth cap) lands in ``unresolved`` so the caller
+    flags the site visibly instead of skipping it. Names nested in
+    OTHER constructor positions (call arguments like
+    ``StructType(fields)``, comprehensions) are NOT traced — the
+    documented reach limit, backstopped by the task-time safe-Arrow
+    pin."""
+
+    def expand(expr: ast.expr, stack: frozenset) -> "tuple[list, list]":
+        if isinstance(expr, ast.Name):
+            if expr.id in stack or len(stack) >= max_depth:
+                return [], [expr.id]
+            values = assigns.get(expr.id)
+            if not values:
+                return [], [expr.id]
+            resolved, unresolved = [], []
+            for v in values:
+                r, u = expand(v, stack | {expr.id})
+                resolved += r
+                unresolved += u
+            return resolved, unresolved
+        if isinstance(expr, ast.IfExp):
+            r1, u1 = expand(expr.body, stack)
+            r2, u2 = expand(expr.orelse, stack)
+            return r1 + r2, u1 + u2
+        if isinstance(expr, ast.BinOp) and isinstance(expr.op, ast.Add):
+            r1, u1 = expand(expr.left, stack)
+            r2, u2 = expand(expr.right, stack)
+            return r1 + r2, u1 + u2
+        return [expr], []
+
+    resolved, unresolved = expand(schema, frozenset())
     return resolved, sorted(set(unresolved))
 
 
@@ -355,38 +431,35 @@ def _callee_name(call: ast.Call) -> str:
     return ""
 
 
-def _walk_own_scope(fn: ast.AST):
-    """Walk a function's subtree WITHOUT descending into nested defs or
-    lambdas (r13 review finding #4: a guard call inside a nested —
-    possibly never-invoked — def must not mark the outer function's
-    schema sites guarded; the kernel closures here never guard, the
-    entry-point body does). Guard detection stays function-scoped, not
-    per-site: statically matching which DataFrame a guard call covers
-    is out of reach, so a function that guards one input but hard-codes
-    an id schema over a second, unguarded input still reads guarded —
-    documented limit, same tier as the join-comprehension reach note."""
-    stack = list(ast.iter_child_nodes(fn))
-    while stack:
-        node = stack.pop()
-        yield node
-        if not isinstance(
-            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)
-        ):
-            stack.extend(ast.iter_child_nodes(node))
-
-
 def audit_source(source: str, module: str) -> list[IdSchemaSite]:
     """Pure audit of one module's source; ``module`` is the relpath
-    used in findings and the allowlist."""
+    used in findings and the allowlist.
+
+    Per-scope walks: a real function's SITE walk is ``ast.walk`` (a
+    schema call inside a nested def — the kernel-closure pattern —
+    belongs to its outermost function) while its GUARD walk skips
+    nested defs/lambdas (r13 review finding #4: a guard inside a
+    possibly-never-invoked closure must not mark the outer function
+    guarded). A pseudo-scope (``<module>``, ``Cls.<body>``) owns
+    NEITHER — every def/class inside it was extracted as its own scope
+    by ``_iter_scopes`` — so both walks skip def/class subtrees. Guard
+    detection stays scope-level, not per-site: statically matching
+    which DataFrame a guard call covers is out of reach, so a function
+    that guards one input but hard-codes an id schema over a second,
+    unguarded input still reads guarded — documented limit, same tier
+    as the join-comprehension reach note."""
     tree = ast.parse(source)
     sites: list[IdSchemaSite] = []
-    for fn_name, fn in _iter_outermost_functions(tree):
-        assigns = _local_assignments(fn)
+    for fn_name, fn, pseudo in _iter_scopes(tree):
+        site_nodes = (
+            list(_walk_skipping(fn, _PSEUDO_SKIP)) if pseudo else list(ast.walk(fn))
+        )
+        assigns = _local_assignments(site_nodes)
         guarded = any(
             isinstance(n, ast.Call) and _callee_name(n) == GUARD_NAME
-            for n in _walk_own_scope(fn)
+            for n in _walk_skipping(fn, _PSEUDO_SKIP if pseudo else _FN_SKIP)
         )
-        for node in ast.walk(fn):
+        for node in site_nodes:
             if not (
                 isinstance(node, ast.Call)
                 and isinstance(node.func, ast.Attribute)

@@ -8,10 +8,11 @@ quiet evidence. This runner executes ONLY the streaming smoke (the same
 `bench.streaming_events_per_sec` the bench artifact reports, same
 session factory, same pinned 32-file wire layout) so it can be retried
 cheaply at low-load moments until one reading lands quiet
-(cpu_steal_pct_streaming < 2% and a quiet edge probe), re-certifying
-the band on fresh evidence — or accumulating the contended readings
-that justify an explicit SCALE.md re-baseline under the telemetry
-triage rule.
+(cpu_steal_pct_streaming < 2%, with the edge probes read RELATIVELY
+against the session's own probe distribution — see the inline note),
+re-certifying the band on fresh evidence — or accumulating the
+contended readings that justify an explicit SCALE.md re-baseline under
+the telemetry triage rule.
 
 Run: ``python tools/streaming_smoke.py [n_runs]`` — prints one JSON
 line per run: events/s, the steal fraction bracketing the measured
@@ -38,6 +39,16 @@ def main() -> int:
         probe_before = bench.cpu_probe()
         ev_s, steal = bench.streaming_events_per_sec(spark)
         probe_after = bench.cpu_probe()
+        # steal_quiet is the steal-threshold half of the triage rule
+        # ONLY (<2%, the authoritative signal per bench.cpu_probe's
+        # docstring). The edge probes are printed for RELATIVE
+        # interpretation against the session's own distribution — an
+        # absolute probe threshold does not separate quiet from
+        # contended (r14 review finding #3: the r12 QUIET certification
+        # recorded a 0.278 edge probe while contended r13 readings
+        # recorded 0.22, so a fixed 0.22 gate would have rejected the
+        # genuinely quiet round). The final quiet call composes
+        # steal_quiet with the probes read against that distribution.
         print(
             json.dumps(
                 {
@@ -46,11 +57,7 @@ def main() -> int:
                     "cpu_steal_pct_streaming": steal,
                     "cpu_probe_sec_before": probe_before,
                     "cpu_probe_sec_after": probe_after,
-                    "quiet": (
-                        steal is not None
-                        and steal < 2.0
-                        and max(probe_before, probe_after) < 0.22
-                    ),
+                    "steal_quiet": steal is not None and steal < 2.0,
                 }
             ),
             flush=True,
