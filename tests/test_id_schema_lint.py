@@ -362,6 +362,175 @@ def test_red_concat_schema_operand_flags():
     assert len(sites) == 1 and sites[0].columns == ("query_id long",)
 
 
+def test_red_augmented_assignment_poisons_name_to_unresolved():
+    """r14 ADVICE #1: ``sch = "value double"; sch += ", query_id long"``
+    previously resolved sch to ONLY the plain assignment — the id
+    column appended via += passed silently, partial resolution reading
+    as complete. An augmented target must dead-end visibly."""
+    sites = _audit(
+        """
+        def bad_augmented(df, id_col):
+            sch = "value double"
+            sch += f", {id_col} long"
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=sch)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("<unresolved schema: sch>",)
+    bad, _ = violations(sites, allowlist={})
+    assert bad == sites
+
+
+def test_red_augmented_alias_target_also_poisons():
+    """The poison must survive the transitive chain: an alias of a
+    +=-built name is just as unresolvable as the name itself."""
+    sites = _audit(
+        """
+        def bad_aliased_augmented(df):
+            base = "value double"
+            base += ", query_id long"
+            schema = base
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=schema)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("<unresolved schema: base>",)
+
+
+def test_red_format_composition_flags_visibly():
+    """r14 ADVICE #2: ``"{} long".format(id_col)`` carries no id-like
+    token in its literal fragments, so the DDL pass can't catch it —
+    the composition itself must flag as unresolved."""
+    sites = _audit(
+        """
+        def bad_format(df, id_col):
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema="{} long".format(id_col))
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == (
+        "<unresolved schema: str.format/% composition>",
+    )
+    bad, _ = violations(sites, allowlist={})
+    assert bad == sites
+
+
+def test_red_percent_composition_flags_visibly():
+    sites = _audit(
+        """
+        def bad_percent(df, id_col):
+            sch = "%s long" % id_col
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=sch)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == (
+        "<unresolved schema: str.format/% composition>",
+    )
+
+
+def test_green_module_constant_schema_resolves_without_finding():
+    """r14 ADVICE #3: a def passing an id-free module-level DDL
+    constant previously flagged <unresolved schema: OUT_SCHEMA> and
+    would have forced a bogus guard or allowlist entry. The fallback
+    must resolve it and pass."""
+    sites = _audit(
+        """
+        OUT_SCHEMA = "value double, weight float"
+
+        def fine_module_constant(df):
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=OUT_SCHEMA)
+        """
+    )
+    assert sites == []
+
+
+def test_red_module_constant_with_id_column_flags_resolved_columns():
+    """Detection power of the fallback: a module constant that DOES
+    hard-code an id column must flag the actual column (resolved),
+    not an <unresolved> placeholder."""
+    sites = _audit(
+        """
+        OUT_SCHEMA = "query_id long, value double"
+
+        def bad_module_constant(df):
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=OUT_SCHEMA)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("query_id long",)
+
+
+def test_red_shadowed_module_constant_stays_unresolved():
+    """The fallback is blocked by ANY local binding of the name — a
+    parameter shadowing the module constant makes the site ambiguous,
+    and it must dead-end visibly rather than resolve to the wrong
+    (module) value."""
+    sites = _audit(
+        """
+        OUT_SCHEMA = "value double"
+
+        def shadowed(df, OUT_SCHEMA):
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=OUT_SCHEMA)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("<unresolved schema: OUT_SCHEMA>",)
+
+
+def test_red_module_alias_chain_resolves_in_module_env():
+    """Module-scope resolution is lexical: a module constant aliasing
+    another module name resolves against module assignments (and the
+    id column it reaches must flag), never back into function locals."""
+    sites = _audit(
+        """
+        BASE = "query_id long, value double"
+        OUT_SCHEMA = BASE
+
+        def bad_module_alias(df):
+            BASE = "value double"  # local, must NOT leak into the module chain
+            use(BASE)
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=OUT_SCHEMA)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("query_id long",)
+
+
+def test_red_augmented_module_constant_poisons_fallback():
+    """A module constant built up via += is unresolvable for every
+    scope that falls back to it."""
+    sites = _audit(
+        """
+        OUT_SCHEMA = "value double"
+        OUT_SCHEMA += ", query_id long"
+
+        def bad_augmented_module(df):
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=OUT_SCHEMA)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("<unresolved schema: OUT_SCHEMA>",)
+
+
 def test_red_class_body_site_flags_under_body_scope():
     """r14 review finding #4: a schema call in a class attribute
     initializer was invisible to both the method pass and the module

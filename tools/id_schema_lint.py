@@ -37,13 +37,25 @@ Detection (pure AST, no imports of the audited modules):
   — r13 ADVICE #1; diamonds re-resolve cleanly, r14 review finding
   #1), covering plain, annotated, and same-length tuple-unpacking
   assignments, and descends through ``IfExp`` branches and
-  ``+``-concat operands (r14 review finding #2). A Name that
-  dead-ends in one of those positions — a parameter, global, import,
-  or assignment cycle — is NOT silently skipped: the site flags with
-  an ``<unresolved schema: name>`` column so it gets reviewed
-  (guarded or allowlisted) instead of invisibly passing. Names nested
-  in other constructor positions (``StructType(fields)`` call
-  arguments, comprehensions) are not traced — documented reach limit;
+  ``+``-concat operands (r14 review finding #2). A Name absent from
+  the scope's own assignments falls back to MODULE-LEVEL assignments
+  when nothing in the scope shadows it (r14 ADVICE #3: an id-free
+  module DDL constant must not force a bogus guard); any local
+  binding of the name — parameter, loop/with/except target, import,
+  nested def — blocks the fallback, so shadowed/ambiguous cases still
+  dead-end visibly. A Name bound by ANY augmented assignment
+  (``sch += ", query_id long"``) is poisoned: partial resolution must
+  never read as complete, so the whole name flags as unresolved (r14
+  ADVICE #1). A Name that dead-ends — a parameter, unshadowed-but-
+  absent global, import, assignment cycle, or augmented target — is
+  NOT silently skipped: the site flags with an ``<unresolved schema:
+  name>`` column so it gets reviewed (guarded or allowlisted) instead
+  of invisibly passing. ``.format(...)`` calls and ``%``-interpolation
+  in schema position flag the same way (``<unresolved schema:
+  str.format/% composition>``) — their substitutions are untraceable
+  statically (r14 ADVICE #2). Names nested in other constructor
+  positions (``StructType(fields)`` call arguments, comprehensions)
+  are not traced — documented reach limit;
 - DDL strings (plain or f-string) are split into columns; a column is
   id-like under ONE token rule for both forms (r13 ADVICE #3): split
   the name — the literal column name, or the f-string placeholder's
@@ -71,7 +83,13 @@ Known reach limits (documented, not silent):
 - Names nested inside constructor calls or comprehensions
   (``StructType(fields)`` where ``fields`` is a variable) are not
   traced through the call boundary — the resolver covers alias
-  chains, ``IfExp`` branches, and ``+``-concat operands only.
+  chains, ``IfExp`` branches, and ``+``-concat operands only;
+- augmented assignment is detected but not MODELED: ``sch += ...``
+  poisons the name to a visible ``<unresolved>`` finding rather than
+  computing the concatenation (order-sensitive dataflow is out of
+  reach for this order-insensitive resolver);
+- ``.format()`` / ``%`` composition likewise flags visibly rather
+  than tracing the substituted values.
 
 Either way a smuggled mismatch still fails its own pandas->Arrow cast
 loudly at task time under the session-wide safe-conversion pin — this
@@ -225,15 +243,23 @@ def _iter_scopes(tree: ast.Module):
     return scopes
 
 
-def _local_assignments(nodes) -> dict[str, list[ast.expr]]:
+def _local_assignments(nodes) -> "dict[str, list[ast.expr | None]]":
     """Name -> assigned value exprs over an iterable of nodes: plain,
     ANNOTATED, and same-length tuple-unpacking assignments (r13 review
     finding #1: ``out_schema: str = "query_id long, ..."`` was
     invisible to the plain-Assign-only version — a silent bypass of
-    exactly the class this lint closes)."""
-    out: dict[str, list[ast.expr]] = {}
+    exactly the class this lint closes).
 
-    def bind(tgt: ast.expr, value: ast.expr) -> None:
+    An AUGMENTED assignment target (``sch += ", query_id long"``)
+    binds ``None`` — a poison marker (r14 ADVICE #1): this resolver is
+    order-insensitive, so it cannot model the concatenation, and
+    resolving the name to only its plain assignments would read
+    partial resolution as complete (the id column appended via ``+=``
+    would pass silently). The resolver turns any poisoned name into a
+    visible ``<unresolved>`` finding instead."""
+    out: dict[str, list["ast.expr | None"]] = {}
+
+    def bind(tgt: ast.expr, value: "ast.expr | None") -> None:
         if isinstance(tgt, ast.Name):
             out.setdefault(tgt.id, []).append(value)
         elif isinstance(tgt, (ast.Tuple, ast.List)) and isinstance(
@@ -248,7 +274,68 @@ def _local_assignments(nodes) -> dict[str, list[ast.expr]]:
                 bind(tgt, node.value)
         elif isinstance(node, ast.AnnAssign) and node.value is not None:
             bind(node.target, node.value)
+        elif isinstance(node, ast.AugAssign) and isinstance(
+            node.target, ast.Name
+        ):
+            out.setdefault(node.target.id, []).append(None)
     return out
+
+
+def _bound_names(nodes) -> set[str]:
+    """Every name BOUND anywhere in a scope's subtree, in any form:
+    assignment targets (plain/annotated/augmented/walrus), function
+    parameters, loop / with / except / comprehension targets, imports,
+    nested def/class names. Used by the module-constant fallback (r14
+    ADVICE #3): a Name may fall back to a module-level assignment only
+    if NOTHING in the scope binds it — any local binding (even one the
+    resolver can't evaluate, like a parameter) shadows the module
+    constant, and the site must dead-end visibly instead of resolving
+    to the wrong value."""
+    bound: set[str] = set()
+
+    def targets(t: ast.AST) -> None:
+        for n in ast.walk(t):
+            if isinstance(n, ast.Name):
+                bound.add(n.id)
+
+    def params(a: ast.arguments) -> None:
+        for arg in a.posonlyargs + a.args + a.kwonlyargs:
+            bound.add(arg.arg)
+        if a.vararg:
+            bound.add(a.vararg.arg)
+        if a.kwarg:
+            bound.add(a.kwarg.arg)
+
+    for node in nodes:
+        if isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                targets(tgt)
+        elif isinstance(node, (ast.AnnAssign, ast.AugAssign, ast.NamedExpr)):
+            targets(node.target)
+        elif isinstance(node, (ast.For, ast.AsyncFor)):
+            targets(node.target)
+        elif isinstance(node, ast.comprehension):
+            targets(node.target)
+        elif isinstance(node, ast.withitem):
+            if node.optional_vars is not None:
+                targets(node.optional_vars)
+        elif isinstance(node, ast.ExceptHandler):
+            if node.name:
+                bound.add(node.name)
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            bound.add(node.name)
+            params(node.args)
+        elif isinstance(node, ast.Lambda):
+            params(node.args)
+        elif isinstance(node, ast.ClassDef):
+            bound.add(node.name)
+        elif isinstance(node, (ast.Import, ast.ImportFrom)):
+            for alias in node.names:
+                bound.add((alias.asname or alias.name).split(".")[0])
+        elif isinstance(node, (ast.Global, ast.Nonlocal)):
+            # declares the names rebindable here — treat as shadowing
+            bound.update(node.names)
+    return bound
 
 
 def _schema_arg(call: ast.Call) -> "ast.expr | None":
@@ -371,7 +458,9 @@ def _offending_structfields(expr: ast.expr) -> list[str]:
 
 def _resolve_schema_exprs(
     schema: ast.expr,
-    assigns: "dict[str, list[ast.expr]]",
+    assigns: "dict[str, list[ast.expr | None]]",
+    bound: "set[str] | None" = None,
+    module_assigns: "dict[str, list[ast.expr | None]] | None" = None,
     max_depth: int = 8,
 ) -> "tuple[list[ast.expr], list[str]]":
     """Resolve a schema expression to its non-Name value expressions.
@@ -387,39 +476,80 @@ def _resolve_schema_exprs(
     also descends through the string-composition positions a schema
     value can hide in — ``IfExp`` branches and ``+``-concat operands
     (``schema=sch if wide else other``, ``schema=sch + ", extra int"``
-    — r14 review finding #2). Returns ``(resolved exprs, unresolved
-    variable names)``: a Name that dead-ends (parameter, global,
-    import, cycle, depth cap) lands in ``unresolved`` so the caller
-    flags the site visibly instead of skipping it. Names nested in
-    OTHER constructor positions (call arguments like
+    — r14 review finding #2).
+
+    A Name absent from ``assigns`` falls back to ``module_assigns``
+    when ``bound`` does not contain it (r14 ADVICE #3: a def passing
+    an id-free module-level DDL constant must resolve to that constant
+    and pass, not flag ``<unresolved>`` and force a bogus guard).
+    Any local binding — a parameter, loop variable, import — shadows
+    the module constant and blocks the fallback, so the shadowed/
+    ambiguous case still dead-ends visibly. Once resolution crosses
+    into module scope it stays there: a module constant aliasing
+    another name resolves against module assignments only, never back
+    into the function's locals (lexical scoping, not dynamic).
+
+    A Name with a ``None`` poison entry (bound by ``+=`` somewhere in
+    the scope — r14 ADVICE #1) is ALWAYS unresolved: the resolver
+    cannot model order-sensitive concatenation, and resolving only the
+    plain assignments would read partial resolution as complete.
+    ``.format(...)`` calls and ``%``-interpolation in schema position
+    land in ``unresolved`` as ``str.format/% composition`` (r14 ADVICE
+    #2) — their substituted values are statically untraceable, and the
+    literal fragments alone (``"{} long".format(id_col)``) carry no
+    id-like token for the DDL pass to catch.
+
+    Returns ``(resolved exprs, unresolved descriptions)``: a Name that
+    dead-ends (parameter, unshadowed-but-absent global, import, cycle,
+    depth cap, poison) or a composition call lands in ``unresolved``
+    so the caller flags the site visibly instead of skipping it. Names
+    nested in OTHER constructor positions (call arguments like
     ``StructType(fields)``, comprehensions) are NOT traced — the
     documented reach limit, backstopped by the task-time safe-Arrow
     pin."""
 
-    def expand(expr: ast.expr, stack: frozenset) -> "tuple[list, list]":
+    def lookup(name: str, env: str) -> "tuple[list | None, str]":
+        if env == "local":
+            values = assigns.get(name)
+            if values is not None:
+                return values, "local"
+            if (bound is None or name not in bound) and module_assigns:
+                return module_assigns.get(name), "module"
+            return None, "local"
+        return (module_assigns or {}).get(name), "module"
+
+    def expand(expr: ast.expr, stack: frozenset, env: str) -> "tuple[list, list]":
         if isinstance(expr, ast.Name):
             if expr.id in stack or len(stack) >= max_depth:
                 return [], [expr.id]
-            values = assigns.get(expr.id)
-            if not values:
+            values, venv = lookup(expr.id, env)
+            if not values or any(v is None for v in values):
                 return [], [expr.id]
             resolved, unresolved = [], []
             for v in values:
-                r, u = expand(v, stack | {expr.id})
+                r, u = expand(v, stack | {expr.id}, venv)
                 resolved += r
                 unresolved += u
             return resolved, unresolved
         if isinstance(expr, ast.IfExp):
-            r1, u1 = expand(expr.body, stack)
-            r2, u2 = expand(expr.orelse, stack)
+            r1, u1 = expand(expr.body, stack, env)
+            r2, u2 = expand(expr.orelse, stack, env)
             return r1 + r2, u1 + u2
         if isinstance(expr, ast.BinOp) and isinstance(expr.op, ast.Add):
-            r1, u1 = expand(expr.left, stack)
-            r2, u2 = expand(expr.right, stack)
+            r1, u1 = expand(expr.left, stack, env)
+            r2, u2 = expand(expr.right, stack, env)
             return r1 + r2, u1 + u2
+        if isinstance(expr, ast.BinOp) and isinstance(expr.op, ast.Mod):
+            return [], ["str.format/% composition"]
+        if (
+            isinstance(expr, ast.Call)
+            and isinstance(expr.func, ast.Attribute)
+            and expr.func.attr == "format"
+        ):
+            return [], ["str.format/% composition"]
         return [expr], []
 
-    resolved, unresolved = expand(schema, frozenset())
+    resolved, unresolved = expand(schema, frozenset(), "local")
     return resolved, sorted(set(unresolved))
 
 
@@ -450,11 +580,17 @@ def audit_source(source: str, module: str) -> list[IdSchemaSite]:
     as the join-comprehension reach note."""
     tree = ast.parse(source)
     sites: list[IdSchemaSite] = []
+    # Module-level assignments (outside every def/class body) — the
+    # fallback environment for Names a scope reads but never binds
+    # (r14 ADVICE #3). The AugAssign poison applies here too: a module
+    # constant built up via ``+=`` is unresolvable for everyone.
+    module_assigns = _local_assignments(_walk_skipping(tree, _PSEUDO_SKIP))
     for fn_name, fn, pseudo in _iter_scopes(tree):
         site_nodes = (
             list(_walk_skipping(fn, _PSEUDO_SKIP)) if pseudo else list(ast.walk(fn))
         )
         assigns = _local_assignments(site_nodes)
+        bound = _bound_names(site_nodes)
         guarded = any(
             isinstance(n, ast.Call) and _callee_name(n) == GUARD_NAME
             for n in _walk_skipping(fn, _PSEUDO_SKIP if pseudo else _FN_SKIP)
@@ -469,7 +605,9 @@ def audit_source(source: str, module: str) -> list[IdSchemaSite]:
             schema = _schema_arg(node)
             if schema is None:
                 continue
-            exprs, unresolved = _resolve_schema_exprs(schema, assigns)
+            exprs, unresolved = _resolve_schema_exprs(
+                schema, assigns, bound, module_assigns
+            )
             # An unresolvable schema Name flags the site rather than
             # silently passing it (r13 ADVICE #1): the reviewer either
             # guards the function or allowlists it with a rationale.
