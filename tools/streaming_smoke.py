@@ -49,6 +49,13 @@ def main() -> int:
         # recorded 0.22, so a fixed 0.22 gate would have rejected the
         # genuinely quiet round). The final quiet call composes
         # steal_quiet with the probes read against that distribution.
+        # band_eligible is the STRICTER steal half of the ≥45k ev/s
+        # band precondition (SCALE.md: steal ≲0.3% AND probes at the
+        # session floor) — printed separately so a reader grepping
+        # JSON lines can't mistake steal_quiet=true at 1.9% steal for
+        # in-band conditions (VERDICT r14 "What's wrong" #3). It is
+        # still only the steal half: the probes-at-floor half stays a
+        # relative, cross-run judgment by construction.
         print(
             json.dumps(
                 {
@@ -58,6 +65,7 @@ def main() -> int:
                     "cpu_probe_sec_before": probe_before,
                     "cpu_probe_sec_after": probe_after,
                     "steal_quiet": steal is not None and steal < 2.0,
+                    "band_eligible": steal is not None and steal <= 0.3,
                 }
             ),
             flush=True,
