@@ -599,8 +599,9 @@ from realtime_voting_data_engineering_spark import queries_pipeline  # noqa: E40
 # that are the BATCH TWINS of the streaming legs the probe campaign
 # exercises: ``votes_per_candidate`` (grouped-SUM twin of the
 # aggregate leg, pkg/streaming/pipeline.py:85) and
-# ``turnout_per_location`` (grouped-COUNT twin, :99). Among the
-# r12-evidenced candidates all evidence is equally one round old, so
+# ``turnout_per_location`` (grouped-COUNT twin, :99). The free-slot
+# candidates are the 50 names NOT forced in — last driver row r14, all
+# equally one round old (the r14 block mislabeled these "r12"), so
 # the tie breaks toward the round's subject surface. Registry stays at
 # the 98 cap (2×50-window − 2) so the rotation stays feasible with
 # 2-slot slack — pinned below by

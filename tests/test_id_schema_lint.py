@@ -531,6 +531,143 @@ def test_red_augmented_module_constant_poisons_fallback():
     assert sites[0].columns == ("<unresolved schema: OUT_SCHEMA>",)
 
 
+def test_red_walrus_rebinding_poisons_alongside_plain_assignment():
+    """r15 review finding #1: the AugAssign-only poison left every
+    other unmodeled rebinding form reading partial resolution as
+    complete — a walrus rebind next to a plain assignment resolved the
+    name to only the plain value and passed silently."""
+    sites = _audit(
+        """
+        def bad_walrus(df, id_col, wide):
+            sch = "value double"
+            if wide:
+                use(sch := f"{id_col} long, value double")
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=sch)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("<unresolved schema: sch>",)
+
+
+def test_red_loop_target_rebinding_poisons():
+    sites = _audit(
+        """
+        def bad_loop(df, schemas):
+            sch = "value double"
+            for sch in schemas:
+                use(sch)
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=sch)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("<unresolved schema: sch>",)
+
+
+def test_red_match_capture_blocks_module_fallback():
+    """r15 review finding #2: a match-case capture pattern binds the
+    name to the runtime subject, but _bound_names missed MatchAs — the
+    name wrongly resolved to the id-free module constant and the site
+    silently passed."""
+    sites = _audit(
+        """
+        OUT_SCHEMA = "value double"
+
+        def bad_match(df, x):
+            match x:
+                case str() as OUT_SCHEMA:
+                    use(OUT_SCHEMA)
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=OUT_SCHEMA)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("<unresolved schema: OUT_SCHEMA>",)
+
+
+def test_red_composition_behind_chained_call_flags():
+    """r15 review finding #3: the outermost-only composition check let
+    one chained method call hide the format — the expression returned
+    as resolved and its literal fragments carried no id-like token."""
+    sites = _audit(
+        """
+        def bad_chained(df, id_col):
+            def k(batches):
+                yield None
+            return df.mapInPandas(
+                k, schema="{} long, value double".format(id_col).strip()
+            )
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == (
+        "<unresolved schema: str.format/% composition>",
+    )
+
+
+def test_green_module_chain_through_colliding_name_is_not_a_cycle():
+    """r15 review finding #4: the cycle stack keyed bare names, so a
+    module chain passing through a name equal to an already-traversed
+    local name falsely dead-ended — forcing a bogus guard on a clean
+    id-free site. Keyed on (env, name) it resolves cleanly."""
+    sites = _audit(
+        """
+        sch = "value double"
+        CONST = sch
+
+        def fine_colliding_names(df):
+            sch = CONST
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=sch)
+        """
+    )
+    assert sites == []
+
+
+def test_green_subscript_key_read_does_not_block_module_fallback():
+    """r15 review finding #5: collecting every Name in an assignment
+    target subtree counted ``cache[OUT_SCHEMA] = 1`` — a READ of the
+    name as a subscript key — as a local binding, blocking the
+    fallback and flagging a clean id-free site."""
+    sites = _audit(
+        """
+        OUT_SCHEMA = "value double"
+
+        def fine_key_read(df, cache):
+            cache[OUT_SCHEMA] = 1
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=OUT_SCHEMA)
+        """
+    )
+    assert sites == []
+
+
+def test_red_default_parameter_schema_is_poisoned_not_trusted():
+    """Consequence of the generalized poison rule, pinned on purpose:
+    the common ``schema=None`` parameter defaulted inside the body is
+    a caller-controlled surface — the parameter binding poisons the
+    name even though a plain assignment exists, and the site must be
+    reviewed (guarded/allowlisted), not trusted on the default."""
+    sites = _audit(
+        """
+        def bad_defaulted(df, schema=None):
+            if schema is None:
+                schema = "value double"
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=schema)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("<unresolved schema: schema>",)
+
+
 def test_red_class_body_site_flags_under_body_scope():
     """r14 review finding #4: a schema call in a class attribute
     initializer was invisible to both the method pass and the module

@@ -38,24 +38,29 @@ Detection (pure AST, no imports of the audited modules):
   #1), covering plain, annotated, and same-length tuple-unpacking
   assignments, and descends through ``IfExp`` branches and
   ``+``-concat operands (r14 review finding #2). A Name absent from
-  the scope's own assignments falls back to MODULE-LEVEL assignments
-  when nothing in the scope shadows it (r14 ADVICE #3: an id-free
-  module DDL constant must not force a bogus guard); any local
-  binding of the name — parameter, loop/with/except target, import,
-  nested def — blocks the fallback, so shadowed/ambiguous cases still
-  dead-end visibly. A Name bound by ANY augmented assignment
-  (``sch += ", query_id long"``) is poisoned: partial resolution must
-  never read as complete, so the whole name flags as unresolved (r14
-  ADVICE #1). A Name that dead-ends — a parameter, unshadowed-but-
-  absent global, import, assignment cycle, or augmented target — is
-  NOT silently skipped: the site flags with an ``<unresolved schema:
-  name>`` column so it gets reviewed (guarded or allowlisted) instead
-  of invisibly passing. ``.format(...)`` calls and ``%``-interpolation
-  in schema position flag the same way (``<unresolved schema:
-  str.format/% composition>``) — their substitutions are untraceable
-  statically (r14 ADVICE #2). Names nested in other constructor
-  positions (``StructType(fields)`` call arguments, comprehensions)
-  are not traced — documented reach limit;
+  the scope's own bindings falls back to MODULE-LEVEL assignments
+  (r14 ADVICE #3: an id-free module DDL constant must not force a
+  bogus guard); any STORE-context local binding of the name —
+  parameter, loop/with/except target, import, match capture — shadows
+  the module constant and blocks the fallback, so shadowed/ambiguous
+  cases still dead-end visibly (reads of the name, e.g. as a
+  subscript key, do not block it — r15 review finding #5). A Name
+  bound anywhere in the scope by a form the order-insensitive
+  resolver cannot model — ``+=``, walrus, a loop/with/except/match
+  target, an import, a parameter — is POISONED: partial resolution
+  must never read as complete, so the whole name flags as unresolved
+  (r14 ADVICE #1, generalized from AugAssign-only by the r15 review).
+  A Name that dead-ends — poisoned, unshadowed-but-absent global,
+  assignment cycle (keyed per (scope, name) — r15 review finding #4),
+  or depth cap — is NOT silently skipped: the site flags with an
+  ``<unresolved schema: name>`` column so it gets reviewed (guarded
+  or allowlisted) instead of invisibly passing. ``.format(...)``
+  calls and ``%``-interpolation ANYWHERE in a resolved schema
+  expression flag the same way (``<unresolved schema: str.format/%
+  composition>``) — their substitutions are untraceable statically
+  (r14 ADVICE #2; subtree scan, r15 review finding #3). Names nested
+  in other constructor positions (``StructType(fields)`` call
+  arguments, comprehensions) are not traced — documented reach limit;
 - DDL strings (plain or f-string) are split into columns; a column is
   id-like under ONE token rule for both forms (r13 ADVICE #3): split
   the name — the literal column name, or the f-string placeholder's
@@ -84,12 +89,16 @@ Known reach limits (documented, not silent):
   (``StructType(fields)`` where ``fields`` is a variable) are not
   traced through the call boundary — the resolver covers alias
   chains, ``IfExp`` branches, and ``+``-concat operands only;
-- augmented assignment is detected but not MODELED: ``sch += ...``
-  poisons the name to a visible ``<unresolved>`` finding rather than
-  computing the concatenation (order-sensitive dataflow is out of
-  reach for this order-insensitive resolver);
+- non-plain binding forms are detected but not MODELED: ``sch +=
+  ...``, walrus, loop/with/except/match targets, imports, and
+  parameters poison the name to a visible ``<unresolved>`` finding
+  rather than computing the bound value (order-sensitive or dynamic
+  dataflow is out of reach for this order-insensitive resolver) —
+  this includes the common ``schema=None`` parameter defaulted inside
+  the body, which must be reviewed rather than trusted;
 - ``.format()`` / ``%`` composition likewise flags visibly rather
-  than tracing the substituted values.
+  than tracing the substituted values, wherever it sits in the
+  schema expression's subtree.
 
 Either way a smuggled mismatch still fails its own pandas->Arrow cast
 loudly at task time under the session-wide safe-conversion pin — this
@@ -243,99 +252,109 @@ def _iter_scopes(tree: ast.Module):
     return scopes
 
 
-def _local_assignments(nodes) -> "dict[str, list[ast.expr | None]]":
-    """Name -> assigned value exprs over an iterable of nodes: plain,
-    ANNOTATED, and same-length tuple-unpacking assignments (r13 review
+def _scope_bindings(nodes) -> "dict[str, list[ast.expr | None]]":
+    """Name -> assigned value exprs (or ``None`` poison) over EVERY
+    binding form in an iterable of scope nodes.
+
+    Modeled bindings carry their value expression: plain, ANNOTATED,
+    and same-length no-star tuple-unpacking assignments (r13 review
     finding #1: ``out_schema: str = "query_id long, ..."`` was
     invisible to the plain-Assign-only version — a silent bypass of
     exactly the class this lint closes).
 
-    An AUGMENTED assignment target (``sch += ", query_id long"``)
-    binds ``None`` — a poison marker (r14 ADVICE #1): this resolver is
-    order-insensitive, so it cannot model the concatenation, and
-    resolving the name to only its plain assignments would read
-    partial resolution as complete (the id column appended via ``+=``
-    would pass silently). The resolver turns any poisoned name into a
-    visible ``<unresolved>`` finding instead."""
+    Every OTHER binding of a name appends ``None`` — a poison marker.
+    The r14 ADVICE #1 fix poisoned AugAssign only; the r15 review
+    proved the same partial-resolution-reads-as-complete hole for
+    every other unmodeled rebinding form alongside a plain assignment
+    (walrus, ``for``/``with``/``except``/comprehension targets,
+    imports, ``match`` capture patterns, mismatched/starred tuple
+    unpacking, parameters, nested def/class/lambda names, global/
+    nonlocal declarations). The rule is now structural: a form this
+    order-insensitive resolver cannot model poisons the name, and the
+    resolver turns any poisoned name into a visible ``<unresolved>``
+    finding instead of resolving only the plain assignments.
+
+    Poisoning recurses target subtrees collecting only STORE-context
+    Names (r15 review finding #5: collecting every Name in the target
+    subtree counted ``cache[OUT_SCHEMA] = 1`` — a read of the name as
+    a subscript key — as a local binding, blocking the module-constant
+    fallback on a clean site). The keys of the returned dict are
+    therefore exactly the scope's locally-bound names: a Name absent
+    from it is safe to resolve against module-level assignments."""
     out: dict[str, list["ast.expr | None"]] = {}
 
-    def bind(tgt: ast.expr, value: "ast.expr | None") -> None:
+    def poison_name(name: str) -> None:
+        out.setdefault(name, []).append(None)
+
+    def poison(node: ast.AST) -> None:
+        for n in ast.walk(node):
+            if isinstance(n, ast.Name) and isinstance(n.ctx, ast.Store):
+                poison_name(n.id)
+
+    def model(tgt: ast.expr, value: ast.expr) -> None:
         if isinstance(tgt, ast.Name):
             out.setdefault(tgt.id, []).append(value)
-        elif isinstance(tgt, (ast.Tuple, ast.List)) and isinstance(
-            value, (ast.Tuple, ast.List)
-        ) and len(tgt.elts) == len(value.elts):
-            for t, v in zip(tgt.elts, value.elts):
-                bind(t, v)
-
-    for node in nodes:
-        if isinstance(node, ast.Assign):
-            for tgt in node.targets:
-                bind(tgt, node.value)
-        elif isinstance(node, ast.AnnAssign) and node.value is not None:
-            bind(node.target, node.value)
-        elif isinstance(node, ast.AugAssign) and isinstance(
-            node.target, ast.Name
+        elif (
+            isinstance(tgt, (ast.Tuple, ast.List))
+            and isinstance(value, (ast.Tuple, ast.List))
+            and len(tgt.elts) == len(value.elts)
+            and not any(isinstance(e, ast.Starred) for e in tgt.elts)
+            and not any(isinstance(e, ast.Starred) for e in value.elts)
         ):
-            out.setdefault(node.target.id, []).append(None)
-    return out
-
-
-def _bound_names(nodes) -> set[str]:
-    """Every name BOUND anywhere in a scope's subtree, in any form:
-    assignment targets (plain/annotated/augmented/walrus), function
-    parameters, loop / with / except / comprehension targets, imports,
-    nested def/class names. Used by the module-constant fallback (r14
-    ADVICE #3): a Name may fall back to a module-level assignment only
-    if NOTHING in the scope binds it — any local binding (even one the
-    resolver can't evaluate, like a parameter) shadows the module
-    constant, and the site must dead-end visibly instead of resolving
-    to the wrong value."""
-    bound: set[str] = set()
-
-    def targets(t: ast.AST) -> None:
-        for n in ast.walk(t):
-            if isinstance(n, ast.Name):
-                bound.add(n.id)
+            for t, v in zip(tgt.elts, value.elts):
+                model(t, v)
+        else:
+            poison(tgt)
 
     def params(a: ast.arguments) -> None:
         for arg in a.posonlyargs + a.args + a.kwonlyargs:
-            bound.add(arg.arg)
+            poison_name(arg.arg)
         if a.vararg:
-            bound.add(a.vararg.arg)
+            poison_name(a.vararg.arg)
         if a.kwarg:
-            bound.add(a.kwarg.arg)
+            poison_name(a.kwarg.arg)
 
     for node in nodes:
         if isinstance(node, ast.Assign):
             for tgt in node.targets:
-                targets(tgt)
-        elif isinstance(node, (ast.AnnAssign, ast.AugAssign, ast.NamedExpr)):
-            targets(node.target)
+                model(tgt, node.value)
+        elif isinstance(node, ast.AnnAssign):
+            if node.value is not None:
+                model(node.target, node.value)
+            # a bare annotation (``x: str``) binds nothing at runtime
+        elif isinstance(node, (ast.AugAssign, ast.NamedExpr)):
+            poison(node.target)
         elif isinstance(node, (ast.For, ast.AsyncFor)):
-            targets(node.target)
+            poison(node.target)
         elif isinstance(node, ast.comprehension):
-            targets(node.target)
+            poison(node.target)
         elif isinstance(node, ast.withitem):
             if node.optional_vars is not None:
-                targets(node.optional_vars)
+                poison(node.optional_vars)
         elif isinstance(node, ast.ExceptHandler):
             if node.name:
-                bound.add(node.name)
+                poison_name(node.name)
         elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            bound.add(node.name)
+            poison_name(node.name)
             params(node.args)
         elif isinstance(node, ast.Lambda):
             params(node.args)
         elif isinstance(node, ast.ClassDef):
-            bound.add(node.name)
+            poison_name(node.name)
         elif isinstance(node, (ast.Import, ast.ImportFrom)):
             for alias in node.names:
-                bound.add((alias.asname or alias.name).split(".")[0])
+                poison_name((alias.asname or alias.name).split(".")[0])
         elif isinstance(node, (ast.Global, ast.Nonlocal)):
             # declares the names rebindable here — treat as shadowing
-            bound.update(node.names)
-    return bound
+            for name in node.names:
+                poison_name(name)
+        elif isinstance(node, (ast.MatchAs, ast.MatchStar)):
+            if node.name:
+                poison_name(node.name)
+        elif isinstance(node, ast.MatchMapping):
+            if node.rest:
+                poison_name(node.rest)
+    return out
 
 
 def _schema_arg(call: ast.Call) -> "ast.expr | None":
@@ -459,7 +478,6 @@ def _offending_structfields(expr: ast.expr) -> list[str]:
 def _resolve_schema_exprs(
     schema: ast.expr,
     assigns: "dict[str, list[ast.expr | None]]",
-    bound: "set[str] | None" = None,
     module_assigns: "dict[str, list[ast.expr | None]] | None" = None,
     max_depth: int = 8,
 ) -> "tuple[list[ast.expr], list[str]]":
@@ -479,31 +497,43 @@ def _resolve_schema_exprs(
     — r14 review finding #2).
 
     A Name absent from ``assigns`` falls back to ``module_assigns``
-    when ``bound`` does not contain it (r14 ADVICE #3: a def passing
-    an id-free module-level DDL constant must resolve to that constant
-    and pass, not flag ``<unresolved>`` and force a bogus guard).
-    Any local binding — a parameter, loop variable, import — shadows
-    the module constant and blocks the fallback, so the shadowed/
-    ambiguous case still dead-ends visibly. Once resolution crosses
-    into module scope it stays there: a module constant aliasing
-    another name resolves against module assignments only, never back
-    into the function's locals (lexical scoping, not dynamic).
+    (r14 ADVICE #3: a def passing an id-free module-level DDL constant
+    must resolve to that constant and pass, not flag ``<unresolved>``
+    and force a bogus guard). ``assigns`` records EVERY local binding
+    form — a parameter, loop variable, import, match capture — as a
+    value or a poison (``_scope_bindings``), so presence in it is
+    exactly the shadow test: a locally-bound-but-unmodeled name
+    dead-ends visibly instead of resolving to the wrong (module)
+    value. Once resolution crosses into module scope it stays there: a
+    module constant aliasing another name resolves against module
+    assignments only, never back into the function's locals (lexical
+    scoping, not dynamic).
 
-    A Name with a ``None`` poison entry (bound by ``+=`` somewhere in
-    the scope — r14 ADVICE #1) is ALWAYS unresolved: the resolver
-    cannot model order-sensitive concatenation, and resolving only the
-    plain assignments would read partial resolution as complete.
-    ``.format(...)`` calls and ``%``-interpolation in schema position
-    land in ``unresolved`` as ``str.format/% composition`` (r14 ADVICE
-    #2) — their substituted values are statically untraceable, and the
-    literal fragments alone (``"{} long".format(id_col)``) carry no
-    id-like token for the DDL pass to catch.
+    A Name with a ``None`` poison entry (bound anywhere in the scope
+    by a form the order-insensitive resolver cannot model — ``+=``,
+    walrus, a loop/with/except target, an import, a match pattern, a
+    parameter; r14 ADVICE #1, generalized by the r15 review) is ALWAYS
+    unresolved: resolving only the plain assignments would read
+    partial resolution as complete. ``.format(...)`` calls and
+    ``%``-interpolation ANYWHERE in a resolved schema expression land
+    in ``unresolved`` as ``str.format/% composition`` (r14 ADVICE #2;
+    subtree scan, not outermost-only — r15 review finding #3:
+    ``"{} long".format(id_col).strip()`` hid the composition behind
+    the chained call) — their substituted values are statically
+    untraceable, and the literal fragments alone (``"{} long"``)
+    carry no id-like token for the DDL pass to catch.
+
+    Cycle detection keys the recursion stack on ``(env, name)``, not
+    the bare name (r15 review finding #4: a module-scope chain passing
+    through a name equal to an already-traversed LOCAL name — local
+    ``sch = CONST`` where module ``CONST = sch`` — falsely dead-ended
+    as a cycle on the shared name ``sch``).
 
     Returns ``(resolved exprs, unresolved descriptions)``: a Name that
-    dead-ends (parameter, unshadowed-but-absent global, import, cycle,
-    depth cap, poison) or a composition call lands in ``unresolved``
-    so the caller flags the site visibly instead of skipping it. Names
-    nested in OTHER constructor positions (call arguments like
+    dead-ends (poisoned local binding, unshadowed-but-absent global,
+    cycle, depth cap) or a composition lands in ``unresolved`` so the
+    caller flags the site visibly instead of skipping it. Names nested
+    in OTHER constructor positions (call arguments like
     ``StructType(fields)``, comprehensions) are NOT traced — the
     documented reach limit, backstopped by the task-time safe-Arrow
     pin."""
@@ -513,21 +543,19 @@ def _resolve_schema_exprs(
             values = assigns.get(name)
             if values is not None:
                 return values, "local"
-            if (bound is None or name not in bound) and module_assigns:
-                return module_assigns.get(name), "module"
-            return None, "local"
         return (module_assigns or {}).get(name), "module"
 
     def expand(expr: ast.expr, stack: frozenset, env: str) -> "tuple[list, list]":
         if isinstance(expr, ast.Name):
-            if expr.id in stack or len(stack) >= max_depth:
+            if len(stack) >= max_depth:
                 return [], [expr.id]
             values, venv = lookup(expr.id, env)
-            if not values or any(v is None for v in values):
+            key = (venv, expr.id)
+            if key in stack or not values or any(v is None for v in values):
                 return [], [expr.id]
             resolved, unresolved = [], []
             for v in values:
-                r, u = expand(v, stack | {expr.id}, venv)
+                r, u = expand(v, stack | {key}, venv)
                 resolved += r
                 unresolved += u
             return resolved, unresolved
@@ -539,18 +567,30 @@ def _resolve_schema_exprs(
             r1, u1 = expand(expr.left, stack, env)
             r2, u2 = expand(expr.right, stack, env)
             return r1 + r2, u1 + u2
-        if isinstance(expr, ast.BinOp) and isinstance(expr.op, ast.Mod):
-            return [], ["str.format/% composition"]
-        if (
-            isinstance(expr, ast.Call)
-            and isinstance(expr.func, ast.Attribute)
-            and expr.func.attr == "format"
-        ):
-            return [], ["str.format/% composition"]
-        return [expr], []
+        unresolved = (
+            ["str.format/% composition"] if _has_composition(expr) else []
+        )
+        return [expr], unresolved
 
     resolved, unresolved = expand(schema, frozenset(), "local")
     return resolved, sorted(set(unresolved))
+
+
+def _has_composition(expr: ast.expr) -> bool:
+    """True if the expression's subtree contains ``.format(...)`` or a
+    ``%`` interpolation — statically untraceable string composition
+    that must flag visibly wherever it sits in the schema expression,
+    not only at the outermost position (r15 review finding #3)."""
+    for n in ast.walk(expr):
+        if isinstance(n, ast.BinOp) and isinstance(n.op, ast.Mod):
+            return True
+        if (
+            isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Attribute)
+            and n.func.attr == "format"
+        ):
+            return True
+    return False
 
 
 def _callee_name(call: ast.Call) -> str:
@@ -584,13 +624,12 @@ def audit_source(source: str, module: str) -> list[IdSchemaSite]:
     # fallback environment for Names a scope reads but never binds
     # (r14 ADVICE #3). The AugAssign poison applies here too: a module
     # constant built up via ``+=`` is unresolvable for everyone.
-    module_assigns = _local_assignments(_walk_skipping(tree, _PSEUDO_SKIP))
+    module_assigns = _scope_bindings(_walk_skipping(tree, _PSEUDO_SKIP))
     for fn_name, fn, pseudo in _iter_scopes(tree):
         site_nodes = (
             list(_walk_skipping(fn, _PSEUDO_SKIP)) if pseudo else list(ast.walk(fn))
         )
-        assigns = _local_assignments(site_nodes)
-        bound = _bound_names(site_nodes)
+        assigns = _scope_bindings(site_nodes)
         guarded = any(
             isinstance(n, ast.Call) and _callee_name(n) == GUARD_NAME
             for n in _walk_skipping(fn, _PSEUDO_SKIP if pseudo else _FN_SKIP)
@@ -606,7 +645,7 @@ def audit_source(source: str, module: str) -> list[IdSchemaSite]:
             if schema is None:
                 continue
             exprs, unresolved = _resolve_schema_exprs(
-                schema, assigns, bound, module_assigns
+                schema, assigns, module_assigns
             )
             # An unresolvable schema Name flags the site rather than
             # silently passing it (r13 ADVICE #1): the reviewer either
