@@ -648,6 +648,91 @@ def test_green_subscript_key_read_does_not_block_module_fallback():
     assert sites == []
 
 
+def test_red_global_rebound_module_constant_is_poisoned():
+    """r15 review second pass, finding #1: a module constant rebound
+    via ``global`` in any function may carry a runtime value no static
+    literal reflects — the fallback previously resolved it to the
+    stale id-free literal and an id-typed site passed silently."""
+    sites = _audit(
+        """
+        OUT_SCHEMA = "value double"
+
+        def setup(id_col):
+            global OUT_SCHEMA
+            OUT_SCHEMA = f"{id_col} long, value double"
+
+        def bad_global_read(df):
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=OUT_SCHEMA)
+        """
+    )
+    flagged = {s.function: s.columns for s in sites}
+    assert flagged.get("bad_global_read") == (
+        "<unresolved schema: OUT_SCHEMA>",
+    )
+
+
+def test_red_nested_local_does_not_supply_value_to_outer_read():
+    """r15 review second pass, finding #2 (false-pass half): a nested
+    kernel's id-free local previously resolved an OUTER read of the
+    same name, although at runtime the outer read hits the id-typed
+    MODULE constant — the site passed silently. Nested bindings now
+    poison instead of supplying values."""
+    sites = _audit(
+        """
+        sch = "query_id long, value double"
+
+        def bad_outer_read(df):
+            def k(batches):
+                sch = "value double"
+                yield None
+            return df.mapInPandas(k, schema=sch)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("<unresolved schema: sch>",)
+
+
+def test_red_module_constant_resolves_when_nothing_shadows():
+    """Control for the nested-poison rule: without the nested local,
+    the same outer read resolves through the fallback and flags the
+    ACTUAL id column."""
+    sites = _audit(
+        """
+        sch = "query_id long, value double"
+
+        def bad_outer_read(df):
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=sch)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("query_id long",)
+
+
+def test_red_nested_param_collision_blocks_fallback_conservatively():
+    """r15 review second pass, finding #2 (false-flag half), pinned as
+    the intended conservative direction: a nested-def parameter
+    colliding with the module constant's name makes the outer read
+    ambiguous (the lint can't tell which side of the closure boundary
+    the site sits on), so it dead-ends VISIBLY rather than resolving —
+    review-forcing, never silent."""
+    sites = _audit(
+        """
+        OUT_SCHEMA = "value double"
+
+        def ambiguous(df):
+            def k(batches, OUT_SCHEMA):
+                yield None
+            return df.mapInPandas(k, schema=OUT_SCHEMA)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("<unresolved schema: OUT_SCHEMA>",)
+
+
 def test_red_default_parameter_schema_is_poisoned_not_trusted():
     """Consequence of the generalized poison rule, pinned on purpose:
     the common ``schema=None`` parameter defaulted inside the body is

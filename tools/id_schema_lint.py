@@ -98,7 +98,14 @@ Known reach limits (documented, not silent):
   the body, which must be reviewed rather than trusted;
 - ``.format()`` / ``%`` composition likewise flags visibly rather
   than tracing the substituted values, wherever it sits in the
-  schema expression's subtree.
+  schema expression's subtree;
+- the closure boundary is not modeled: a name bound anywhere inside a
+  nested def/lambda (including its parameters) poisons the OUTER
+  scope's reads of that name — never supplies a value, never blocks
+  silently — so a nested-def parameter colliding with a module
+  constant's name forces a review instead of resolving either way; a
+  ``global`` declaration anywhere in the module poisons the module
+  constant for every scope's fallback.
 
 Either way a smuggled mismatch still fails its own pandas->Arrow cast
 loudly at task time under the session-wide safe-conversion pin — this
@@ -278,9 +285,17 @@ def _scope_bindings(nodes) -> "dict[str, list[ast.expr | None]]":
     Names (r15 review finding #5: collecting every Name in the target
     subtree counted ``cache[OUT_SCHEMA] = 1`` — a read of the name as
     a subscript key — as a local binding, blocking the module-constant
-    fallback on a clean site). The keys of the returned dict are
-    therefore exactly the scope's locally-bound names: a Name absent
-    from it is safe to resolve against module-level assignments."""
+    fallback on a clean site).
+
+    Callers decide WHICH nodes constitute the scope: ``audit_source``
+    feeds a real function's OWN statements (its parameters and
+    everything outside nested defs/lambdas) for values, then poisons
+    every name bound inside nested defs separately — nested bindings
+    must never SUPPLY a value to the outer scope (r15 review second
+    pass: a nested kernel's id-free ``sch`` local silently resolved an
+    outer read that at runtime hit the id-typed MODULE constant). With
+    that split, the keys of the combined dict are exactly the names
+    that must not fall back to module-level assignments."""
     out: dict[str, list["ast.expr | None"]] = {}
 
     def poison_name(name: str) -> None:
@@ -625,11 +640,37 @@ def audit_source(source: str, module: str) -> list[IdSchemaSite]:
     # (r14 ADVICE #3). The AugAssign poison applies here too: a module
     # constant built up via ``+=`` is unresolvable for everyone.
     module_assigns = _scope_bindings(_walk_skipping(tree, _PSEUDO_SKIP))
+    # A name declared ``global`` in ANY function may be rebound at
+    # runtime to a value no static constant reflects — the fallback
+    # must treat the module "constant" as unresolvable (r15 review
+    # second pass: ``global OUT_SCHEMA`` in a setup function let an
+    # id-typed runtime schema resolve to the id-free module literal
+    # and pass silently).
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Global):
+            for name in node.names:
+                module_assigns.setdefault(name, []).append(None)
     for fn_name, fn, pseudo in _iter_scopes(tree):
-        site_nodes = (
-            list(_walk_skipping(fn, _PSEUDO_SKIP)) if pseudo else list(ast.walk(fn))
-        )
-        assigns = _scope_bindings(site_nodes)
+        if pseudo:
+            site_nodes = list(_walk_skipping(fn, _PSEUDO_SKIP))
+            assigns = _scope_bindings(site_nodes)
+        else:
+            # Site walk covers nested defs (the kernel-closure rule),
+            # but VALUES come only from the function's own statements
+            # (+ its parameters, which poison). Names bound inside
+            # nested defs/lambdas poison the outer scope instead of
+            # supplying values: a nested binding neither resolves an
+            # outer read (r15 review second pass — false pass) nor
+            # silently vanishes; a colliding nested-def parameter
+            # still blocks the module fallback conservatively (the
+            # visible, review-forcing direction — documented limit).
+            site_nodes = list(ast.walk(fn))
+            own_nodes = [fn] + list(_walk_skipping(fn, _FN_SKIP))
+            assigns = _scope_bindings(own_nodes)
+            own_ids = {id(n) for n in own_nodes}
+            nested = [n for n in site_nodes if id(n) not in own_ids]
+            for name in _scope_bindings(nested):
+                assigns.setdefault(name, []).append(None)
         guarded = any(
             isinstance(n, ast.Call) and _callee_name(n) == GUARD_NAME
             for n in _walk_skipping(fn, _PSEUDO_SKIP if pseudo else _FN_SKIP)
