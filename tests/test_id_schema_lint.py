@@ -677,8 +677,10 @@ def test_red_nested_local_does_not_supply_value_to_outer_read():
     """r15 review second pass, finding #2 (false-pass half): a nested
     kernel's id-free local previously resolved an OUTER read of the
     same name, although at runtime the outer read hits the id-typed
-    MODULE constant — the site passed silently. Nested bindings now
-    poison instead of supplying values."""
+    MODULE constant — the site passed silently. Under the lexical
+    chain (third pass) the outer read skips the nested binding
+    entirely and resolves the module constant, flagging the ACTUAL id
+    column."""
     sites = _audit(
         """
         sch = "query_id long, value double"
@@ -691,7 +693,7 @@ def test_red_nested_local_does_not_supply_value_to_outer_read():
         """
     )
     assert len(sites) == 1
-    assert sites[0].columns == ("<unresolved schema: sch>",)
+    assert sites[0].columns == ("query_id long",)
 
 
 def test_red_module_constant_resolves_when_nothing_shadows():
@@ -712,25 +714,97 @@ def test_red_module_constant_resolves_when_nothing_shadows():
     assert sites[0].columns == ("query_id long",)
 
 
-def test_red_nested_param_collision_blocks_fallback_conservatively():
-    """r15 review second pass, finding #2 (false-flag half), pinned as
-    the intended conservative direction: a nested-def parameter
-    colliding with the module constant's name makes the outer read
-    ambiguous (the lint can't tell which side of the closure boundary
-    the site sits on), so it dead-ends VISIBLY rather than resolving —
-    review-forcing, never silent."""
+def test_green_nested_param_collision_resolves_lexically():
+    """r15 review second pass, finding #2 (false-flag half), resolved
+    outright by the third pass's lexical chains: a nested-def
+    parameter shadows only INSIDE the nested def, so the outer read
+    resolves the id-free module constant — Python's actual runtime
+    behavior — and the clean site passes with no bogus guard."""
     sites = _audit(
         """
         OUT_SCHEMA = "value double"
 
-        def ambiguous(df):
+        def fine_lexical(df):
             def k(batches, OUT_SCHEMA):
                 yield None
             return df.mapInPandas(k, schema=OUT_SCHEMA)
         """
     )
+    assert sites == []
+
+
+def test_red_inner_site_resolves_nested_defs_own_locals():
+    """r15 review third pass, finding #3: under the own/nested poison
+    split, a site INSIDE a nested def could no longer resolve the
+    nested def's own locals — a clean id-free inner site flagged
+    <unresolved>, and an id-typed one lost column precision. The
+    lexical chain resolves the inner scope first: the id-free variant
+    passes, the id-typed variant flags the actual column."""
+    clean = _audit(
+        """
+        def outer(df, spark):
+            def k(batches):
+                sch = "value double"
+                yield spark.createDataFrame([], schema=sch)
+            return df.mapInPandas(k, schema="value double")
+        """
+    )
+    assert clean == []
+    dirty = _audit(
+        """
+        def outer(df, spark):
+            def k(batches):
+                sch = "query_id long, value double"
+                yield spark.createDataFrame([], schema=sch)
+            return df.mapInPandas(k, schema="value double")
+        """
+    )
+    assert len(dirty) == 1
+    assert dirty[0].columns == ("query_id long",)
+    assert dirty[0].function == "outer"  # ownership stays outermost
+
+
+def test_red_class_body_nested_in_function_does_not_supply_value():
+    """r15 review third pass, finding #2: a ClassDef nested inside a
+    function still SUPPLIED its class-body bindings to the outer
+    scope — the identical silent-false-pass shape as the nested-def
+    case. At runtime the outer read skips the class scope and hits
+    the id-typed module constant, so the site must flag it."""
+    sites = _audit(
+        """
+        sch = "query_id long, value double"
+
+        def outer(df):
+            class Cfg:
+                sch = "value double"
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=sch)
+        """
+    )
     assert len(sites) == 1
-    assert sites[0].columns == ("<unresolved schema: OUT_SCHEMA>",)
+    assert sites[0].columns == ("query_id long",)
+
+
+def test_red_module_level_site_sees_global_rebind_poison():
+    """r15 review third pass, finding #1: the Global poison was only
+    applied to the fallback env, but a MODULE-LEVEL site resolves the
+    constant from the <module> pseudo-scope's own assigns, which held
+    the stale un-poisoned literal — the exact false pass the second
+    pass closed for function scopes, surviving at module level."""
+    sites = _audit(
+        """
+        OUT_SCHEMA = "value double"
+
+        def setup(id_col):
+            global OUT_SCHEMA
+            OUT_SCHEMA = f"{id_col} long, value double"
+
+        PROBE = spark.createDataFrame([(1.0,)], schema=OUT_SCHEMA)
+        """
+    )
+    flagged = {s.function: s.columns for s in sites}
+    assert flagged.get("<module>") == ("<unresolved schema: OUT_SCHEMA>",)
 
 
 def test_red_default_parameter_schema_is_poisoned_not_trusted():

@@ -37,22 +37,24 @@ Detection (pure AST, no imports of the audited modules):
   — r13 ADVICE #1; diamonds re-resolve cleanly, r14 review finding
   #1), covering plain, annotated, and same-length tuple-unpacking
   assignments, and descends through ``IfExp`` branches and
-  ``+``-concat operands (r14 review finding #2). A Name absent from
-  the scope's own bindings falls back to MODULE-LEVEL assignments
-  (r14 ADVICE #3: an id-free module DDL constant must not force a
-  bogus guard); any STORE-context local binding of the name —
-  parameter, loop/with/except target, import, match capture — shadows
-  the module constant and blocks the fallback, so shadowed/ambiguous
-  cases still dead-end visibly (reads of the name, e.g. as a
-  subscript key, do not block it — r15 review finding #5). A Name
-  bound anywhere in the scope by a form the order-insensitive
+  ``+``-concat operands (r14 review finding #2). Names resolve
+  against the SITE'S LEXICAL CHAIN — the nearest enclosing scope,
+  then enclosing function scopes outward (class bodies are invisible
+  to code nested in them), then module-level assignments (r14 ADVICE
+  #3: an id-free module DDL constant must not force a bogus guard;
+  rebuilt as real per-site chains by the r15 review, whose earlier
+  flat-scope form both leaked nested-def bindings into outer reads —
+  a silent false pass — and let nested parameters block clean
+  module-constant reads). Only STORE-context bindings shadow (reads
+  of the name, e.g. as a subscript key, do not — r15 review finding
+  #5). A Name whose winning binding is a form the order-insensitive
   resolver cannot model — ``+=``, walrus, a loop/with/except/match
   target, an import, a parameter — is POISONED: partial resolution
-  must never read as complete, so the whole name flags as unresolved
-  (r14 ADVICE #1, generalized from AugAssign-only by the r15 review).
-  A Name that dead-ends — poisoned, unshadowed-but-absent global,
-  assignment cycle (keyed per (scope, name) — r15 review finding #4),
-  or depth cap — is NOT silently skipped: the site flags with an
+  must never read as complete, so the name flags as unresolved (r14
+  ADVICE #1, generalized from AugAssign-only by the r15 review). A
+  Name that dead-ends — poisoned, absent everywhere, assignment
+  cycle (keyed per (scope, name) — r15 review finding #4), or depth
+  cap — is NOT silently skipped: the site flags with an
   ``<unresolved schema: name>`` column so it gets reviewed (guarded
   or allowlisted) instead of invisibly passing. ``.format(...)``
   calls and ``%``-interpolation ANYWHERE in a resolved schema
@@ -99,13 +101,13 @@ Known reach limits (documented, not silent):
 - ``.format()`` / ``%`` composition likewise flags visibly rather
   than tracing the substituted values, wherever it sits in the
   schema expression's subtree;
-- the closure boundary is not modeled: a name bound anywhere inside a
-  nested def/lambda (including its parameters) poisons the OUTER
-  scope's reads of that name — never supplies a value, never blocks
-  silently — so a nested-def parameter colliding with a module
-  constant's name forces a review instead of resolving either way; a
-  ``global`` declaration anywhere in the module poisons the module
-  constant for every scope's fallback.
+- scoping is static LEGB (per-site lexical environment chains through
+  nested defs, class scopes invisible to nested functions, module
+  fallback) — but STATEMENT ORDER within a scope is not modeled: all
+  of a scope's plain assignments contribute as alternatives
+  regardless of position, and a name declared ``global`` anywhere in
+  the module poisons the module constant for every reader (its
+  runtime value is order-dependent).
 
 Either way a smuggled mismatch still fails its own pandas->Arrow cast
 loudly at task time under the session-wide safe-conversion pin — this
@@ -287,15 +289,16 @@ def _scope_bindings(nodes) -> "dict[str, list[ast.expr | None]]":
     a subscript key — as a local binding, blocking the module-constant
     fallback on a clean site).
 
-    Callers decide WHICH nodes constitute the scope: ``audit_source``
-    feeds a real function's OWN statements (its parameters and
-    everything outside nested defs/lambdas) for values, then poisons
-    every name bound inside nested defs separately — nested bindings
-    must never SUPPLY a value to the outer scope (r15 review second
-    pass: a nested kernel's id-free ``sch`` local silently resolved an
-    outer read that at runtime hit the id-typed MODULE constant). With
-    that split, the keys of the combined dict are exactly the names
-    that must not fall back to module-level assignments."""
+    Callers decide WHICH nodes constitute the scope: ``_scope_env``
+    feeds one scope's OWN statements (everything outside nested
+    def/class/lambda bodies — their heads contribute only the bound
+    NAME) plus that scope's own parameters, so a binding never leaks
+    across a scope boundary in either direction (r15 review second and
+    third passes: a nested kernel's id-free local silently resolved an
+    outer read that at runtime hit the id-typed MODULE constant, and a
+    function-nested class body did the same; nested-def params blocked
+    clean module-constant reads). Cross-scope resolution is the
+    resolver's job, via explicit lexical environment chains."""
     out: dict[str, list["ast.expr | None"]] = {}
 
     def poison_name(name: str) -> None:
@@ -321,14 +324,6 @@ def _scope_bindings(nodes) -> "dict[str, list[ast.expr | None]]":
         else:
             poison(tgt)
 
-    def params(a: ast.arguments) -> None:
-        for arg in a.posonlyargs + a.args + a.kwonlyargs:
-            poison_name(arg.arg)
-        if a.vararg:
-            poison_name(a.vararg.arg)
-        if a.kwarg:
-            poison_name(a.kwarg.arg)
-
     for node in nodes:
         if isinstance(node, ast.Assign):
             for tgt in node.targets:
@@ -350,10 +345,12 @@ def _scope_bindings(nodes) -> "dict[str, list[ast.expr | None]]":
             if node.name:
                 poison_name(node.name)
         elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            # the def STATEMENT binds its name in the enclosing scope;
+            # its parameters belong to the def's OWN scope and are
+            # added by _scope_env for that scope only (r15 review
+            # third pass: poisoning nested-def params into the
+            # enclosing env blocked clean module-constant reads)
             poison_name(node.name)
-            params(node.args)
-        elif isinstance(node, ast.Lambda):
-            params(node.args)
         elif isinstance(node, ast.ClassDef):
             poison_name(node.name)
         elif isinstance(node, (ast.Import, ast.ImportFrom)):
@@ -370,6 +367,73 @@ def _scope_bindings(nodes) -> "dict[str, list[ast.expr | None]]":
             if node.rest:
                 poison_name(node.rest)
     return out
+
+
+_SCOPE_NODES = (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda, ast.ClassDef)
+
+
+def _scope_env(scope: ast.AST) -> "dict[str, list[ast.expr | None]]":
+    """One scope node's own binding environment: its direct statements
+    (nested def/class/lambda bodies excluded — their heads contribute
+    only the name they bind) plus, for defs/lambdas, the scope's own
+    parameters as poison (caller-controlled values the resolver cannot
+    model)."""
+    env = _scope_bindings(_walk_skipping(scope, _PSEUDO_SKIP))
+    if isinstance(scope, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)):
+        a = scope.args
+        for arg in a.posonlyargs + a.args + a.kwonlyargs:
+            env.setdefault(arg.arg, []).append(None)
+        if a.vararg:
+            env.setdefault(a.vararg.arg, []).append(None)
+        if a.kwarg:
+            env.setdefault(a.kwarg.arg, []).append(None)
+    return env
+
+
+def _site_owners(fn: ast.AST) -> "tuple[dict[int, ast.AST], dict[int, ast.AST | None]]":
+    """``(owners, parents)``: ``owners`` maps id(node) -> nearest
+    enclosing scope node (def/class/lambda; ``fn`` itself for its
+    direct body) for every node under ``fn``; ``parents`` maps
+    id(scope node) -> its enclosing scope node (None for ``fn``). The
+    kernel-closure rule keeps SITE OWNERSHIP (findings, guards,
+    allowlisting) at the outermost function; these maps only decide
+    which lexical environment chain resolves each site's names (r15
+    review third pass: a site inside a nested def must resolve the
+    nested def's own locals, not the outer scope's)."""
+    owners: "dict[int, ast.AST]" = {id(fn): fn}
+    parents: "dict[int, ast.AST | None]" = {id(fn): None}
+
+    def walk(node: ast.AST, owner: ast.AST) -> None:
+        for child in ast.iter_child_nodes(node):
+            if isinstance(child, _SCOPE_NODES):
+                parents[id(child)] = owner
+                owners[id(child)] = child
+                walk(child, child)
+            else:
+                owners[id(child)] = owner
+                walk(child, owner)
+
+    walk(fn, fn)
+    return owners, parents
+
+
+def _env_chain(
+    scope: ast.AST,
+    parents: "dict[int, ast.AST | None]",
+    env_cache: "dict[int, dict]",
+) -> "list[dict]":
+    """Lexical environment chain for reads FROM ``scope``, innermost
+    first: the scope's own env, then every enclosing FUNCTION scope's
+    env. Enclosing CLASS bodies are skipped — Python class scopes are
+    invisible to code nested inside them (only the class's own body
+    reads them, which the ``scope is own`` head covers)."""
+    chain = [env_cache[id(scope)]]
+    cur = parents.get(id(scope))
+    while cur is not None:
+        if not isinstance(cur, ast.ClassDef):
+            chain.append(env_cache[id(cur)])
+        cur = parents.get(id(cur))
+    return chain
 
 
 def _schema_arg(call: ast.Call) -> "ast.expr | None":
@@ -492,11 +556,13 @@ def _offending_structfields(expr: ast.expr) -> list[str]:
 
 def _resolve_schema_exprs(
     schema: ast.expr,
-    assigns: "dict[str, list[ast.expr | None]]",
+    envs: "list[dict[str, list[ast.expr | None]]]",
     module_assigns: "dict[str, list[ast.expr | None]] | None" = None,
     max_depth: int = 8,
 ) -> "tuple[list[ast.expr], list[str]]":
-    """Resolve a schema expression to its non-Name value expressions.
+    """Resolve a schema expression to its non-Name value expressions,
+    against a LEXICAL environment chain ``envs`` (innermost scope
+    first) with ``module_assigns`` as the outermost fallback.
 
     Name chains (``sch = "..."``; ``schema = sch``) are followed
     transitively up to ``max_depth`` (r13 ADVICE #1: the one-level
@@ -505,62 +571,53 @@ def _resolve_schema_exprs(
     stack), not global — a diamond (two branches assigning
     ``schema = sch``) re-resolves ``sch`` cleanly instead of falsely
     reporting it unresolved (r14 review finding #1); only a true
-    cycle (``a = b; b = a``) or the depth cap dead-ends. Resolution
-    also descends through the string-composition positions a schema
-    value can hide in — ``IfExp`` branches and ``+``-concat operands
-    (``schema=sch if wide else other``, ``schema=sch + ", extra int"``
-    — r14 review finding #2).
+    cycle (``a = b; b = a``) or the depth cap dead-ends, keyed on
+    (binding scope, name), never the bare name (r15 review finding
+    #4: a module chain through a name colliding with a local falsely
+    read as a cycle). Resolution also descends through the
+    string-composition positions a schema value can hide in —
+    ``IfExp`` branches and ``+``-concat operands (r14 review finding
+    #2).
 
-    A Name absent from ``assigns`` falls back to ``module_assigns``
-    (r14 ADVICE #3: a def passing an id-free module-level DDL constant
-    must resolve to that constant and pass, not flag ``<unresolved>``
-    and force a bogus guard). ``assigns`` records EVERY local binding
-    form — a parameter, loop variable, import, match capture — as a
-    value or a poison (``_scope_bindings``), so presence in it is
-    exactly the shadow test: a locally-bound-but-unmodeled name
-    dead-ends visibly instead of resolving to the wrong (module)
-    value. Once resolution crosses into module scope it stays there: a
-    module constant aliasing another name resolves against module
-    assignments only, never back into the function's locals (lexical
-    scoping, not dynamic).
+    Scoping is Python's LEGB minus builtins (r14 ADVICE #3, rebuilt
+    as real lexical chains by the r15 review's third pass): a Name
+    resolves in the innermost chain env that binds it, else in
+    ``module_assigns``; a value found at chain depth *i* resolves its
+    own Names from depth *i* outward (the assignment executes in that
+    scope), never back inward. Each env records EVERY binding form in
+    its scope — a parameter, loop variable, import, match capture —
+    as a value or a ``None`` poison (``_scope_bindings``/
+    ``_scope_env``), so an id-free module DDL constant resolves and
+    passes, while a name whose winning binding is unmodeled (``+=``,
+    walrus, a loop/with/except/match target, an import, a parameter;
+    r14 ADVICE #1, generalized) is ALWAYS unresolved: resolving only
+    the plain assignments would read partial resolution as complete.
 
-    A Name with a ``None`` poison entry (bound anywhere in the scope
-    by a form the order-insensitive resolver cannot model — ``+=``,
-    walrus, a loop/with/except target, an import, a match pattern, a
-    parameter; r14 ADVICE #1, generalized by the r15 review) is ALWAYS
-    unresolved: resolving only the plain assignments would read
-    partial resolution as complete. ``.format(...)`` calls and
-    ``%``-interpolation ANYWHERE in a resolved schema expression land
-    in ``unresolved`` as ``str.format/% composition`` (r14 ADVICE #2;
-    subtree scan, not outermost-only — r15 review finding #3:
-    ``"{} long".format(id_col).strip()`` hid the composition behind
-    the chained call) — their substituted values are statically
-    untraceable, and the literal fragments alone (``"{} long"``)
-    carry no id-like token for the DDL pass to catch.
+    ``.format(...)`` calls and ``%``-interpolation ANYWHERE in a
+    resolved schema expression land in ``unresolved`` as
+    ``str.format/% composition`` (r14 ADVICE #2; subtree scan, not
+    outermost-only — r15 review finding #3) — their substituted
+    values are statically untraceable, and the literal fragments
+    alone (``"{} long"``) carry no id-like token for the DDL pass to
+    catch.
 
-    Cycle detection keys the recursion stack on ``(env, name)``, not
-    the bare name (r15 review finding #4: a module-scope chain passing
-    through a name equal to an already-traversed LOCAL name — local
-    ``sch = CONST`` where module ``CONST = sch`` — falsely dead-ended
-    as a cycle on the shared name ``sch``).
+    Returns ``(resolved exprs, unresolved descriptions)``: a Name
+    that dead-ends (poisoned binding, absent everywhere, cycle, depth
+    cap) or a composition lands in ``unresolved`` so the caller flags
+    the site visibly instead of skipping it. Names nested in OTHER
+    constructor positions (call arguments like ``StructType(fields)``,
+    comprehensions) are NOT traced — the documented reach limit,
+    backstopped by the task-time safe-Arrow pin."""
 
-    Returns ``(resolved exprs, unresolved descriptions)``: a Name that
-    dead-ends (poisoned local binding, unshadowed-but-absent global,
-    cycle, depth cap) or a composition lands in ``unresolved`` so the
-    caller flags the site visibly instead of skipping it. Names nested
-    in OTHER constructor positions (call arguments like
-    ``StructType(fields)``, comprehensions) are NOT traced — the
-    documented reach limit, backstopped by the task-time safe-Arrow
-    pin."""
-
-    def lookup(name: str, env: str) -> "tuple[list | None, str]":
-        if env == "local":
-            values = assigns.get(name)
-            if values is not None:
-                return values, "local"
+    def lookup(name: str, start) -> "tuple[list | None, object]":
+        if start != "module":
+            for i in range(start, len(envs)):
+                values = envs[i].get(name)
+                if values is not None:
+                    return values, i
         return (module_assigns or {}).get(name), "module"
 
-    def expand(expr: ast.expr, stack: frozenset, env: str) -> "tuple[list, list]":
+    def expand(expr: ast.expr, stack: frozenset, env) -> "tuple[list, list]":
         if isinstance(expr, ast.Name):
             if len(stack) >= max_depth:
                 return [], [expr.id]
@@ -587,7 +644,7 @@ def _resolve_schema_exprs(
         )
         return [expr], unresolved
 
-    resolved, unresolved = expand(schema, frozenset(), "local")
+    resolved, unresolved = expand(schema, frozenset(), 0)
     return resolved, sorted(set(unresolved))
 
 
@@ -652,25 +709,42 @@ def audit_source(source: str, module: str) -> list[IdSchemaSite]:
                 module_assigns.setdefault(name, []).append(None)
     for fn_name, fn, pseudo in _iter_scopes(tree):
         if pseudo:
+            # Pseudo-scopes own no nested def/class (extracted by
+            # _iter_scopes), so a fixed chain suffices. <module>
+            # resolves against the module assignments themselves —
+            # which carry the Global poison, so a MODULE-LEVEL site
+            # reading a global-rebound constant dead-ends too (r15
+            # review third pass #1: the pseudo-scope's residue env
+            # previously held the stale un-poisoned literal). A class
+            # body resolves its own bindings first, then module.
             site_nodes = list(_walk_skipping(fn, _PSEUDO_SKIP))
-            assigns = _scope_bindings(site_nodes)
+            chain = (
+                [] if fn_name == "<module>" else [_scope_bindings(site_nodes)]
+            )
+
+            def site_envs(node, _chain=chain):
+                return _chain
+
         else:
-            # Site walk covers nested defs (the kernel-closure rule),
-            # but VALUES come only from the function's own statements
-            # (+ its parameters, which poison). Names bound inside
-            # nested defs/lambdas poison the outer scope instead of
-            # supplying values: a nested binding neither resolves an
-            # outer read (r15 review second pass — false pass) nor
-            # silently vanishes; a colliding nested-def parameter
-            # still blocks the module fallback conservatively (the
-            # visible, review-forcing direction — documented limit).
+            # Site walk covers nested defs (the kernel-closure rule:
+            # ownership — findings, guards, allowlist keys — stays at
+            # the outermost function), but NAME RESOLUTION is lexical
+            # (r15 review third pass): each site resolves against its
+            # nearest enclosing scope's env, then enclosing FUNCTION
+            # scopes outward (class bodies are invisible to code
+            # nested in them), then module. Bindings never leak
+            # across a scope boundary in either direction.
             site_nodes = list(ast.walk(fn))
-            own_nodes = [fn] + list(_walk_skipping(fn, _FN_SKIP))
-            assigns = _scope_bindings(own_nodes)
-            own_ids = {id(n) for n in own_nodes}
-            nested = [n for n in site_nodes if id(n) not in own_ids]
-            for name in _scope_bindings(nested):
-                assigns.setdefault(name, []).append(None)
+            owners, parents = _site_owners(fn)
+            env_cache = {
+                id(s): _scope_env(s)
+                for s in site_nodes
+                if isinstance(s, _SCOPE_NODES)
+            }
+
+            def site_envs(node, _o=owners, _p=parents, _c=env_cache):
+                return _env_chain(_o[id(node)], _p, _c)
+
         guarded = any(
             isinstance(n, ast.Call) and _callee_name(n) == GUARD_NAME
             for n in _walk_skipping(fn, _PSEUDO_SKIP if pseudo else _FN_SKIP)
@@ -686,7 +760,7 @@ def audit_source(source: str, module: str) -> list[IdSchemaSite]:
             if schema is None:
                 continue
             exprs, unresolved = _resolve_schema_exprs(
-                schema, assigns, module_assigns
+                schema, site_envs(node), module_assigns
             )
             # An unresolvable schema Name flags the site rather than
             # silently passing it (r13 ADVICE #1): the reviewer either
