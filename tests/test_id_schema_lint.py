@@ -786,6 +786,69 @@ def test_red_class_body_nested_in_function_does_not_supply_value():
     assert sites[0].columns == ("query_id long",)
 
 
+def test_red_nonlocal_rebound_enclosing_local_is_poisoned():
+    """r15 review fourth pass, finding #1: ``nonlocal`` is ``global``'s
+    function-scope sibling — a nested def rebinding the enclosing
+    function's schema variable makes its runtime value order-dependent,
+    and the lexical chain previously resolved the stale id-free
+    literal, passing an id-typed site silently."""
+    sites = _audit(
+        """
+        def outer(df):
+            sch = "value double"
+            def setup(id_col):
+                nonlocal sch
+                sch = f"{id_col} long, value double"
+            setup("query_id")
+            def k(batches):
+                yield None
+            return df.mapInPandas(k, schema=sch)
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("<unresolved schema: sch>",)
+
+
+def test_red_default_arg_site_resolves_in_enclosing_scope():
+    """r15 review fourth pass, finding #2 (false-pass half): a nested
+    def's header expressions — parameter defaults, decorators,
+    annotations — evaluate in the ENCLOSING scope at definition time,
+    but the owner walk previously attributed them to the def's own
+    scope, so a schema call in a default arg resolved the def's clean
+    local while the runtime default reads the enclosing id-typed
+    binding."""
+    sites = _audit(
+        """
+        def outer(df, spark):
+            sch = "query_id long, value double"
+            def k(batches, probe=spark.createDataFrame([(1,)], schema=sch)):
+                sch = "value double"
+                yield None
+            return df.mapInPandas(k, schema="value double")
+        """
+    )
+    assert len(sites) == 1
+    assert sites[0].columns == ("query_id long",)
+    assert sites[0].call == "createDataFrame"
+
+
+def test_green_default_arg_site_ignores_nested_defs_own_local():
+    """Mirror of the above (false-flag half): enclosing binding clean,
+    nested def's OWN local id-typed — the default expr never reads the
+    nested local, so the site must not flag."""
+    sites = _audit(
+        """
+        def outer(df, spark):
+            sch = "value double"
+            def k(batches, probe=spark.createDataFrame([(1,)], schema=sch)):
+                sch = "query_id long, value double"
+                yield None
+            return df.mapInPandas(k, schema="value double")
+        """
+    )
+    assert sites == []
+
+
 def test_red_module_level_site_sees_global_rebind_poison():
     """r15 review third pass, finding #1: the Global poison was only
     applied to the fallback env, but a MODULE-LEVEL site resolves the

@@ -408,7 +408,28 @@ def _site_owners(fn: ast.AST) -> "tuple[dict[int, ast.AST], dict[int, ast.AST | 
             if isinstance(child, _SCOPE_NODES):
                 parents[id(child)] = owner
                 owners[id(child)] = child
-                walk(child, child)
+                # Only the BODY executes in the new scope. Header
+                # expressions — decorators, parameter defaults,
+                # annotations, class bases/keywords — evaluate in the
+                # ENCLOSING scope at definition time (r15 review
+                # fourth pass #2: a schema call in a nested def's
+                # default arg resolved the def's own clean local
+                # while the runtime default reads the enclosing
+                # scope's id-typed binding — silent false pass, plus
+                # the mirror false flag).
+                body = (
+                    [child.body]
+                    if isinstance(child, ast.Lambda)
+                    else child.body
+                )
+                body_ids = {id(b) for b in body}
+                for part in ast.iter_child_nodes(child):
+                    if id(part) in body_ids:
+                        owners[id(part)] = child
+                        walk(part, child)
+                    else:
+                        owners[id(part)] = owner
+                        walk(part, owner)
             else:
                 owners[id(child)] = owner
                 walk(child, owner)
@@ -735,12 +756,32 @@ def audit_source(source: str, module: str) -> list[IdSchemaSite]:
             # nested in them), then module. Bindings never leak
             # across a scope boundary in either direction.
             site_nodes = list(ast.walk(fn))
+            if not any(
+                isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Attribute)
+                and n.func.attr in _SCHEMA_CALLS
+                for n in site_nodes
+            ):
+                # no schema-taking call anywhere — skip the owner/env
+                # construction (most functions; r15 review fourth
+                # pass #3)
+                continue
             owners, parents = _site_owners(fn)
-            env_cache = {
-                id(s): _scope_env(s)
-                for s in site_nodes
-                if isinstance(s, _SCOPE_NODES)
-            }
+            scopes = [n for n in site_nodes if isinstance(n, _SCOPE_NODES)]
+            env_cache = {id(s): _scope_env(s) for s in scopes}
+            # ``nonlocal`` is ``global``'s function-scope sibling (r15
+            # review fourth pass #1): a nested def rebinding an
+            # enclosing function's name makes that binding's runtime
+            # value order-dependent, so the name is poisoned in every
+            # scope env the declaration sits under (over-poisoning
+            # the intermediate scopes is the visible, review-forcing
+            # direction).
+            for scope in scopes:
+                env = env_cache[id(scope)]
+                for n in ast.walk(scope):
+                    if isinstance(n, ast.Nonlocal):
+                        for name in n.names:
+                            env.setdefault(name, []).append(None)
 
             def site_envs(node, _o=owners, _p=parents, _c=env_cache):
                 return _env_chain(_o[id(node)], _p, _c)
