@@ -372,6 +372,7 @@ def minhash_dedup_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
+    signature_df: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
     candidates → exact Jaccard verification ≥ threshold. Verification is
@@ -391,8 +392,26 @@ def minhash_dedup_pairs(
     (localCheckpoint storage dies with its executor). The checkpoint is
     EAGER by policy: connected-components' auto gate counts the pairs
     before choosing its method, so consumers span multiple driver-side
-    jobs (canonical rules: SCALE.md "Materialization policy")."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    jobs (canonical rules: SCALE.md "Materialization policy").
+
+    ``signature_df`` (r15 optimization): an alternative frame to derive
+    the SIGNATURES from — it must hold exactly the same (id, text) rows
+    as ``df``, differing only in physical layout (the intended use is a
+    ``widen_small_scan``-repartitioned view of the same table, which
+    parallelizes the shingle-explode + md5 signature stage — the
+    pipeline's dominant cost — when the source scan cannot split;
+    measured sf0.1: 1.57 → 1.30 s min-of-4). Verification keeps reading
+    ``df`` directly: its candidate semi-join touches a tiny doc subset,
+    where a widening exchange is pure overhead (measured flat-to-worse
+    when both stages were widened). Row-identical output either way —
+    signatures are per-doc aggregates, invariant to partitioning."""
+    sigs = minhash_signatures(
+        df if signature_df is None else signature_df,
+        text_col,
+        id_col,
+        num_hashes,
+        n,
+    )
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).localCheckpoint()
     return jaccard_for_pairs(df, cands, text_col, id_col, n).filter(
         F.col("jaccard") >= threshold
@@ -562,9 +581,16 @@ def _connected_components_driver(
     ~3× cheaper than materializing per-row ``Row`` objects (measured
     at 600k edges: 1.7 s collect vs 0.6 s Arrow round-trip), which is
     what moves the driver/distributed crossover up to ~10^6 edges.
+    The label frame goes BACK through Arrow too (r15, guide §6 "Arrow
+    for driver transfers"): ``createDataFrame`` over a pandas frame
+    with the Arrow path on costs ~0.025 s where the row-list pickle
+    path measured ~0.33 s warm — the tail that made near_dup_clusters'
+    driver engine pay a third of its budget on output shipping.
     Returns None if any id is NULL (cross-type comparisons in the
     union would be meaningless; production pair generators cannot emit
     NULL ids) so the caller can fall back to the distributed engine."""
+    import pandas as pd
+
     from pyspark.sql.types import StructField, StructType
 
     id_type = pairs.schema[id_a].dataType
@@ -597,7 +623,13 @@ def _connected_components_driver(
     )
     labels = [(node, find(node)) for node in parent]
     spark = pairs.sparkSession
-    return spark.createDataFrame(labels, out_schema)
+    if not labels:
+        # An empty pandas frame carries object dtypes that the Arrow
+        # conversion cannot coerce to the id type — build the empty
+        # frame from the schema directly.
+        return spark.createDataFrame([], out_schema)
+    pdf = pd.DataFrame(labels, columns=[id_a, "cluster_id"])
+    return spark.createDataFrame(pdf, out_schema)
 
 
 def _cc_canonical_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:

@@ -37,6 +37,7 @@ from realtime_voting_data_engineering_spark.operators import relational as R
 from realtime_voting_data_engineering_spark.sources.tables import (
     load_events,
     load_table,
+    widen_small_scan,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -404,13 +405,38 @@ def parse_vote_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-aggregate with 8 measures. The filter
     and the 7-column projection push into the parquet scan; everything
-    else is one partial+final hash aggregate over 4 groups."""
+    else is one partial+final hash aggregate over 4 groups.
+
+    The six isnan/Infinity-guarded decimal-CASE measures are the
+    heaviest per-row expression stack in the TPC-H panel, and the
+    corpus's single-row-group layout pins the whole scan→partial-agg
+    pipeline to ONE core — ``widen_small_scan`` (r15, guide §2.2)
+    round-robins the filtered, projected rows across the session's
+    slots when (and only when) the table provably fits in one scan
+    split. Placed after the filter and an explicit 6-column select so
+    the pushdown/pruning pins above still hold and the exchange carries
+    only surviving bytes. Measured sf0.1 min-of-3: 1.32 → 0.84 s; at
+    any multi-split deployment the plan is unchanged."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        widen_small_scan(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+            ).select(
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_returnflag",
+                "l_linestatus",
+            ),
+            spark,
+            sf_dir,
+            "lineitem",
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _sum_dec_double("l_quantity", "sum_qty"),

@@ -26,7 +26,10 @@ from realtime_voting_data_engineering_spark.operators import relational as R
 from realtime_voting_data_engineering_spark.operators import similarity as S
 from realtime_voting_data_engineering_spark.operators import text as X
 from realtime_voting_data_engineering_spark.queries import register
-from realtime_voting_data_engineering_spark.sources.tables import load_table
+from realtime_voting_data_engineering_spark.sources.tables import (
+    load_table,
+    widen_small_scan,
+)
 
 # --- shared SQL fragments ---------------------------------------------------
 
@@ -155,8 +158,17 @@ FROM feat
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis: char/token/BPE-ish counts, punct and
     stopword ratios, composite quality score, marker-based language ID,
-    content fingerprint. Pure codegen expressions, zero shuffle."""
-    return X.text_profile(load_table(spark, sf_dir, "documents"))
+    content fingerprint. The OPERATOR stays pure codegen with zero
+    shuffle (corpus-linear at any SF, pinned in tests/test_plans.py);
+    the regex/tokenize stack is the heaviest per-row work in the text
+    family, so this query site widens a split-starved scan across the
+    session's slots first (``widen_small_scan``, r15 guide §2.2 —
+    measured sf0.1 min-of-3: 0.73 → 0.42 s; a no-op on any multi-split
+    deployment)."""
+    docs = widen_small_scan(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )
+    return X.text_profile(docs)
 
 
 _CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
@@ -240,9 +252,19 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) near-dup pairs, exact-Jaccard-verified at
     ≥ 0.5. The oracle replays the identical md5-based algorithm, so this
     checks the full signature→banding→verification pipeline, not just
-    the final measure."""
+    the final measure. The signature stage — the pipeline's dominant
+    cost — reads a ``widen_small_scan`` view of the corpus so the
+    shingle-explode + md5 work parallelizes when the source scan cannot
+    split (r15, guide §2.2; measured 1.57 → 1.30 s at sf0.1, no-op at
+    scale); verification keeps the unwidened frame (tiny candidate
+    subset — an exchange there measured as pure overhead)."""
+    docs = load_table(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(
-        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.5
+        docs,
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+        signature_df=widen_small_scan(docs, spark, sf_dir, "documents"),
     )
 
 
@@ -272,9 +294,15 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → one cluster id (min doc id) per near-dup doc, so a
     pipeline keeps one canonical doc per cluster. Iterative min-label
     propagation on Spark; the oracle computes the same transitive
-    closure with a recursive CTE."""
+    closure with a recursive CTE. Signature input widened as in
+    ``minhash_lsh_dedup`` (r15)."""
+    docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(
-        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.5
+        docs,
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+        signature_df=widen_small_scan(docs, spark, sf_dir, "documents"),
     )
     return D.connected_components(pairs)
 
@@ -286,9 +314,15 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation. Cluster output is implementation-independent,
     so both engines are checked against the same recursive-CTE closure
     oracle — O(log n)-round convergence on chain-shaped components is
-    separately pytest-proven on a planted 1000-node path."""
+    separately pytest-proven on a planted 1000-node path. Signature
+    input widened as in ``minhash_lsh_dedup`` (r15)."""
+    docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(
-        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.5
+        docs,
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+        signature_df=widen_small_scan(docs, spark, sf_dir, "documents"),
     )
     return D.connected_components(pairs, method="star")
 

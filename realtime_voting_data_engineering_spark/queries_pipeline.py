@@ -35,6 +35,7 @@ from realtime_voting_data_engineering_spark.queries import register
 from realtime_voting_data_engineering_spark.sources.tables import (
     load_events,
     load_table,
+    widen_small_scan,
 )
 
 # ---------------------------------------------------------------------------
@@ -590,7 +591,14 @@ def canonical_docs_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(docs, num_hashes=16, bands=4, threshold=0.5)
+    # Signature input widened as in ``minhash_lsh_dedup`` (r15).
+    pairs = D.minhash_dedup_pairs(
+        docs,
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+        signature_df=widen_small_scan(docs, spark, sf_dir, "documents"),
+    )
     cmap = D.connected_components(pairs).withColumnRenamed("id_a", "doc_id")
     member = (
         docs.select("doc_id", X.quality_score("text").alias("q"))

@@ -57,6 +57,14 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set(
         "spark.sql.execution.pandas.convertToArrowArraySafely", "true"
     )
+    # Arrow-backed driver⇄JVM transfers (createDataFrame from pandas /
+    # toPandas): the engine's bounded driver materializations (the CC
+    # union-find label frame, the |Q|-bounded query collects) ride this
+    # path — row-list pickling measured ~13× slower on the CC tail
+    # (0.33 s → 0.025 s at sf0.1, optimization guide §6 "Arrow for
+    # driver transfers"). Runtime-settable; pinned here so the driver's
+    # vanilla session gets it like the confs above.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -78,6 +86,63 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # like ``unix_micros`` require TIMESTAMP and reject NTZ.
             df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+#: Scale-adaptive scan-widening threshold (bytes): a table whose TOTAL
+#: on-disk size fits inside one scan split (``spark.sql.files.
+#: maxPartitionBytes`` default, 128 MB) cannot produce more than a
+#: handful of scan tasks — and the driver corpus stores each table as
+#: ONE single-row-group file, so its scans are strictly single-task
+#: (SCALE.md "Round-7 layout probe"). Env-tunable; ≤0 disables.
+WIDEN_BYTES_DEFAULT = 128 * 1024 * 1024
+
+
+def table_input_bytes(sf_dir: str, name: str) -> "int | None":
+    """Total on-disk bytes of one corpus table (file or directory tree),
+    or None when the path cannot be stat'ed (remote filesystem, missing
+    file) — callers treat None as "not provably small", i.e. no
+    widening."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    total += os.stat(os.path.join(root, f)).st_size
+            return total
+        return os.stat(path).st_size
+    except OSError:
+        return None
+
+
+def widen_small_scan(
+    df: DataFrame, spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Scale-adaptive parallelism for split-starved scans (optimization
+    guide §2.2/§6, r15): when the WHOLE table fits in one scan split,
+    every downstream per-row computation chains onto a single core no
+    matter how many slots the session has. A round-robin repartition to
+    ``sc.defaultParallelism`` unlocks N-way compute for the price of an
+    exchange bounded by the threshold itself (≤128 MB — trivially small
+    by construction). At any realistic deployment size the condition is
+    False and the plan is UNCHANGED — this is "derive partitioning from
+    input size", never a constant tuned for local mode.
+
+    Apply ONLY where the post-scan per-row work is heavy (measured r15:
+    q1's six decimal-CASE aggregate measures −36%, text_profile's regex
+    stack −42%, the MinHash signature stage −29%); for thin pipelines
+    the exchange is pure overhead (measured regressions on
+    votes_per_candidate, event_rollup, asof — OPTIMIZATION_r15.md) and
+    the call is deliberately absent. Place it AFTER selective filters
+    and column pruning so pushdown still reaches the scan and the
+    exchange carries only surviving rows/columns."""
+    limit = int(os.environ.get("SPARK_GRAFT_WIDEN_BYTES", WIDEN_BYTES_DEFAULT))
+    if limit <= 0:
+        return df
+    nbytes = table_input_bytes(sf_dir, name)
+    if nbytes is None or nbytes > limit:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

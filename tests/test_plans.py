@@ -88,10 +88,26 @@ def test_whole_stage_codegen_active(spark, sf_dir):
 
 
 def test_text_profile_is_shuffle_free_scan(spark, sf_dir):
-    """text_profile must stay a scan→project pipeline: staged
-    projections, no exchange, no aggregation — corpus-linear at any SF."""
+    """The text_profile OPERATOR must stay a scan→project pipeline:
+    staged projections, no exchange, no aggregation — corpus-linear at
+    any SF. The registered QUERY additionally applies the r15
+    scale-adaptive widening (``widen_small_scan``): at the test SFs the
+    corpus provably fits in one scan split, so the plan carries exactly
+    ONE round-robin exchange (compute parallelism) and still ZERO
+    hash/data-keyed exchanges; at any multi-split deployment the
+    widening is a no-op and the query plan equals the operator plan."""
+    from realtime_voting_data_engineering_spark.operators import text as X
+    from realtime_voting_data_engineering_spark.sources.tables import load_table
+
+    # Operator contract: zero exchanges of any kind.
+    op_plan = plan_of(X.text_profile(load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in op_plan
+
+    # Query contract: the adaptive widening exchange and nothing else.
     plan = _q(spark, sf_dir, "text_profile")
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("REPARTITION_BY_NUM") == 1  # the widening round-robin
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "text" in read_schema and "embedding" not in read_schema
 
