@@ -1022,13 +1022,20 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace-sequential, raw-value ordering with id tie-break), so the
     oracle replays encode → LUT → score → top-k end to end; recall vs
     exact cosine is pytest-bounded. Corpus passes the id-uniqueness
-    boundary (see ``embedding_pq_codes``)."""
+    boundary (see ``embedding_pq_codes``).
+
+    r15: the former trailing ``.limit(10)`` was redundant — ``vec_id
+    BETWEEN 0 AND 9`` over the ``unique_by_id`` boundary already bounds
+    the query set to ≤10 rows — and not free: CollectLimit's incremental
+    partition scale-up adds scheduling rounds to the LUT-build collect
+    (measured ~0.06 s of the query's floor at sf0.1). Same query set,
+    one plain bounded collect."""
     from realtime_voting_data_engineering_spark.operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = S.unique_by_id(emb, dims=64)
     return S.knn_pq_adc(
-        corpus.filter(F.col("vec_id").between(0, 9)).limit(10), corpus,
+        corpus.filter(F.col("vec_id").between(0, 9)), corpus,
         dims=64, m=8, ksub=16, k=5
     )
 

@@ -28,7 +28,10 @@ from realtime_voting_data_engineering_spark.queries import (
     _sum_dec_double,
     register,
 )
-from realtime_voting_data_engineering_spark.sources.tables import load_table
+from realtime_voting_data_engineering_spark.sources.tables import (
+    load_table,
+    widen_small_scan,
+)
 
 
 def _ts(lit: str):
@@ -399,8 +402,23 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubling the sum exactly as the oracle's join-then-SUM does).
     The qualifying key set is a fixed *fraction* of orders (grows with
     SF), so the join strategy is left to Catalyst/AQE rather than a
-    forced broadcast."""
-    li = load_table(spark, sf_dir, "lineitem")
+    forced broadcast.
+
+    r15: the per-order decimal sum is the query's heaviest per-row
+    stack and l_orderkey is near-unique per input row, so partial
+    aggregation cannot shrink the exchange anyway — ``widen_small_scan``
+    hash-partitions the projected rows on the aggregation key when the
+    scan provably cannot split, making the widening exchange the very
+    one the groupBy needs (reused, no extra shuffle) and running the
+    aggregate N-way. Measured sf0.1 min-of-3: 1.12 → 0.82 s; unchanged
+    plan at any multi-split deployment."""
+    li = widen_small_scan(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        spark,
+        sf_dir,
+        "lineitem",
+        "l_orderkey",
+    )
     per_order = (
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("__qty"))

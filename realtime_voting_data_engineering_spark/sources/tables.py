@@ -116,7 +116,11 @@ def table_input_bytes(sf_dir: str, name: str) -> "int | None":
 
 
 def widen_small_scan(
-    df: DataFrame, spark: SparkSession, sf_dir: str, name: str
+    df: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *keys: str,
 ) -> DataFrame:
     """Scale-adaptive parallelism for split-starved scans (optimization
     guide §2.2/§6, r15): when the WHOLE table fits in one scan split,
@@ -135,14 +139,28 @@ def widen_small_scan(
     votes_per_candidate, event_rollup, asof — OPTIMIZATION_r15.md) and
     the call is deliberately absent. Place it AFTER selective filters
     and column pruning so pushdown still reaches the scan and the
-    exchange carries only surviving rows/columns."""
+    exchange carries only surviving rows/columns.
+
+    ``keys``: optional hash-partitioning columns. When the row set feeds
+    an aggregation whose keys do NOT collapse under partial aggregation
+    (q18's per-order sum: l_orderkey is near-unique per input row, so a
+    round-robin widen pays a second exchange for no map-side reduction
+    — measured regression), hash-repartitioning on the AGGREGATION key
+    makes the widening exchange the one the groupBy itself needs: the
+    downstream aggregate reuses the partitioning and the expensive
+    per-row aggregate update runs N-way (measured q18: 1.12 → 0.82 s).
+    Keyless (round-robin) stays right for pipelines whose first
+    exchange is group-collapsing or absent."""
     limit = int(os.environ.get("SPARK_GRAFT_WIDEN_BYTES", WIDEN_BYTES_DEFAULT))
     if limit <= 0:
         return df
     nbytes = table_input_bytes(sf_dir, name)
     if nbytes is None or nbytes > limit:
         return df
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    par = spark.sparkContext.defaultParallelism
+    if keys:
+        return df.repartition(par, *keys)
+    return df.repartition(par)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

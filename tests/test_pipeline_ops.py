@@ -712,3 +712,63 @@ def test_bm25_memo_eviction_tolerates_dead_sessions():
             raise RuntimeError("py4j: SparkContext was shut down")
 
     QP._safe_unpersist(RaisingProjection())  # must not raise
+
+
+def test_asof_self_join_matches_two_table_asof(spark, sf_dir):
+    """The fused single-source as-of (r15, ``asof_self_join``) must be
+    row-identical to the general two-table ``asof_join`` over the same
+    predicate slices — including NULL-time purchases (kept, NULL
+    attach), NULL-time clicks (excluded), and the (user, ts) pre-reduce
+    total order."""
+    from pyspark.sql import Window
+
+    from realtime_voting_data_engineering_spark.sources.tables import load_events
+
+    events = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    )
+
+    # General form: explicit click pre-reduce, two frames, union+window.
+    w_click = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc(), F.col("value").desc_nulls_last()
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("__rn", F.row_number().over(w_click))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("last_click_id"),
+            F.col("value").alias("last_click_value"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    general = R.asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["last_click_id", "last_click_value"],
+    ).select("event_id", "user_id", "ts", "last_click_id", "last_click_value", "__asof_time")
+
+    fused = R.asof_self_join(
+        events,
+        on="user_id",
+        time_col="ts",
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "click",
+        attach={
+            "last_click_id": F.col("event_id"),
+            "last_click_value": F.col("value"),
+        },
+        right_tiebreak=[F.col("event_id").desc(), F.col("value").desc_nulls_last()],
+    ).select("event_id", "user_id", "ts", "last_click_id", "last_click_value", "__asof_time")
+
+    g = sorted(map(tuple, general.collect()))
+    f = sorted(map(tuple, fused.collect()))
+    assert len(g) > 0 and g == f

@@ -248,15 +248,19 @@ def test_no_python_udfs_or_cartesian_in_oracled_queries(spark):
 
 
 def test_asof_join_is_union_window_not_range_join(spark, sf_dir):
-    """The as-of join must plan as union + single-key window — NEVER a
-    join node (a range/theta join would explode to all pairs and a
-    BroadcastNestedLoop/Cartesian would be the 100 TB killer). Exactly
-    two exchanges: the right-side (user, ts) pre-reduce and the window's
-    key partitioning."""
+    """The as-of query must plan as windows over ONE events scan —
+    NEVER a join node (a range/theta join would explode to all pairs
+    and a BroadcastNestedLoop/Cartesian would be the 100 TB killer).
+    r15: the fused single-source form (``asof_self_join``) additionally
+    drops the second events scan and the Union the two-table
+    construction paid. Exactly two exchanges: the (user, ts, side)
+    pre-reduce and the as-of window's key partitioning."""
     plan = _q(spark, sf_dir, "asof_last_click")
-    for bad in ("Join", "CartesianProduct"):  # matches *Join node names too
+    for bad in ("Join", "CartesianProduct", "Union"):
         assert bad not in plan, f"as-of planned a {bad}"
     assert "Window" in plan
+    # one events scan: formatted mode prints one Location line per scan
+    assert plan.count("events.parquet") == 1, plan
     exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
     assert len(exchanges) == 2, exchanges
     assert any("hashpartitioning(user_id" in l for l in exchanges)
