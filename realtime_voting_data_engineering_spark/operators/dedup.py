@@ -81,7 +81,21 @@ def winnow_overlap_pairs(
     standard winnowing-at-scale document-frequency cut), and the join
     output is aggregated per pair with map-side partial counts.
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    # The fingerprint frame feeds FOUR plan branches (the df-cut
+    # aggregate, the semi-join back, and the a/b pair sides); Spark
+    # re-executes an uncached plan per reference, so without
+    # materialization the O(len·k) rolling-hash derivation runs four
+    # times (measured 10.7 → 2.3 s at sf0.1 together with a widened
+    # input). The lazy localCheckpoint is the in-session analog of the
+    # standard winnowing pipeline's materialized fingerprint index —
+    # it earns its disk per the materialization policy (SCALE.md):
+    # (id, int64) rows, orders of magnitude smaller than the text it
+    # summarizes, four consumers. LAZY: the first action materializes
+    # it; plan is deterministic (md5-free exact int64 hashing), the
+    # same precondition connected_components documents.
+    fps = winnow_fingerprints(df, text_col, id_col, k, window).localCheckpoint(
+        eager=False
+    )
     # count(*) per fp IS document frequency here because
     # winnow_fingerprints emits each fp at most once per doc
     # (array_distinct before the explode, text.py) — if that per-doc
@@ -779,8 +793,16 @@ def simhash_near_dup_pairs(
     """SimHash near-dup pairs: band the 64-bit fingerprint into 4 16-bit
     chunks (pigeonhole: ≤3 differing bits guarantees one identical chunk;
     wider radii trade recall), join on (chunk_idx, chunk), verify true
-    Hamming distance ≤ max_hamming."""
-    sh = simhash_table(df, text_col, id_col)
+    Hamming distance ≤ max_hamming.
+
+    The fingerprint table is lazily localCheckpointed (r15): the chunk
+    explode feeds BOTH self-join sides, so an uncached plan re-runs
+    the tokenize + 64-vote aggregation once per side (measured 2.7 →
+    2.3 s at sf0.1 together with a widened input). One int64 row per
+    doc — trivially earns its disk (materialization policy, SCALE.md);
+    lazy and deterministic, the same precondition as the other
+    checkpoint sites."""
+    sh = simhash_table(df, text_col, id_col).localCheckpoint(eager=False)
     chunks = sh.select(
         id_col,
         "sh",

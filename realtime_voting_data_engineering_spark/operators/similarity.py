@@ -248,6 +248,7 @@ def near_dup_embeddings_srp(
     bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    verify_parallelism: "int | None" = None,
 ) -> DataFrame:
     """SRP-fronted embedding near-dup: generate candidate pairs by
     sign-projection banding, then verify with exact cosine ONLY on the
@@ -264,8 +265,22 @@ def near_dup_embeddings_srp(
     hyperplanes (``srp_hyperplanes``), so the registered query
     (``embedding_near_dup_srp``) carries a full SRP-replay DuckDB
     oracle: banding, candidate join, and cosine verify all hash-match.
-    """
+
+    ``verify_parallelism`` (r15): repartition the candidate PAIR LIST to
+    this width before the vector-attach joins. The exact-cosine verify
+    is the pipeline's compute-heavy stage (an interpreted per-element
+    fold over 2×dims array elements per pair), but its input is a thin
+    (id, id) list whose bytes are tiny — AQE's size-based partition
+    coalescing therefore collapses the post-distinct stage to one or
+    two tasks and the whole verify runs near-serial (measured: 5.1 →
+    2.9 s at sf0.1 with the repartition). Callers set it when the
+    corpus is provably in the tiny-input regime (the
+    ``widen_small_scan`` gate); at scale the candidate list is
+    data-sized, AQE keeps real parallelism on its own, and the extra
+    exchange would be pure cost — leave None."""
     cands = srp_candidate_pairs(corpus, dims, planes, bands, id_col, vec_col)
+    if verify_parallelism:
+        cands = cands.repartition(verify_parallelism)
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

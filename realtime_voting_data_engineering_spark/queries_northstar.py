@@ -365,9 +365,16 @@ def winnow_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared *passages* between documents whose whole-document similarity
     is low. Exact int64 polynomial hashing, so the DuckDB oracle replays
     fingerprint selection bit-for-bit; output is a total order
-    (n_shared DESC, id_a, id_b) so top-100 is deterministic."""
+    (n_shared DESC, id_a, id_b) so top-100 is deterministic. Input
+    widened when the scan provably cannot split (r15): the O(len·k)
+    rolling-hash derivation is the family's heaviest per-row stack,
+    and together with the operator's new fingerprint materialization
+    this measured 10.7 → 2.3 s at sf0.1 (no-op at scale)."""
     pairs = D.winnow_overlap_pairs(
-        load_table(spark, sf_dir, "documents"), k=12, window=8, max_df=50,
+        widen_small_scan(
+            load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+        ),
+        k=12, window=8, max_df=50,
         min_shared=3,
     )
     return pairs.orderBy(
@@ -423,9 +430,15 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-verify pipeline is replayed bit-for-bit by the DuckDB oracle
     — the last hash-based dedup family graduates from rows-only to a
     hash-matched driver check. Pytest separately verifies planted
-    near-dups are found."""
+    near-dups are found. Input widened when the scan provably cannot
+    split (r15): the tokenize + 64-vote fingerprint aggregation is the
+    heavy stage; with the operator's fingerprint materialization this
+    measured 2.7 → 2.3 s at sf0.1 (no-op at scale)."""
     return D.simhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=8
+        widen_small_scan(
+            load_table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+        ),
+        max_hamming=8,
     )
 
 
@@ -494,9 +507,19 @@ WHERE {_VALID_EMB64_A} AND {_VALID_EMB64_B}
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.4) — all-pairs exact
     form; the SRP-LSH candidate generator is the scale path (tested via
-    recall in pytest)."""
+    recall in pytest). Input widened when the scan provably cannot
+    split (r15): the all-pairs nested-loop join inherits the streamed
+    side's partitioning, so a single-split scan ran the ENTIRE |C|²
+    interpreted-cosine sweep on one core — the worst single-core
+    pipeline in the registry (measured 34.7 → 2.6 s at sf0.1; no-op at
+    scale, where this verification-tier form is only ever run on
+    bounded slices anyway)."""
     return S.near_dup_embeddings(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4, dims=64
+        widen_small_scan(
+            load_table(spark, sf_dir, "embeddings"), spark, sf_dir, "embeddings"
+        ),
+        threshold=0.4,
+        dims=64,
     )
 
 
@@ -576,9 +599,25 @@ def embedding_near_dup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     false-positive-free because verification is exact; pytest measures
     recall) — but fully DETERMINISTIC given the md5-derived hyperplanes,
     so the oracle replays the whole candidate→verify pipeline and the
-    driver hash-checks it like minhash's."""
+    driver hash-checks it like minhash's.
+
+    r15: when the corpus is provably in the tiny-input regime (the
+    ``widen_small_scan`` gate), the candidate pair list is
+    repartitioned to the session's parallelism before the exact-cosine
+    verify — AQE's size-based coalescing otherwise collapses that
+    compute-heavy, byte-thin stage to ~1 task (measured 5.1 → 2.9 s at
+    sf0.1; see ``near_dup_embeddings_srp.verify_parallelism``)."""
+    from realtime_voting_data_engineering_spark.sources.tables import (
+        small_scan_parallelism,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.near_dup_embeddings_srp(emb, dims=64, threshold=0.4)
+    return S.near_dup_embeddings_srp(
+        emb,
+        dims=64,
+        threshold=0.4,
+        verify_parallelism=small_scan_parallelism(spark, sf_dir, "embeddings"),
+    )
 
 
 _HASH_FRAC_SQL = (

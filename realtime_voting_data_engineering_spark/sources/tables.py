@@ -151,16 +151,29 @@ def widen_small_scan(
     per-row aggregate update runs N-way (measured q18: 1.12 → 0.82 s).
     Keyless (round-robin) stays right for pipelines whose first
     exchange is group-collapsing or absent."""
-    limit = int(os.environ.get("SPARK_GRAFT_WIDEN_BYTES", WIDEN_BYTES_DEFAULT))
-    if limit <= 0:
+    par = small_scan_parallelism(spark, sf_dir, name)
+    if par is None:
         return df
-    nbytes = table_input_bytes(sf_dir, name)
-    if nbytes is None or nbytes > limit:
-        return df
-    par = spark.sparkContext.defaultParallelism
     if keys:
         return df.repartition(par, *keys)
     return df.repartition(par)
+
+
+def small_scan_parallelism(
+    spark: SparkSession, sf_dir: str, name: str
+) -> "int | None":
+    """The widening gate by itself: the session's default parallelism
+    when the table provably fits in one scan split (see
+    ``widen_small_scan``), else None. For operators that take a target
+    width instead of a pre-widened frame (e.g.
+    ``similarity.near_dup_embeddings_srp.verify_parallelism``)."""
+    limit = int(os.environ.get("SPARK_GRAFT_WIDEN_BYTES", WIDEN_BYTES_DEFAULT))
+    if limit <= 0:
+        return None
+    nbytes = table_input_bytes(sf_dir, name)
+    if nbytes is None or nbytes > limit:
+        return None
+    return spark.sparkContext.defaultParallelism
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

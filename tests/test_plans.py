@@ -385,6 +385,11 @@ def test_checkpoint_inputs_scan_raw_tables_once(spark, sf_dir, monkeypatch):
     for name, table, n_sites, per_site in (
         ("benchmark_contamination", "documents", 1, {0: 1}),
         ("hourly_gap_filled", "events", 1, {0: 1}),
+        # r15 fingerprint-index materializations: each operator's one
+        # lazy checkpoint derives from a single documents scan (the
+        # widened input adds an exchange, never a scan).
+        ("winnow_overlap_topk", "documents", 1, {0: 1}),
+        ("simhash_near_dup", "documents", 1, {0: 1}),
         ("minhash_lsh_dedup", "documents", 2, {0: 1, 1: 1}),
         # near_dup_clusters routes through connected_components: the
         # minhash cands + jaccard idx sites scan documents once each;

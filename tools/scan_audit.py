@@ -110,7 +110,6 @@ EXPECTED: dict[tuple[str, str], tuple[int, str]] = {
     ("embedding_near_dup_srp", "embeddings"): (3, "bands + candidates + verify (1 reuse)"),
     # The stored-index side is simulated from the same table by design.
     ("incremental_new_docs", "documents"): (2, "corpus + simulated stored index"),
-    ("winnow_overlap_topk", "documents"): (2, "index branches, checkpoint carries the rest"),
     # Tiny broadcast dims — a second copy is free.
     ("q7_nation_volume", "nation"): (2, "broadcast dim, both join sides"),
     ("q8_market_share", "nation"): (2, "broadcast dim, both join sides"),
@@ -134,6 +133,12 @@ EXACT: dict[tuple[str, str], tuple[int, str]] = {
     ("minhash_lsh_dedup", "documents"): (0, "reads live inside cands/idx checkpoints"),
     ("near_dup_clusters", "documents"): (0, "same checkpoints + CC pairs pin"),
     ("near_dup_clusters_star", "documents"): (0, "same, star engine"),
+    # r15 fingerprint-index materializations: the one corpus read lives
+    # inside the operator's lazy checkpoint (winnow fps / simhash sh);
+    # the checkpoint inputs' own scan counts are pinned by
+    # test_plans.py::test_checkpoint_inputs_scan_raw_tables_once.
+    ("winnow_overlap_topk", "documents"): (0, "read lives inside the fps checkpoint"),
+    ("simhash_near_dup", "documents"): (0, "read lives inside the sh checkpoint"),
 }
 
 
