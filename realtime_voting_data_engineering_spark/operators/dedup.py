@@ -386,7 +386,7 @@ def minhash_dedup_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
-    signature_df: DataFrame | None = None,
+    signature_parallelism: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
     candidates → exact Jaccard verification ≥ threshold. Verification is
@@ -408,24 +408,23 @@ def minhash_dedup_pairs(
     before choosing its method, so consumers span multiple driver-side
     jobs (canonical rules: SCALE.md "Materialization policy").
 
-    ``signature_df`` (r15 optimization): an alternative frame to derive
-    the SIGNATURES from — it must hold exactly the same (id, text) rows
-    as ``df``, differing only in physical layout (the intended use is a
-    ``widen_small_scan``-repartitioned view of the same table, which
-    parallelizes the shingle-explode + md5 signature stage — the
-    pipeline's dominant cost — when the source scan cannot split;
-    measured sf0.1: 1.57 → 1.30 s min-of-4). Verification keeps reading
-    ``df`` directly: its candidate semi-join touches a tiny doc subset,
-    where a widening exchange is pure overhead (measured flat-to-worse
-    when both stages were widened). Row-identical output either way —
-    signatures are per-doc aggregates, invariant to partitioning."""
-    sigs = minhash_signatures(
-        df if signature_df is None else signature_df,
-        text_col,
-        id_col,
-        num_hashes,
-        n,
-    )
+    ``signature_parallelism`` (r15 optimization): when set, the
+    SIGNATURE stage reads a ``repartition(signature_parallelism)`` view
+    of ``df`` — parallelizing the shingle-explode + md5 derivation (the
+    pipeline's dominant cost) when the source scan cannot split
+    (measured sf0.1: 1.57 → 1.30 s min-of-4). Callers set it from
+    ``sources.tables.small_scan_parallelism`` (the ≤-one-split gate),
+    so at any multi-split deployment it stays None and the plan is
+    unchanged. Verification keeps reading ``df`` directly: its
+    candidate semi-join touches a tiny doc subset, where a widening
+    exchange is pure overhead (measured flat-to-worse when both stages
+    were widened). A width parameter rather than an alternative-frame
+    parameter on purpose (r15 review): a caller can never hand in a
+    frame whose ROWS differ from the verification side's. Row-identical
+    output either way — signatures are per-doc aggregates, invariant to
+    partitioning."""
+    sig_in = df.repartition(signature_parallelism) if signature_parallelism else df
+    sigs = minhash_signatures(sig_in, text_col, id_col, num_hashes, n)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).localCheckpoint()
     return jaccard_for_pairs(df, cands, text_col, id_col, n).filter(
         F.col("jaccard") >= threshold

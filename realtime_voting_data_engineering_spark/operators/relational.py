@@ -404,14 +404,14 @@ def asof_self_join(
     side = F.when(right_pred, F.lit(0)).when(left_pred, F.lit(1))
     # Explicit disjunctive pre-filter: the when-chain's side column is
     # opaque to predicate pushdown, but (right | left) is a plain
-    # disjunction Catalyst pushes into the scan. A row matching BOTH
+    # disjunction Catalyst pushes into the scan. It also guarantees the
+    # when-chain always assigns a side — (r|l) passing TRUE under
+    # three-valued logic means at least one predicate is TRUE — so no
+    # separate NULL-side filter is needed (r15 review: it was dead code
+    # that re-evaluated both predicates per row). A row matching BOTH
     # predicates takes the right side (when-chain precedence) — pass
     # disjoint predicates.
-    tagged = (
-        source.filter(right_pred | left_pred)
-        .withColumn("__side", side)
-        .filter(F.col("__side").isNotNull())
-    )
+    tagged = source.filter(right_pred | left_pred).withColumn("__side", side)
     tagged = tagged.filter(
         (F.col("__side") == 1)
         | (F.col(time_col).isNotNull() & F.col(on).isNotNull())

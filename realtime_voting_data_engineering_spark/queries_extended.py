@@ -996,7 +996,7 @@ def approx_value_quartiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arg_max(value, event_id) left the winner undefined when a
     # duplicated event_id carried different values — the r6
     # duplicate-row audit caught the two engines picking different rows.
-    headline=True,  # window-heavy union over full events — track its cost
+    headline=True,  # window-heavy as-of over full events — track its cost
     tags=("join", "asof"),
 )
 def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:

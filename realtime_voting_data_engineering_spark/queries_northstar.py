@@ -28,6 +28,7 @@ from realtime_voting_data_engineering_spark.operators import text as X
 from realtime_voting_data_engineering_spark.queries import register
 from realtime_voting_data_engineering_spark.sources.tables import (
     load_table,
+    small_scan_parallelism,
     widen_small_scan,
 )
 
@@ -253,18 +254,19 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.5. The oracle replays the identical md5-based algorithm, so this
     checks the full signature→banding→verification pipeline, not just
     the final measure. The signature stage — the pipeline's dominant
-    cost — reads a ``widen_small_scan`` view of the corpus so the
-    shingle-explode + md5 work parallelizes when the source scan cannot
-    split (r15, guide §2.2; measured 1.57 → 1.30 s at sf0.1, no-op at
-    scale); verification keeps the unwidened frame (tiny candidate
-    subset — an exchange there measured as pure overhead)."""
+    cost — runs at ``signature_parallelism`` (the ≤-one-split widening
+    gate) so the shingle-explode + md5 work parallelizes when the
+    source scan cannot split (r15, guide §2.2; measured 1.57 → 1.30 s
+    at sf0.1, no-op at scale); verification keeps the unwidened frame
+    (tiny candidate subset — an exchange there measured as pure
+    overhead)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(
         docs,
         num_hashes=16,
         bands=4,
         threshold=0.5,
-        signature_df=widen_small_scan(docs, spark, sf_dir, "documents"),
+        signature_parallelism=small_scan_parallelism(spark, sf_dir, "documents"),
     )
 
 
@@ -302,7 +304,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=16,
         bands=4,
         threshold=0.5,
-        signature_df=widen_small_scan(docs, spark, sf_dir, "documents"),
+        signature_parallelism=small_scan_parallelism(spark, sf_dir, "documents"),
     )
     return D.connected_components(pairs)
 
@@ -322,7 +324,7 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=16,
         bands=4,
         threshold=0.5,
-        signature_df=widen_small_scan(docs, spark, sf_dir, "documents"),
+        signature_parallelism=small_scan_parallelism(spark, sf_dir, "documents"),
     )
     return D.connected_components(pairs, method="star")
 
@@ -607,10 +609,6 @@ def embedding_near_dup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify — AQE's size-based coalescing otherwise collapses that
     compute-heavy, byte-thin stage to ~1 task (measured 5.1 → 2.9 s at
     sf0.1; see ``near_dup_embeddings_srp.verify_parallelism``)."""
-    from realtime_voting_data_engineering_spark.sources.tables import (
-        small_scan_parallelism,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
     return S.near_dup_embeddings_srp(
         emb,

@@ -35,7 +35,7 @@ from realtime_voting_data_engineering_spark.queries import register
 from realtime_voting_data_engineering_spark.sources.tables import (
     load_events,
     load_table,
-    widen_small_scan,
+    small_scan_parallelism,
 )
 
 # ---------------------------------------------------------------------------
@@ -591,13 +591,13 @@ def canonical_docs_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    # Signature input widened as in ``minhash_lsh_dedup`` (r15).
+    # Signature stage widened as in ``minhash_lsh_dedup`` (r15).
     pairs = D.minhash_dedup_pairs(
         docs,
         num_hashes=16,
         bands=4,
         threshold=0.5,
-        signature_df=widen_small_scan(docs, spark, sf_dir, "documents"),
+        signature_parallelism=small_scan_parallelism(spark, sf_dir, "documents"),
     )
     cmap = D.connected_components(pairs).withColumnRenamed("id_a", "doc_id")
     member = (

@@ -159,6 +159,29 @@ def widen_small_scan(
     return df.repartition(par)
 
 
+def _split_size_bytes(spark: SparkSession) -> int:
+    """The session's actual scan-split size — ``spark.sql.files.
+    maxPartitionBytes``, parsed from its byte-suffix form — so the
+    "fits in one split" premise tracks the deployment's real splitting
+    instead of assuming the 128 MB default (r15 review: a deployment
+    that LOWERS maxPartitionBytes already scans a mid-sized table in
+    parallel, and widening it again would re-pay the exchange the gate
+    exists to avoid). Unparseable/missing conf → the stock default."""
+    raw = ""
+    try:
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(WIDEN_BYTES_DEFAULT)
+        ).strip().lower()
+        units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+        if raw.endswith("b"):
+            raw = raw[:-1]
+        if raw and raw[-1] in units:
+            return int(float(raw[:-1]) * units[raw[-1]])
+        return int(raw)
+    except Exception:
+        return WIDEN_BYTES_DEFAULT
+
+
 def small_scan_parallelism(
     spark: SparkSession, sf_dir: str, name: str
 ) -> "int | None":
@@ -166,8 +189,22 @@ def small_scan_parallelism(
     when the table provably fits in one scan split (see
     ``widen_small_scan``), else None. For operators that take a target
     width instead of a pre-widened frame (e.g.
-    ``similarity.near_dup_embeddings_srp.verify_parallelism``)."""
-    limit = int(os.environ.get("SPARK_GRAFT_WIDEN_BYTES", WIDEN_BYTES_DEFAULT))
+    ``similarity.near_dup_embeddings_srp.verify_parallelism``,
+    ``dedup.minhash_dedup_pairs.signature_parallelism``).
+
+    Threshold resolution: ``SPARK_GRAFT_WIDEN_BYTES`` when set to a
+    valid integer (≤0 disables; an unparseable value falls back rather
+    than aborting every widened query at plan time — r15 review),
+    else the session's actual ``spark.sql.files.maxPartitionBytes``."""
+    env = os.environ.get("SPARK_GRAFT_WIDEN_BYTES")
+    limit = None
+    if env is not None:
+        try:
+            limit = int(env)
+        except ValueError:
+            limit = None  # malformed knob: fall back to the conf
+    if limit is None:
+        limit = _split_size_bytes(spark)
     if limit <= 0:
         return None
     nbytes = table_input_bytes(sf_dir, name)

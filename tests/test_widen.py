@@ -61,10 +61,10 @@ def test_widen_preserves_rows_exactly(spark, sf_smoke):
     assert sorted(wide.collect()) == base_rows
 
 
-def test_minhash_signature_df_is_row_identical(spark, sf_smoke):
-    """The ``signature_df`` fast path (widened layout feeding the
-    signature stage) must not change a single output pair — signatures
-    are per-doc aggregates, invariant to partitioning."""
+def test_minhash_signature_parallelism_is_row_identical(spark, sf_smoke):
+    """The ``signature_parallelism`` fast path (widened layout feeding
+    the signature stage) must not change a single output pair —
+    signatures are per-doc aggregates, invariant to partitioning."""
     docs = load_table(spark, sf_smoke, "documents")
     base = D.minhash_dedup_pairs(docs, num_hashes=16, bands=4, threshold=0.5)
     wide = D.minhash_dedup_pairs(
@@ -72,7 +72,7 @@ def test_minhash_signature_df_is_row_identical(spark, sf_smoke):
         num_hashes=16,
         bands=4,
         threshold=0.5,
-        signature_df=widen_small_scan(docs, spark, sf_smoke, "documents"),
+        signature_parallelism=spark.sparkContext.defaultParallelism,
     )
     key = [F.col("id_a"), F.col("id_b")]
     assert sorted(base.orderBy(*key).collect()) == sorted(
