@@ -256,6 +256,11 @@ def main() -> None:
     jiffies_before = read_cpu_jiffies()
     timings: dict[str, float] = {}
     for name, fn in Q.headline_queries().items():
+        # Label the timed jobs (optimization guide §1.5) so the Spark UI
+        # maps stages back to queries when run with SPARK_GRAFT_UI=true.
+        # setJobDescription is driver-side metadata only — it does not
+        # change the timed work.
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         best = None
         try:
             for _ in range(3):
@@ -267,6 +272,8 @@ def main() -> None:
         except Exception as exc:  # one broken query must not kill the bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            spark.sparkContext.setJobDescription(None)
     headline_steal = steal_pct(jiffies_before, read_cpu_jiffies())
 
     stream_steal = None
