@@ -697,12 +697,22 @@ def _connected_components_star(
     node appearing only in an (x, x) pair is still emitted as its own
     singleton cluster — identical to the propagate engine, which keeps
     self-loop edges and therefore labels such nodes naturally."""
-    edges = _cc_canonical_edges(pairs, id_a, id_b).localCheckpoint()
+    # r16: LAZY initial checkpoint + the count below as its
+    # materializing action — the loop's own "lazy checkpoint + carried
+    # count" pattern applied to round 0 (was: eager checkpoint job THEN
+    # a count job — two synchronous driver round-trips for one
+    # materialization; measured 0.41-0.46 s + 0.05 s at sf0.1).
+    edges = _cc_canonical_edges(pairs, id_a, id_b).localCheckpoint(eager=False)
+    # ``nodes`` is NOT checkpointed (r16): it has exactly one consumer —
+    # the roots anti-join in the convergence tail — and reads the
+    # already-cached ``pairs`` checkpoint, so materializing it up front
+    # was a pure extra driver-synchronous job (measured 0.35-0.38 s at
+    # sf0.1: ~10% of the whole query for work the final job re-does in
+    # milliseconds).
     nodes = (
         pairs.select(F.col(id_a).alias("id"))
         .union(pairs.select(F.col(id_b).alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     n_edges = edges.count()
     for _ in range(max_iter):

@@ -401,6 +401,19 @@ def asof_self_join(
     ``attach`` maps output alias → expression over the RIGHT row; the
     matched right timestamp is exposed as ``__asof_time``. Output: all
     ``source`` columns of the left rows plus the attach aliases."""
+    # Plan-time reserved-name guard (r15 ADVICE): the temp/output
+    # columns below would silently collide with (and corrupt) a source
+    # column of the same name — and ``__asof_time`` is additionally
+    # emitted NEXT TO all source columns, so a clash would produce a
+    # duplicate-name output frame. Refuse loudly at plan time.
+    reserved = {"__side", "__rn", "__attach", "__asof_time"} & set(
+        source.columns
+    )
+    if reserved:
+        raise ValueError(
+            "asof_self_join: source frame already contains reserved "
+            f"column(s) {sorted(reserved)} — rename them before calling"
+        )
     side = F.when(right_pred, F.lit(0)).when(left_pred, F.lit(1))
     # Explicit disjunctive pre-filter: the when-chain's side column is
     # opaque to predicate pushdown, but (right | left) is a plain

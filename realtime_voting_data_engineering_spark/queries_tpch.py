@@ -698,15 +698,35 @@ def q22_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: cheapest supplier per part — the classic correlated
     MIN subquery, decorrelated to a partition-window minimum over the
-    observed unit prices (lineitem stands in for partsupp). One grouped
-    pass builds unit prices; the window min shares its shuffle. part and
-    supplier scale with SF — join strategy left to Catalyst/AQE."""
+    observed unit prices (lineitem stands in for partsupp). part and
+    supplier scale with SF — join strategy left to Catalyst/AQE.
+
+    r16 (optimization guide §2.4 "two operations keyed the same way can
+    share one exchange", the q18 keyed-repartition pattern): the
+    (l_partkey, l_suppkey) aggregate and the per-part window minimum
+    used to shuffle TWICE — ENSURE_REQUIREMENTS on the pair key, then
+    again on l_partkey for the window. Keying ONE explicit exchange on
+    l_partkey satisfies both (hash on a subset of the grouping key
+    co-locates every pair of a part, and the window needs exactly that
+    partitioning), so the plan drops to a single data exchange. The
+    trade — losing map-side partial aggregation — is the measured-good
+    q18 trade here too: (part, supplier) pairs are near-unique per
+    input row (~4 rows/pair), so the partial agg barely shrank the
+    exchange while the heavy decimal-CASE sums ran in the single scan
+    task; keyed-first they run N-way. Measured 1.48 → 0.79 s at sf0.1,
+    row-identical at sf0.01/sf0.1 (plans/r16). At scale: one exchange
+    of three narrow columns instead of two of the near-same row count."""
     li = load_table(spark, sf_dir, "lineitem")
-    unit = li.groupBy("l_partkey", "l_suppkey").agg(
-        (
-            F.sum(dec("l_extendedprice")).cast("double")
-            / F.sum(dec("l_quantity")).cast("double")
-        ).alias("unit_price")
+    unit = (
+        li.select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(dec("l_extendedprice")).cast("double")
+                / F.sum(dec("l_quantity")).cast("double")
+            ).alias("unit_price")
+        )
     )
     w = Window.partitionBy("l_partkey")
     ranked = unit.withColumn("min_price", F.min("unit_price").over(w)).filter(
@@ -800,38 +820,63 @@ def q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the *only* late shipper on a
     multi-supplier order — the reference formulation's EXISTS/NOT-EXISTS
-    pair decorrelated into per-order conditional distinct counts
-    (n_suppliers > 1, n_late = 1) joined back to the late shippers. Two
-    shuffles on l_orderkey, both sharable; no per-row subqueries.
+    pair decorrelated into per-order supplier stats.
+
+    r16 single-pass form (optimization guide §2.3/§2.4): the previous
+    shape ran the lineitem⋈orders join TWICE (a per-order
+    double-countDistinct branch — an Expand ×3 before its shuffle — and
+    a distinct late-pair branch), then sort-merge-joined the branches
+    back on l_orderkey: two lineitem scans, four keyed exchanges.  What
+    the optimizer cannot see: every decision needs only the DISTINCT
+    (order, supplier) pairs with an any-late flag.  So compute
+    ``is_late`` before the exchange, shuffle the three narrow columns
+    ONCE (``repartition("l_orderkey")``), and derive everything from
+    that one partitioning: the pair-level ``max(__late)`` aggregate and
+    the per-order counts (a window over the same key) both reuse it —
+    no Expand, no countDistinct rewrite, no branch re-join.  Plan:
+    1 lineitem scan (was 2), 1 data exchange + the final groupBy (was
+    4), SortMergeJoin eliminated.  Measured 2.01 → 0.98 s at sf0.1,
+    row-identical at sf0.001/0.01/0.1.  At scale the win grows: the
+    removed pass is a full lineitem scan+join, and the one exchange
+    carries (key, key, bool) instead of an Expand-tripled row set.
+    ``l_suppkey IS NOT NULL`` is explicit: countDistinct ignored NULL
+    suppkeys and the supplier equi-join dropped them — pre-filtering is
+    equivalent and pushes into the scan.
 
     Tried and REJECTED (r9, the q17/q18 single-scan sweep): folding the
     late-pair branch into the stats aggregation via
-    ``collect_set(when(is_late, suppkey))`` + ``element_at(.., 1)``
-    does reach one lineitem/orders scan and is row-identical (verified,
-    incl. duplicate-row corpora) — but measured 2.2× SLOWER (1.84-1.97
-    → 4.07-4.10 s at sf0.1): the two countDistincts already rewrite
-    into an Expand (×3 row blowup before the shuffle), and adding
-    collect_set forces the whole expanded set through ObjectHashAgg.
-    The blowup scales WITH the data, so it is not a local artifact —
-    the two lean co-partitioned passes win at 100 TB too."""
+    ``collect_set(when(is_late, suppkey))`` + ``element_at(.., 1)`` —
+    row-identical but 2.2× SLOWER (ObjectHashAgg over the expanded
+    set); the r16 form reaches one scan WITHOUT collect_set by keying
+    the exchange on the order and letting the window reuse it."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     lo = li.join(orders, orders.o_orderkey == li.l_orderkey)
     is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
-    stats = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct(F.when(is_late, F.col("l_suppkey"))).alias(
-            "n_late_suppliers"
-        ),
+    slim = (
+        lo.filter(F.col("l_suppkey").isNotNull())
+        .select("l_orderkey", "l_suppkey", is_late.alias("__late"))
+        .repartition("l_orderkey")
     )
-    late = (
-        lo.filter(is_late).select("l_orderkey", "l_suppkey").distinct()
+    pairs = slim.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("__late").alias("__late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = pairs.select(
+        "l_orderkey",
+        "l_suppkey",
+        "__late",
+        F.count(F.lit(1)).over(w).alias("n_suppliers"),
+        F.count(F.when(F.col("__late"), 1)).over(w).alias("n_late_suppliers"),
+    )
+    late = flagged.filter(
+        F.col("__late")
+        & (F.col("n_suppliers") > 1)
+        & (F.col("n_late_suppliers") == 1)
     )
     supplier = load_table(spark, sf_dir, "supplier")
     return (
-        late.join(stats, "l_orderkey")
-        .filter((F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1))
-        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        late.join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -10,6 +10,7 @@ to the driver.
 from __future__ import annotations
 
 import os
+import sys
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -96,6 +97,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: (SCALE.md "Round-7 layout probe"). Env-tunable; ≤0 disables.
 WIDEN_BYTES_DEFAULT = 128 * 1024 * 1024
 
+#: One-time stderr warning guard for a malformed SPARK_GRAFT_WIDEN_BYTES
+#: (warn per process, not per widened query — the gate runs at every
+#: load site).
+_WARNED_WIDEN_ENV = False
+
 
 def table_input_bytes(sf_dir: str, name: str) -> "int | None":
     """Total on-disk bytes of one corpus table (file or directory tree),
@@ -159,6 +165,22 @@ def widen_small_scan(
     return df.repartition(par)
 
 
+def _parse_size_bytes(raw: str) -> "int | None":
+    """Parse a byte count in Spark's size-conf grammar — a plain integer
+    or a ``k``/``m``/``g``/``t`` suffix with optional trailing ``b``
+    (``128m``, ``1g``, ``512kb``) — to bytes; None when unparseable."""
+    try:
+        raw = raw.strip().lower()
+        units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+        if raw.endswith("b"):
+            raw = raw[:-1]
+        if raw and raw[-1] in units:
+            return int(float(raw[:-1]) * units[raw[-1]])
+        return int(raw)
+    except Exception:
+        return None
+
+
 def _split_size_bytes(spark: SparkSession) -> int:
     """The session's actual scan-split size — ``spark.sql.files.
     maxPartitionBytes``, parsed from its byte-suffix form — so the
@@ -167,19 +189,14 @@ def _split_size_bytes(spark: SparkSession) -> int:
     that LOWERS maxPartitionBytes already scans a mid-sized table in
     parallel, and widening it again would re-pay the exchange the gate
     exists to avoid). Unparseable/missing conf → the stock default."""
-    raw = ""
     try:
         raw = spark.conf.get(
             "spark.sql.files.maxPartitionBytes", str(WIDEN_BYTES_DEFAULT)
-        ).strip().lower()
-        units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
-        if raw.endswith("b"):
-            raw = raw[:-1]
-        if raw and raw[-1] in units:
-            return int(float(raw[:-1]) * units[raw[-1]])
-        return int(raw)
+        )
     except Exception:
         return WIDEN_BYTES_DEFAULT
+    parsed = _parse_size_bytes(raw)
+    return WIDEN_BYTES_DEFAULT if parsed is None else parsed
 
 
 def small_scan_parallelism(
@@ -193,16 +210,29 @@ def small_scan_parallelism(
     ``dedup.minhash_dedup_pairs.signature_parallelism``).
 
     Threshold resolution: ``SPARK_GRAFT_WIDEN_BYTES`` when set to a
-    valid integer (≤0 disables; an unparseable value falls back rather
-    than aborting every widened query at plan time — r15 review),
-    else the session's actual ``spark.sql.files.maxPartitionBytes``."""
+    valid byte count — a plain integer or Spark's size grammar
+    (``128m``, ``1g``; ≤0 disables) — else the session's actual
+    ``spark.sql.files.maxPartitionBytes``. A malformed value falls back
+    rather than aborting every widened query at plan time (r15 review),
+    but warns ONCE on stderr (r15 ADVICE: an operator that sets e.g.
+    ``off`` expecting to disable widening must not be silently
+    ignored — '0' is the documented disable spelling)."""
     env = os.environ.get("SPARK_GRAFT_WIDEN_BYTES")
     limit = None
     if env is not None:
-        try:
-            limit = int(env)
-        except ValueError:
-            limit = None  # malformed knob: fall back to the conf
+        limit = _parse_size_bytes(env)
+        if limit is None:  # malformed knob: fall back to the conf, loudly
+            global _WARNED_WIDEN_ENV
+            if not _WARNED_WIDEN_ENV:
+                _WARNED_WIDEN_ENV = True
+                print(
+                    f"tables: SPARK_GRAFT_WIDEN_BYTES={env!r} is not a "
+                    "byte count (integer or '128m'-style) — ignoring it; "
+                    "widening threshold falls back to "
+                    "spark.sql.files.maxPartitionBytes. Use '0' to "
+                    "disable widening.",
+                    file=sys.stderr,
+                )
     if limit is None:
         limit = _split_size_bytes(spark)
     if limit <= 0:

@@ -772,3 +772,45 @@ def test_asof_self_join_matches_two_table_asof(spark, sf_dir):
     g = sorted(map(tuple, general.collect()))
     f = sorted(map(tuple, fused.collect()))
     assert len(g) > 0 and g == f
+
+
+def test_asof_self_join_guards_and_overlap_semantics(spark):
+    """r16 (ADVICE r15): (1) reserved temp/output names in the source
+    frame are refused at PLAN time (a silent collision would corrupt the
+    side filter or emit a duplicate-name output); (2) the documented
+    overlap contract is pinned — a row matching BOTH predicates takes
+    the RIGHT side (when-chain precedence) and is therefore absent from
+    the left output, so callers must pass disjoint predicates."""
+    import pytest
+
+    rows = [
+        (1, "u1", 10.0, "click"),
+        (2, "u1", 20.0, "both"),   # matches both predicates below
+        (3, "u1", 30.0, "purchase"),
+    ]
+    src = spark.createDataFrame(rows, "event_id long, user_id string, ts double, event_type string")
+
+    # (1) reserved-name collision: loud plan-time refusal.
+    with pytest.raises(ValueError, match="__asof_time"):
+        R.asof_self_join(
+            src.withColumn("__asof_time", F.lit(1)),
+            on="user_id",
+            time_col="ts",
+            left_pred=F.col("event_type") == "purchase",
+            right_pred=F.col("event_type") == "click",
+            attach={"click_id": F.col("event_id")},
+        )
+
+    # (2) overlap: event 2 satisfies both predicates -> treated as a
+    # RIGHT row only. It must not appear as a left output row, and the
+    # later purchase must attach it (it is the latest right row <= 30).
+    out = R.asof_self_join(
+        src,
+        on="user_id",
+        time_col="ts",
+        left_pred=F.col("event_type").isin("purchase", "both"),
+        right_pred=F.col("event_type").isin("click", "both"),
+        attach={"click_id": F.col("event_id")},
+    ).select("event_id", "click_id").collect()
+    got = {r["event_id"]: r["click_id"] for r in out}
+    assert got == {3: 2}, got

@@ -970,3 +970,28 @@ def test_bench_assemble_output_failure_semantics(capsys):
     out = bench.assemble_output({"q1": 1.5}, 50_000.0, 0.1, load, load)
     assert out["thermometer_bm25_sec"] is None
     assert "bm25_search_topk missing" in capsys.readouterr().err
+
+
+def test_bench_output_echoes_effective_core_count():
+    """r16 (VERDICT r15 #2): the one-line JSON carries the effective
+    core count — ``cpus`` (what session.default_parallelism resolved
+    from $SPARK_GRAFT_CPUS) and ``spark_default_parallelism`` (what the
+    live SparkContext reported) — so the driver's scaling probe can
+    VERIFY the env took effect instead of inferring it from sf0.1
+    timing ratios that legitimately sit near 1. Additions-only: absent
+    values surface as null, never a fabricated count."""
+    import bench
+
+    load = (0.1, 0.2, 0.3)
+    out = bench.assemble_output(
+        {"q1": 1.5, "bm25_search_topk": 0.03}, 50_000.0, 0.1, load, load,
+        cpus=8, spark_default_parallelism=8,
+    )
+    assert out["cpus"] == 8
+    assert out["spark_default_parallelism"] == 8
+    # Unsupplied (an older caller): null, never fabricated.
+    legacy = bench.assemble_output(
+        {"q1": 1.5, "bm25_search_topk": 0.03}, 50_000.0, 0.1, load, load,
+    )
+    assert legacy["cpus"] is None
+    assert legacy["spark_default_parallelism"] is None

@@ -78,3 +78,36 @@ def test_minhash_signature_parallelism_is_row_identical(spark, sf_smoke):
     assert sorted(base.orderBy(*key).collect()) == sorted(
         wide.orderBy(*key).collect()
     )
+
+
+def test_widen_env_accepts_size_grammar_and_warns_on_garbage(
+    spark, sf_smoke, monkeypatch, capsys
+):
+    """r16 (ADVICE r15): SPARK_GRAFT_WIDEN_BYTES accepts Spark's size
+    grammar ('1k', '128m'), and a malformed value is discarded LOUDLY
+    (one stderr warning per process) instead of silently leaving
+    widening enabled when an operator meant to disable it."""
+    from realtime_voting_data_engineering_spark.sources import tables as TT
+
+    docs = load_table(spark, sf_smoke, "documents")
+
+    # Suffix form below the table size: provably-not-small, no-op.
+    monkeypatch.setenv("SPARK_GRAFT_WIDEN_BYTES", "1k")
+    assert widen_small_scan(docs, spark, sf_smoke, "documents") is docs
+    # Suffix form above the table size: fires.
+    monkeypatch.setenv("SPARK_GRAFT_WIDEN_BYTES", "1g")
+    wide = widen_small_scan(docs, spark, sf_smoke, "documents")
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    # Malformed: falls back to the session conf (still fires on the tiny
+    # smoke corpus) and warns once.
+    monkeypatch.setattr(TT, "_WARNED_WIDEN_ENV", False)
+    capsys.readouterr()
+    monkeypatch.setenv("SPARK_GRAFT_WIDEN_BYTES", "off")
+    wide = widen_small_scan(docs, spark, sf_smoke, "documents")
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    err = capsys.readouterr().err
+    assert "SPARK_GRAFT_WIDEN_BYTES" in err and "'off'" in err
+    # Second call: no repeat warning.
+    widen_small_scan(docs, spark, sf_smoke, "documents")
+    assert "SPARK_GRAFT_WIDEN_BYTES" not in capsys.readouterr().err

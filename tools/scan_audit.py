@@ -113,10 +113,6 @@ EXPECTED: dict[tuple[str, str], tuple[int, str]] = {
     # Tiny broadcast dims — a second copy is free.
     ("q7_nation_volume", "nation"): (2, "broadcast dim, both join sides"),
     ("q8_market_share", "nation"): (2, "broadcast dim, both join sides"),
-    # Tried-and-rejected single-pass (Expand ×3 blowup) — two lean
-    # co-partitioned passes are the chosen shape (docstring).
-    ("q21_sole_late_supplier", "lineitem"): (2, "rejected collect_set fold, see docstring"),
-    ("q21_sole_late_supplier", "orders"): (2, "rejected collect_set fold, see docstring"),
 }
 
 #: (query, table) -> EXACT required scan count in the final plan.
