@@ -401,18 +401,33 @@ def asof_self_join(
     ``attach`` maps output alias → expression over the RIGHT row; the
     matched right timestamp is exposed as ``__asof_time``. Output: all
     ``source`` columns of the left rows plus the attach aliases."""
-    # Plan-time reserved-name guard (r15 ADVICE): the temp/output
-    # columns below would silently collide with (and corrupt) a source
-    # column of the same name — and ``__asof_time`` is additionally
-    # emitted NEXT TO all source columns, so a clash would produce a
-    # duplicate-name output frame. Refuse loudly at plan time.
-    reserved = {"__side", "__rn", "__attach", "__asof_time"} & set(
-        source.columns
-    )
-    if reserved:
+    # Plan-time reserved-name guard (r15 ADVICE; widened r16 review):
+    # the temp/output columns below would silently collide with (and
+    # corrupt) a source column of the same name — and ``__asof_time``
+    # is additionally emitted NEXT TO all source columns, so a clash
+    # would produce a duplicate-name output frame. Comparison is
+    # CASE-INSENSITIVE because Spark resolves names that way by default
+    # (a source column ``__SIDE`` would be silently replaced by
+    # ``withColumn("__side", ...)``). ``attach`` aliases get the same
+    # treatment: an alias equal to a reserved name duplicates the
+    # struct field, and one equal to a source column duplicates an
+    # output name. Refuse all of it loudly at plan time.
+    reserved = {"__side", "__rn", "__attach", "__asof_time"}
+    lower_cols = {c.lower() for c in source.columns}
+    clash = sorted(reserved & lower_cols)
+    if clash:
         raise ValueError(
             "asof_self_join: source frame already contains reserved "
-            f"column(s) {sorted(reserved)} — rename them before calling"
+            f"column(s) {clash} — rename them before calling"
+        )
+    bad_aliases = sorted(
+        a for a in attach if a.lower() in reserved or a.lower() in lower_cols
+    )
+    if bad_aliases:
+        raise ValueError(
+            "asof_self_join: attach alias(es) "
+            f"{bad_aliases} collide with a reserved name or a source "
+            "column — pick different output names"
         )
     side = F.when(right_pred, F.lit(0)).when(left_pred, F.lit(1))
     # Explicit disjunctive pre-filter: the when-chain's side column is

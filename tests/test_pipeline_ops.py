@@ -790,7 +790,10 @@ def test_asof_self_join_guards_and_overlap_semantics(spark):
     ]
     src = spark.createDataFrame(rows, "event_id long, user_id string, ts double, event_type string")
 
-    # (1) reserved-name collision: loud plan-time refusal.
+    # (1) reserved-name collision: loud plan-time refusal — including a
+    # case-variant source column (Spark resolves case-insensitively by
+    # default, so '__SIDE' would be silently replaced) and an attach
+    # alias that duplicates a reserved name or a source column.
     with pytest.raises(ValueError, match="__asof_time"):
         R.asof_self_join(
             src.withColumn("__asof_time", F.lit(1)),
@@ -800,6 +803,25 @@ def test_asof_self_join_guards_and_overlap_semantics(spark):
             right_pred=F.col("event_type") == "click",
             attach={"click_id": F.col("event_id")},
         )
+    with pytest.raises(ValueError, match="__side"):
+        R.asof_self_join(
+            src.withColumn("__SIDE", F.lit(1)),
+            on="user_id",
+            time_col="ts",
+            left_pred=F.col("event_type") == "purchase",
+            right_pred=F.col("event_type") == "click",
+            attach={"click_id": F.col("event_id")},
+        )
+    for bad in ("__asof_time", "event_id", "EVENT_ID"):
+        with pytest.raises(ValueError, match="attach alias"):
+            R.asof_self_join(
+                src,
+                on="user_id",
+                time_col="ts",
+                left_pred=F.col("event_type") == "purchase",
+                right_pred=F.col("event_type") == "click",
+                attach={bad: F.col("event_id")},
+            )
 
     # (2) overlap: event 2 satisfies both predicates -> treated as a
     # RIGHT row only. It must not appear as a left output row, and the
